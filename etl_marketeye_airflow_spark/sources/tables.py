@@ -1,0 +1,38 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file each under an sf dir.
+
+Reads are plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown
+and column pruning; do NOT cache here — callers decide persistence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

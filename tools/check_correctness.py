@@ -1,0 +1,122 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables, then compares row count, column-name set,
+and an order-insensitive canonical value multiset.  Keep this strict —
+if it passes here, the driver's hash compare should pass too.
+
+Usage:  python tools/check_correctness.py [--sf-dir /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import decimal
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def canon_value(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.9g}"
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon_value(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from etl_marketeye_airflow_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = args.names or list(qs)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf_dir)
+            s_cols = sdf.columns
+            s_rows = sdf.collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only check, {len(s_rows)} rows "
+                  f"({time.time()-t0:.1f}s) [no oracle]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            continue
+
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            cs, cd = canon_rows(s_cols, [tuple(r) for r in s_rows]), canon_rows(d_cols, d_rows)
+            if cs != cd:
+                diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diffs}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"PASS {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
