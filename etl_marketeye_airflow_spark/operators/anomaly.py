@@ -1,0 +1,122 @@
+"""Price-anomaly detection (SURVEY.md §2.11: A10/A11, W1/W2, F18).
+
+The reference's detector code is absent (notebook artifacts only); the
+semantics are recovered from the artifacts and implemented as two
+parameterized strategies over one window pass:
+
+- group stats per product_id: mean / median / std / count / min-max
+  (columns match all_anomalies_20260102_201927.csv);
+- z-score rule: |price − mean| / std > z_threshold (default 2.0);
+- IQR rule: price outside [Q1 − k·IQR, Q3 + k·IQR] (default k = 1.5);
+- classification: trop_bas (below mean) / trop_haut (above mean);
+- groups need ≥ min_group_size offers (artifact min total_offers = 3).
+
+One shuffle on product_id; stats and flags computed in the same stage
+via window functions — no join back (SURVEY §2.5 W1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def group_market_stats(offers_flat: DataFrame, min_group_size: int = 3) -> DataFrame:
+    """A10: per-product market stats over positive-price offers."""
+    return (
+        offers_flat.filter(F.col("price") > 0)
+        .groupBy("product_id")
+        .agg(
+            F.first("brand").alias("brand"),
+            F.first("model").alias("model"),
+            F.count(F.lit(1)).alias("total_offers"),
+            F.avg("price").alias("market_mean"),
+            F.median("price").alias("market_median"),
+            F.stddev_samp("price").alias("market_std"),
+            F.min("price").alias("price_min"),
+            F.max("price").alias("price_max"),
+        )
+        .filter(F.col("total_offers") >= min_group_size)
+        .withColumn(
+            "price_range",
+            F.concat_ws("-", F.col("price_min").cast("string"), F.col("price_max").cast("string")),
+        )
+    )
+
+
+def flag_anomalies(
+    offers_flat: DataFrame,
+    strategy: str = "zscore",
+    z_threshold: float = 2.0,
+    iqr_k: float = 1.5,
+    min_group_size: int = 3,
+) -> DataFrame:
+    """W1/F18: flag anomalous offers vs their product-group market stats.
+
+    Output columns mirror the reference artifacts
+    (anomalies_simple_*.json / all_anomalies_*.csv).
+    """
+    w = Window.partitionBy("product_id")
+    price = F.col("price")
+    base = offers_flat.filter(price > 0).withColumns(
+        {
+            "market_mean": F.avg(price).over(w),
+            "market_median": F.median(price).over(w),
+            "market_std": F.stddev_samp(price).over(w),
+            "total_offers": F.count(F.lit(1)).over(w),
+            "p_min": F.min(price).over(w),
+            "p_max": F.max(price).over(w),
+            "q1": F.percentile(price, F.lit(0.25)).over(w),
+            "q3": F.percentile(price, F.lit(0.75)).over(w),
+        }
+    )
+    base = base.filter(F.col("total_offers") >= min_group_size)
+
+    z = F.abs(price - F.col("market_mean")) / F.col("market_std")
+    deviation = F.abs(price - F.col("market_mean")) / F.col("market_mean") * 100.0
+    if strategy == "zscore":
+        is_anom = (F.col("market_std") > 0) & (z > z_threshold)
+    elif strategy == "iqr":
+        iqr = F.col("q3") - F.col("q1")
+        is_anom = (price < F.col("q1") - iqr_k * iqr) | (price > F.col("q3") + iqr_k * iqr)
+    else:
+        raise ValueError(f"unknown strategy: {strategy!r} (want 'zscore' or 'iqr')")
+
+    return (
+        base.filter(is_anom)
+        .select(
+            "product_id",
+            "brand",
+            "model",
+            "product_name",
+            price.alias("anomaly_price"),
+            F.when(price < F.col("market_mean"), "trop_bas").otherwise("trop_haut").alias(
+                "anomaly_type"
+            ),
+            deviation.alias("deviation_percent"),
+            z.alias("z_score"),
+            "market_mean",
+            "market_median",
+            "market_std",
+            "total_offers",
+            F.concat_ws("-", F.col("p_min").cast("string"), F.col("p_max").cast("string")).alias(
+                "price_range"
+            ),
+            "source",
+            "url",
+            "condition",
+        )
+    )
+
+
+def top_anomalies(anomalies: DataFrame, n: int = 10) -> DataFrame:
+    """W2/T4: top-N gravest anomalies by deviation (unique tiebreak: url)."""
+    return anomalies.orderBy(F.desc("deviation_percent"), "product_id", "url").limit(n)
+
+
+def anomaly_type_distribution(anomalies: DataFrame) -> DataFrame:
+    """A11: trop_bas/trop_haut counts + share of total."""
+    counts = anomalies.groupBy("anomaly_type").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return counts.withColumn("pct", F.col("n") / F.sum("n").over(total) * 100.0)

@@ -1,0 +1,84 @@
+"""Dataset statistics + report (A1-A5, T1-T2 in SURVEY.md §2.4/2.6).
+
+Reference: dags/marketeye_etl_dag.py:743-792 (calculate_statistics),
+plugins/marketeye_operators.py:290-327 (richer variant: brand/condition
+distributions), :431-471 (text report).  Engine computes everything in
+one pass over the flat offers DF where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dataset_statistics(merged: DataFrame, offers_flat: DataFrame) -> DataFrame:
+    """A1/A2: single-row global stats (total products/offers, price agg, sources)."""
+    totals = merged.agg(
+        F.count(F.lit(1)).alias("total_products"),
+        F.sum(F.size("offers")).alias("total_offers"),
+    )
+    prices = offers_flat.filter(F.col("price") > 0).agg(
+        F.avg("price").alias("avg_price"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+    sources = offers_flat.agg(F.array_sort(F.collect_set("source")).alias("sources"))
+    return totals.crossJoin(prices).crossJoin(sources)
+
+
+def offers_per_source(offers_flat: DataFrame) -> DataFrame:
+    """A3: offer counts per source."""
+    return offers_flat.groupBy("source").agg(F.count(F.lit(1)).alias("n_offers"))
+
+
+def brand_distribution(merged: DataFrame) -> DataFrame:
+    """A4/T1: products per brand, sorted desc (deterministic tiebreak on brand)."""
+    return (
+        merged.groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_products"))
+        .orderBy(F.desc("n_products"), "brand")
+    )
+
+
+def condition_distribution(offers_flat: DataFrame) -> DataFrame:
+    """A5: offer counts per condition."""
+    return offers_flat.groupBy("condition").agg(F.count(F.lit(1)).alias("n_offers"))
+
+
+def multi_source_products(merged: DataFrame, min_sources: int = 2) -> DataFrame:
+    """P8: products listed on more than one platform (offre_3.ipynb)."""
+    return (
+        merged.withColumn(
+            "n_sources", F.size(F.array_distinct(F.col("offers.source")))
+        )
+        .filter(F.col("n_sources") >= min_sources)
+        .select("product_id", "brand", "model", "product_name", "n_sources", "offers")
+    )
+
+
+def render_report(stats_row, brand_rows, ts: str) -> str:
+    """Text report from collected stats (driver-side formatting only —
+    mirrors dags/marketeye_etl_dag.py:802-817 + top-5 brands
+    plugins/marketeye_operators.py:449)."""
+    lines = [
+        "=" * 43,
+        f"RAPPORT ETL MARKETEYE - {ts}",
+        "=" * 43,
+        "",
+        "RESUME:",
+        f"- Produits uniques: {stats_row['total_products']}",
+        f"- Offres totales: {stats_row['total_offers']}",
+        f"- Prix moyen: {stats_row['avg_price']:.2f} MAD",
+        f"- Prix min: {stats_row['min_price']:.2f} MAD",
+        f"- Prix max: {stats_row['max_price']:.2f} MAD",
+        "",
+        f"SOURCES: {', '.join(stats_row['sources'])}",
+        "",
+        "TOP MARQUES:",
+    ]
+    for r in brand_rows[:5]:
+        lines.append(f"- {r['brand']}: {r['n_products']} produits")
+    lines.append("")
+    lines.append("Pipeline execute avec succes!")
+    return "\n".join(lines)

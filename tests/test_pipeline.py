@@ -1,0 +1,149 @@
+"""End-to-end pipeline tests over the marketeye-shaped fixtures (FIXTURES.md).
+
+Covers SURVEY §2: S1-S3 tolerant ingestion, P1-P3 adapters, J1/A6-A9 merge,
+A1-A5 stats, A10/A11/W1/W2/F18 anomaly strategies.
+"""
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_marketeye_airflow_spark.jobs import run_anomaly_analysis, run_etl
+from etl_marketeye_airflow_spark.operators.anomaly import flag_anomalies
+from etl_marketeye_airflow_spark.operators.stats import multi_source_products
+
+FIXTURES = str(Path(__file__).parent / "fixtures")
+
+
+@pytest.fixture(scope="module")
+def etl(spark):
+    res = run_etl(spark, FIXTURES)
+    res.merged.count()  # materialize the persist
+    yield res
+    res.merged.unpersist()
+
+
+def test_merge_totals(etl):
+    stats = etl.statistics.collect()[0]
+    assert stats.total_products == 6
+    assert stats.total_offers == 8
+    assert stats.sources == ["Avito", "Electroplanet", "Jumia"]
+    assert stats.min_price == 199.0
+    assert stats.max_price == 13875.0  # fixed thousands parsing, not 13.875
+
+
+def test_cross_source_merge(etl):
+    row = etl.merged.filter(F.col("product_id") == "samsung_s24ultra").collect()
+    assert len(row) == 1
+    p = row[0]
+    # intra-Avito duplicate (same source/url/price) removed → 3 offers
+    assert [o.source for o in p.offers] == ["Avito", "Jumia", "Electroplanet"]
+    assert p.metadata.sources == ["Avito", "Electroplanet", "Jumia"]
+    # first-arrival (Avito) supplies brand/model
+    assert p.brand == "Samsung" and p.model == "S24 ULTRA"
+    # longest name wins (Electroplanet's 35-char name)
+    assert p.product_name == "SAMSUNG GALAXY S24 ULTRA 512GB NOIR"
+    # spec fusion: Avito first wins storage/ram; Jumia adds screen; EP adds new keys
+    specs = p.specifications
+    assert specs["storage"] == "512GB"  # Avito's, not Jumia's "512 Go"
+    assert specs["ram"] == "12GB"
+    assert specs["screen_size"] == '6.8"'  # from Jumia description regex
+    assert specs["gorilla_glass"] == "Oui"  # EP French-key translation
+    assert specs["condition"] == "NEUF"
+
+
+def test_offer_values(etl):
+    offers = {
+        (r.product_id, r.source): r for r in etl.offers_flat.collect()
+    }
+    golden = offers[("samsung_s24ultra", "Avito")]
+    assert golden.price == 7800.0
+    assert golden.condition == "new"
+    assert golden.city == "Casablanca"
+    jumia = offers[("samsung_s24ultra", "Jumia")]
+    assert jumia.price == 13875.0
+    assert jumia.rating == 4.5
+    assert jumia.original_price == 15000.0
+    ep = offers[("samsung_s24ultra", "Electroplanet")]
+    assert ep.price == 12499.0
+    assert ep.rating == 4.2
+    assert ep.reviews_count == "5"
+    assert ep.scraped_at == "2025-12-16T11:05:00Z"  # detailed wins
+    iphone = [v for (pid, _), v in offers.items() if pid.startswith("apple_")]
+    assert len(iphone) == 1
+    assert iphone[0].price == 4500.0  # European format
+    assert iphone[0].condition == "like new"
+    assert iphone[0].url == "https://www.avito.ma/vi/111.htm"  # rebuilt from ad_id
+
+
+def test_distributions(etl):
+    brands = {r.brand: r.n_products for r in etl.brand_distribution.collect()}
+    assert brands == {"Samsung": 2, "Apple": 1, "Xiaomi": 1, "Unknown": 1, "LG": 1}
+    src = {r.source: r.n_offers for r in etl.source_counts.collect()}
+    assert src == {"Avito": 3, "Jumia": 3, "Electroplanet": 2}
+    cond = {r.condition: r.n_offers for r in etl.condition_distribution.collect()}
+    assert cond == {"new": 6, "like new": 1, "good": 1}
+
+
+def test_multi_source_filter(etl):
+    multi = multi_source_products(etl.merged).collect()
+    assert [r.product_id for r in multi] == ["samsung_s24ultra"]
+    assert multi[0].n_sources == 3
+
+
+def test_determinism_rerun(spark, etl):
+    """Same input → identical merged output (reference is arrival-order-
+    dependent; the engine must not be)."""
+    again = run_etl(spark, FIXTURES, persist=False)
+    a = {r.product_id: r for r in etl.merged.collect()}
+    b = {r.product_id: r for r in again.merged.collect()}
+    assert a.keys() == b.keys()
+    for pid in a:
+        assert [o.url for o in a[pid].offers] == [o.url for o in b[pid].offers]
+        assert a[pid].specifications == b[pid].specifications
+
+
+# --- anomaly strategies (hand-computed expectations) ------------------------
+
+
+@pytest.fixture(scope="module")
+def offers_anomaly(spark):
+    rows = [("p1", "B", "M", "name", "S", float(p), f"u{i}", "new")
+            for i, p in enumerate([100, 110, 90, 105, 95, 2000])]
+    rows += [("p2", "B", "M", "name", "S", 50.0, "v1", "new"),
+             ("p2", "B", "M", "name", "S", 55.0, "v2", "new")]  # group < 3 → ignored
+    return spark.createDataFrame(
+        rows,
+        "product_id string, brand string, model string, product_name string, "
+        "source string, price double, url string, condition string",
+    )
+
+
+def test_zscore_strategy(offers_anomaly):
+    out = flag_anomalies(offers_anomaly, strategy="zscore", z_threshold=2.0).collect()
+    assert len(out) == 1
+    a = out[0]
+    assert a.anomaly_price == 2000.0
+    assert a.anomaly_type == "trop_haut"
+    assert a.total_offers == 6
+    assert a.z_score == pytest.approx(2.041, abs=1e-3)
+    assert a.deviation_percent == pytest.approx(380.0, abs=0.5)
+    assert a.market_median == pytest.approx(102.5)
+    assert a.price_range == "90.0-2000.0"
+
+
+def test_iqr_strategy(offers_anomaly):
+    out = flag_anomalies(offers_anomaly, strategy="iqr", iqr_k=1.5).collect()
+    assert [r.anomaly_price for r in out] == [2000.0]
+
+
+def test_anomaly_reports(offers_anomaly):
+    res = run_anomaly_analysis(offers_anomaly, strategy="iqr", top_n=5)
+    stats = {r.product_id: r for r in res["group_stats"].collect()}
+    assert set(stats) == {"p1"}  # p2 below min group size
+    assert stats["p1"].market_mean == pytest.approx(416.6667, abs=1e-3)
+    dist = res["type_distribution"].collect()
+    assert [(r.anomaly_type, r.n, r.pct) for r in dist] == [("trop_haut", 1, 100.0)]
+    top = res["top_anomalies"].collect()
+    assert len(top) == 1 and top[0].anomaly_price == 2000.0
