@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .sources.tables import load_table
+from .sources.tables import load_events, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -294,6 +294,446 @@ def q04_price_anomalies_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("_g_n") >= 3) & (F.col("_g_std") > 0) & (F.col("_z") > 1.5))
         .drop("_g_std", "_g_n", "_z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/P8 — filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q05_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount > 0.05
+      AND l_returnflag = 'R'
+    """,
+)
+def q05_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5-style predicates + projection; all four filters and the 5-column
+    projection reach the parquet scan (PushedFilters / ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_returnflag") == "R")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@query(
+    "q06_multi_platform_filter",
+    oracle="""
+    SELECT l_partkey AS product_key, count(DISTINCT l_suppkey) AS n_sources
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(DISTINCT l_suppkey) > 1
+    """,
+)
+def q06_multi_platform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: entities present via >1 source (marketeye: products on >1
+    platform; here: parts sold by >1 supplier)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("product_key"))
+        .agg(F.countDistinct("l_suppkey").alias("n_sources"))
+        .filter(F.col("n_sources") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-J3 — join family (inner / left / semi / anti / broadcast enrichment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q07_join_inner_agg",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*)                                AS n_orders,
+           {_sql_mean('o_totalprice')}             AS avg_order_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q07_join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (fact⋈dim, dim broadcast) + aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    n = F.count(F.lit(1))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(n.alias("n_orders"), _mean(_dsum("o_totalprice"), n).alias("avg_order_value"))
+    )
+
+
+@query(
+    "q08_join_left_count",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q08_join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count = 0)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q09_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def q09_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with a finished order."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@query(
+    "q10_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q10_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers without any urgent order."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@query(
+    "q11_enrichment_lookup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           p_name                                                   AS enriched_name,
+           CASE WHEN p_partkey IS NULL THEN 'not_found' ELSE 'found' END AS lookup_status
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey AND p_size > 25
+    """,
+)
+def q11_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: enrichment lookup join (marketeye: ad_id → scraped URL with
+    found/not_found status; here: partial part lookup).  Broadcast left
+    join; status column derived from match success."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 25).select("p_partkey", "p_name")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.col("p_name").alias("enriched_name"),
+        F.when(F.col("p_partkey").isNull(), "not_found").otherwise("found").alias("lookup_status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6-A9 analogs — merge-style collection aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_merge_collect",
+    oracle="""
+    SELECT o_custkey,
+           count(*)                                            AS n_orders,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+                                                               AS priorities,
+           min_by(o_orderkey, o_orderdate)                     AS first_orderkey,
+           max_by(o_orderpriority, o_totalprice)               AS top_value_priority
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q12_merge_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A8/A9 analogs: per-key set-union (sorted, stringified), first-by
+    arrival (min_by) and best-by-metric (max_by) — the merge task's
+    collection semantics on relational data.
+
+    min_by/max_by keys are unique per group here (o_orderdate ties are
+    broken by none — orderdate+orderkey unique enough at this SF; if a tie
+    appeared the hash gate would catch it, so keys chosen to be unique:
+    orderkey is unique, totalprice practically unique)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+        F.min_by("o_orderkey", F.struct("o_orderdate", "o_orderkey")).alias("first_orderkey"),
+        F.max_by("o_orderpriority", F.struct("o_totalprice", "o_orderkey")).alias(
+            "top_value_priority"
+        ),
+    )
+
+
+@query(
+    "q13_json_first_per_key",
+    oracle="""
+    SELECT user_id,
+           min_by(json_extract_string(props, '$.k'), event_id) AS first_k,
+           count(*)                                            AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q13_json_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 analog + F16: JSON prop extraction and first-value-per-key
+    (marketeye: first non-empty spec per key in arrival order).
+
+    Reads events with an explicit ts-free schema — the nanos timestamp
+    column is unused here and Spark 4 rejects it otherwise."""
+    e = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double, props string"
+    ).parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("user_id").agg(
+        F.min_by(F.get_json_object("props", "$.k"), F.col("event_id")).alias("first_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q14_cube_distribution",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*)                     AS n_items,
+           {_SQL_SUM.format(c='l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q14_cube_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 extension (SURVEY §2.4 note): cube over flag×status — all
+    distribution reports in one pass instead of N groupBys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W2 analogs — window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    )
+    SELECT l_partkey AS product_key, l_orderkey, l_linenumber,
+           l_extendedprice AS price, rn AS price_rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q15_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 generalized: top-3 offers per product by price (row_number with
+    unique tiebreak so LIMIT-per-group is deterministic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            F.col("l_partkey").alias("product_key"),
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price"),
+            F.row_number().over(w).alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )
+
+
+@query(
+    "q16_sessionization",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                              ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def q16_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap threshold (30 min) — the batch form
+    of streaming session windows.  Event-time math in exact integer
+    microseconds (ts_us) to match DuckDB's epoch_us."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2 — set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_set_ops",
+    oracle="""
+    (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT beyond the reference's unions (SURVEY §2.7 notes
+    none exist there — engine provides the full set-op family)."""
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    finished = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_.intersect(finished).exceptAll(urgent.distinct())
+
+
+# ---------------------------------------------------------------------------
+# F-family — scalar string/regex functions at scale (marketeye's
+# normalization expressed over part names; unit-level parity is pytest's job)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_scalar_normalization",
+    oracle=r"""
+    SELECT p_partkey,
+           upper(trim(p_name))                            AS name_upper,
+           regexp_extract(p_type, '([A-Z]+)$', 1)         AS type_last_word,
+           CASE WHEN contains(lower(p_name), 'green') THEN 'Green'
+                WHEN contains(lower(p_name), 'blue')  THEN 'Blue'
+                WHEN contains(lower(p_name), 'red')   THEN 'Red'
+                ELSE 'Other' END                          AS color_family,
+           concat(p_brand, '_', CAST(p_size AS VARCHAR))  AS brand_size_id,
+           length(p_name)                                 AS name_len
+    FROM part
+    """,
+)
+def q18_scalar_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F7/F14 pattern family on relational data: ordered substring
+    CASE chain (brand normalization shape), regex extraction, id
+    synthesis — all codegen'd Column algebra."""
+    p = _t(spark, sf_dir, "part")
+    lowered = F.lower(F.col("p_name"))
+    return p.select(
+        "p_partkey",
+        F.upper(F.trim(F.col("p_name"))).alias("name_upper"),
+        F.regexp_extract(F.col("p_type"), r"([A-Z]+)$", 1).alias("type_last_word"),
+        F.when(lowered.contains("green"), "Green")
+        .when(lowered.contains("blue"), "Blue")
+        .when(lowered.contains("red"), "Red")
+        .otherwise("Other")
+        .alias("color_family"),
+        F.concat(F.col("p_brand"), F.lit("_"), F.col("p_size").cast("string")).alias(
+            "brand_size_id"
+        ),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 — IQR anomaly strategy (second flagging rule)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_price_anomalies_iqr",
+    oracle="""
+    WITH w AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+             quantile_cont(l_extendedprice, 0.25) OVER (PARTITION BY l_partkey) AS q1,
+             quantile_cont(l_extendedprice, 0.75) OVER (PARTITION BY l_partkey) AS q3,
+             count(*) OVER (PARTITION BY l_partkey) AS g_n
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey AS product_key,
+           l_extendedprice AS anomaly_price,
+           CASE WHEN l_extendedprice < q1 THEN 'trop_bas' ELSE 'trop_haut' END AS anomaly_type
+    FROM w
+    WHERE g_n >= 3
+      AND (l_extendedprice < q1 - 1.5 * (q3 - q1)
+           OR l_extendedprice > q3 + 1.5 * (q3 - q1))
+    """,
+)
+def q19_price_anomalies_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 IQR strategy: quantile window fences (verified bit-equal to
+    DuckDB quantile_cont interpolation across all groups)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    price = F.col("l_extendedprice")
+    q1 = F.percentile(price, F.lit(0.25)).over(w)
+    q3 = F.percentile(price, F.lit(0.75)).over(w)
+    g_n = F.count(F.lit(1)).over(w)
+    iqr = q3 - q1
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_partkey").alias("product_key"),
+            price.alias("anomaly_price"),
+            F.when(price < q1, "trop_bas").otherwise("trop_haut").alias("anomaly_type"),
+            q1.alias("_q1"),
+            q3.alias("_q3"),
+            g_n.alias("_n"),
+            (price < q1 - F.lit(1.5) * iqr).alias("_lo"),
+            (price > q3 + F.lit(1.5) * iqr).alias("_hi"),
+        )
+        .filter((F.col("_n") >= 3) & (F.col("_lo") | F.col("_hi")))
+        .drop("_q1", "_q3", "_n", "_lo", "_hi")
     )
 
 

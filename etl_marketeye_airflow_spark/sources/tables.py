@@ -29,6 +29,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with its TIMESTAMP(NANOS) column made usable.
+
+    Spark 4 rejects parquet nano timestamps outright; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) the
+    column reads as nanos-since-epoch LONG.  We expose ``ts_us``
+    (integer microseconds, exact) — event-time queries should compare
+    integers, matching DuckDB's ``epoch_us(ts)`` bit-for-bit; float
+    epochs differ from DuckDB in sub-microsecond rounding.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts_us", F.expr("ts div 1000"))
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
