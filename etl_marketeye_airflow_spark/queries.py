@@ -737,6 +737,270 @@ def q19_price_anomalies_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (BASELINE.json north star): dedup,
+# similarity search, text analysis, multimodal — over documents/embeddings.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_exact_dedup",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+           min(doc_id)  AS keeper_id,
+           count(*)     AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: digest-groupBy, keeper = min id.  Shuffles the
+    32-byte digest, never the text."""
+    from .operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q21_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 1) + 1),
+                 i -> array_to_string(
+                        list_slice(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), i, i + 2), ' ')
+               )
+             ) AS grams
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.01
+    """,
+)
+def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity pairs (brute-force on a bounded
+    slice — the exact-verification primitive the LSH pipeline reuses).
+    Integer set sizes → one double division → bit-deterministic."""
+    from .operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = docs.select(F.col("doc_id"), word_shingles(F.col("text"), 3).alias("grams"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
+        / F.size(F.array_union(F.col("a.grams"), F.col("b.grams"))).cast("double")
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.01)
+    )
+
+
+@query("q22_minhash_lsh_dedup", oracle=None)  # signature pipeline: not SQL-expressible
+def q22_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs, Jaccard-verified ≥ 0.3.
+    Candidate generation is a bucket-join on band hashes — never all-pairs."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@query("q23_simhash_dedup", oracle=None)  # signature pipeline: not SQL-expressible
+def q23_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within hamming distance 6 via 4×16-bit
+    pigeonhole banding (recall-complete for d≤3; d≤6 partial by design)."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_distance=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q24_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT vec_id,
+             list_reduce(list_transform(list_zip(embedding, qv),
+                                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                         (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+                                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                                 (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(list_zip(qv, qv),
+                                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                                   (a, b) -> a + b))) AS c
+      FROM embeddings, q
+    )
+    SELECT vec_id, round(c, 6) AS cosine FROM scored
+    ORDER BY c DESC, vec_id LIMIT 20
+    """,
+)
+def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 vs the vec_id=0 query vector — the exact
+    ANN baseline.  Rounded to 6 dp: engines agree to ~1 ulp (DuckDB
+    reduces pairwise), and no boundary values exist at that precision."""
+    from .operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        emb.select("vec_id", cosine(F.col("embedding"), q).alias("_c"))
+        .orderBy(F.desc("_c"), "vec_id")
+        .limit(20)
+        .select("vec_id", F.round(F.col("_c"), 6).alias("cosine"))
+    )
+
+
+@query("q25_ann_lsh_topk", oracle=None)  # approximate: rows-only check
+def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-10 for the vec_id=0 query — the
+    scale path: scans only the query's bucket (~1/2^8 of the corpus)."""
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_topk(emb, list(qv), k=10, n_planes=8)
+
+
+@query("q26_embedding_near_dup", oracle=None)  # approximate: rows-only check
+def q26_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.45) via LSH bucket-join.
+    (Synthetic embeddings are near-orthogonal — max pairwise cosine ≈ 0.51
+    at sf0.01 — so the threshold sits where real candidates exist.)"""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=6
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q27_text_metrics",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks)                                                    AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+           CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','for','with'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE)                                AS stopword_ratio,
+           0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             + 0.3 * least(CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','for','with'))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE) * 3.0, 1.0)
+             + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE))                 AS quality_score
+    FROM t
+    """,
+)
+def q27_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), stopword ratio, and
+    the composite quality score — per-doc scan-speed expressions."""
+    from .operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.whitespace_token_count(c).alias("n_tokens_ws"),
+        tx.regex_token_count(c).alias("n_tokens_bpe"),
+        tx.stopword_ratio(c).alias("stopword_ratio"),
+        tx.quality_score(c).alias("quality_score"),
+    )
+
+
+@query(
+    "q28_language_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','for','with')))   AS h_en,
+        len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','un','une','est','pour'))) AS h_fr,
+        len(list_filter(toks, x -> x IN ('el','la','los','de','y','un','una','es','en','para')))    AS h_es,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ein','eine','ist','mit','für','von'))) AS h_de
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de AND h_en > 0 THEN 'en'
+                WHEN h_fr >= h_es AND h_fr >= h_de AND h_fr > 0 THEN 'fr'
+                WHEN h_es >= h_de AND h_es > 0 THEN 'es'
+                WHEN h_de > 0 THEN 'de'
+                ELSE 'und' END AS predicted_lang
+    FROM h
+    """,
+)
+def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic vs the labeled lang column."""
+    from .operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "q29_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+               list_transform(
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                 w -> CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 1000000007)),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (md5-derived
+    word ints, polynomial fold mod p — engine-portable, overflow-free)."""
+    from .operators.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query("q30_multimodal_decode", oracle=None)  # Pandas-UDF pipeline: rows-only check
+def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary content column → Arrow-
+    batched decode (stubbed, marked 'fake') → byte-histogram features.
+    Exercises mapInPandas schema/batch contracts on real binary data."""
+    from .operators.multimodal import attach_binary_content, decode_media, extract_features
+
+    media = attach_binary_content(_t(spark, sf_dir, "documents"), kind="image")
+    decoded = decode_media(media)
+    feats = extract_features(media).select("media_id", "feature_dim")
+    return decoded.join(feats, "media_id").orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,175 @@
+"""Unit tests for the training-data operators: dedup, similarity, text,
+multimodal — on planted-duplicate fixtures with hand-computed expectations."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_marketeye_airflow_spark.operators import text as tx
+from etl_marketeye_airflow_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+from etl_marketeye_airflow_spark.operators.multimodal import (
+    attach_binary_content,
+    decode_media,
+    extract_features,
+    sample_frames,
+)
+from etl_marketeye_airflow_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm windowsill", "cold windowsill")  # 1-word change
+UNRELATED = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines today"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, NEAR),  # near dup of 1
+        (4, UNRELATED),
+        (5, "  " + BASE.upper() + "  "),  # normalization dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs).collect()
+    by_keeper = {r.keeper_id: r.n_copies for r in groups}
+    assert by_keeper == {1: 3, 3: 1, 4: 1}  # 1,2,5 collapse (case/ws normalized)
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] == pytest.approx(10 / 13)  # 1-word change
+    assert not any(4 in p for p in pairs)  # unrelated never pairs
+
+
+def test_simhash_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_pairs(docs, max_distance=10).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 10
+    assert not any(4 in p for p in pairs)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    out = [r.s for r in df.select(word_shingles(F.col("t"), 3).alias("s")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == ["a b"]  # shorter than k → single shingle
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        (4, [0.8, 0.2, 0.1, 0.0]),   # close-ish
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    out = brute_force_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [0, 1, 4]
+    assert out[0].cosine == pytest.approx(1.0)
+    assert out[1].cosine == pytest.approx(0.9 / math.sqrt(0.82), rel=1e-6)
+
+
+def test_lsh_topk_contains_query_bucket_neighbors(vectors):
+    out = lsh_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3, n_planes=2)
+    got = [r.vec_id for r in out.collect()]
+    # approximate: must at least find the identical vector, never the opposite
+    assert 0 in got and 3 not in got
+
+
+def test_embedding_near_dup(vectors):
+    pairs = [(r.id_a, r.id_b) for r in
+             embedding_near_dup_pairs(vectors, threshold=0.95, n_planes=2).collect()]
+    assert (0, 1) in pairs
+    assert all({a, b} != {0, 3} for a, b in pairs)
+
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame([("The cat and the dog!",)], "text string")
+    row = df.select(
+        tx.whitespace_token_count(F.col("text")).alias("ws"),
+        tx.regex_token_count(F.col("text")).alias("bpe"),
+        tx.stopword_ratio(F.col("text")).alias("sr"),
+        tx.language_id(F.col("text")).alias("lang"),
+    ).collect()[0]
+    assert row.ws == 5
+    assert row.bpe == 6  # the, cat, and, the, dog, !
+    assert row.sr == pytest.approx(3 / 5)  # the, and, the
+    assert row.lang == "en"
+
+
+def test_language_id_und(spark):
+    df = spark.createDataFrame([("zzz qqq xxx",)], "text string")
+    assert df.select(tx.language_id(F.col("text")).alias("l")).collect()[0].l == "und"
+
+
+def test_fingerprint_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("gamma beta alpha",), ("alpha beta gamma",)], "text string"
+    )
+    fps = [r.f for r in df.select(tx.doc_fingerprint(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]
+    assert all(0 <= f < tx.FINGERPRINT_PRIME for f in fps)
+
+
+def test_multimodal_pipeline(spark, docs):
+    media = attach_binary_content(
+        docs.withColumn("n_chars", F.length("text")), kind="video"
+    )
+    decoded = decode_media(media).collect()
+    assert len(decoded) == 5
+    assert all(r.decoder == "fake" for r in decoded)  # stub clearly marked
+    assert all(r.n_bytes > 0 and len(r.sha256) == 64 for r in decoded)
+    # determinism: same content → same fake dims
+    by_sha = {}
+    for r in decoded:
+        by_sha.setdefault(r.sha256, set()).add((r.width, r.height))
+    assert all(len(v) == 1 for v in by_sha.values())
+
+    feats = extract_features(media).collect()
+    assert all(len(r.feature) == 16 for r in feats)
+    assert all(abs(sum(r.feature) - 1.0) < 1e-5 for r in feats)
+
+    frames = sample_frames(media, every_ms=500).collect()
+    assert len(frames) > 5  # video rows exploded into multiple frames
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(idx == sorted(idx) for idx in per_media.values())
+
+
+def test_multimodal_require_real_decoder(spark, docs):
+    media = attach_binary_content(docs.withColumn("n_chars", F.length("text")))
+    with pytest.raises(Exception, match="NotImplementedError|no image decoder"):
+        decode_media(media, require_real_decoder=True).collect()
