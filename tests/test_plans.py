@@ -1,0 +1,61 @@
+"""Physical-plan property tests: the scale promises in docstrings are
+asserted here so they can't silently regress (SURVEY §4: pushdown /
+broadcast / codegen are the engine's whole performance story)."""
+
+from etl_marketeye_airflow_spark import queries as reg
+from etl_marketeye_airflow_spark.plans import (
+    executed_plan,
+    has_broadcast_join,
+    has_python_eval,
+    pushed_filters,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filters_reach_parquet_scan(spark):
+    df = reg.QUERIES["q05_filter_project"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pushed
+    assert "l_discount" in pushed
+    assert "l_shipdate" in pushed
+    # column pruning: scan must not read unused columns like l_comment-ish ones
+    assert "l_tax" not in executed_plan(df).split("ReadSchema")[1][:400]
+
+
+def test_dimension_joins_broadcast(spark):
+    assert has_broadcast_join(reg.QUERIES["q01_brand_price_summary"](spark, SF))
+    assert has_broadcast_join(reg.QUERIES["q07_join_inner_agg"](spark, SF))
+    assert has_broadcast_join(reg.QUERIES["q11_enrichment_lookup"](spark, SF))
+
+
+def test_no_python_in_relational_paths(spark):
+    for name in [
+        "q01_brand_price_summary",
+        "q04_price_anomalies_zscore",
+        "q12_merge_collect",
+        "q22_minhash_lsh_dedup",
+        "q23_simhash_dedup",
+        "q24_cosine_topk",
+        "q27_text_metrics",
+        "q29_doc_fingerprint",
+    ]:
+        assert not has_python_eval(reg.QUERIES[name](spark, SF)), name
+
+
+def test_adapters_stay_codegen(spark):
+    from etl_marketeye_airflow_spark.jobs import run_etl
+
+    res = run_etl(spark, "tests/fixtures", persist=False)
+    plan = executed_plan(res.merged)
+    assert "BatchEvalPython" not in plan
+    # expression staging must keep the optimized plan bounded (see
+    # adapters/avito.py) — a 30x blowup regression would trip this
+    assert len(plan) < 500_000
+    res_opt = len(res.merged._jdf.queryExecution().optimizedPlan().toString())
+    assert res_opt < 500_000
+
+
+def test_topk_uses_partitioned_window_not_global_sort(spark):
+    plan = executed_plan(reg.QUERIES["q15_topk_per_group"](spark, SF))
+    assert "Window" in plan

@@ -173,3 +173,13 @@ def test_multimodal_require_real_decoder(spark, docs):
     media = attach_binary_content(docs.withColumn("n_chars", F.length("text")))
     with pytest.raises(Exception, match="NotImplementedError|no image decoder"):
         decode_media(media, require_real_decoder=True).collect()
+
+
+def test_simhash_signature_parity(spark, docs):
+    """Codegen'd corpus-scale path must equal the Column-form simhash."""
+    from etl_marketeye_airflow_spark.operators.dedup import simhash, simhash_signatures
+
+    col_form = {r.doc_id: r.s for r in
+                docs.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
+    df_form = {r._id: r._sig for r in simhash_signatures(docs).collect()}
+    assert col_form == df_form
