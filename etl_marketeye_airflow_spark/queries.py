@@ -1001,6 +1001,56 @@ def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.join(feats, "media_id").orderBy("media_id")
 
 
+# ---------------------------------------------------------------------------
+# §2.9 extension — Structured Streaming (AvailableNow drains the batch
+# synchronously so the registry can hash-compare the final state).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q31_streaming_window",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)                          AS n_events,
+           {_SQL_SUM.format(c='value')}      AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q31_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts via Structured Streaming,
+    drained with Trigger.AvailableNow into a memory sink — the final
+    state equals the batch date_trunc aggregation (the oracle)."""
+    import uuid
+
+    from .streaming.ingest import windowed_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")  # file source needs a DIR
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("value", F.col("value").cast("decimal(19,4)"))
+    )
+    out = windowed_event_counts(stream, "1 hour", "10 minutes").withColumn(
+        "total_value", F.col("total_value").cast("double")
+    )
+    name = f"q31_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

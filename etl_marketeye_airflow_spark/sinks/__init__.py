@@ -1,0 +1,15 @@
+from .sinks import (
+    write_csv_offers,
+    write_jdbc_relational,
+    write_json_products,
+    write_mongo_documents,
+    write_timestamped_backup,
+)
+
+__all__ = [
+    "write_csv_offers",
+    "write_jdbc_relational",
+    "write_json_products",
+    "write_mongo_documents",
+    "write_timestamped_backup",
+]

@@ -1,0 +1,3 @@
+from .ingest import stream_etl_available_now, windowed_event_counts
+
+__all__ = ["stream_etl_available_now", "windowed_event_counts"]

@@ -1,0 +1,144 @@
+"""Tests for sinks (S4/S5/S8 real roundtrips), HTTP enrichment with
+injected clients, and the Structured Streaming ingestion path."""
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_marketeye_airflow_spark.jobs import run_etl
+from etl_marketeye_airflow_spark.operators.enrich import enrich_with_http, ollama_analyze
+from etl_marketeye_airflow_spark.sinks import (
+    write_csv_offers,
+    write_json_products,
+    write_timestamped_backup,
+)
+from etl_marketeye_airflow_spark.sinks.sinks import relational_tables
+from etl_marketeye_airflow_spark.streaming import stream_etl_available_now
+
+FIXTURES = str(Path(__file__).parent / "fixtures")
+
+
+@pytest.fixture(scope="module")
+def etl(spark):
+    res = run_etl(spark, FIXTURES)
+    res.merged.count()
+    yield res
+    res.merged.unpersist()
+
+
+def test_json_and_csv_and_backup_sinks(spark, etl, tmp_path_factory):
+    out = tmp_path_factory.mktemp("sinks")
+    write_json_products(etl.merged, str(out / "final"))
+    assert spark.read.json(str(out / "final")).count() == 6
+
+    write_csv_offers(etl.offers_flat, str(out / "offers"))
+    csv = spark.read.option("header", True).csv(str(out / "offers"))
+    assert csv.count() == 8
+    assert "product_id" in csv.columns and "price" in csv.columns
+
+    path = write_timestamped_backup(etl.merged, str(out / "backups"))
+    assert "marketeye_backup_" in path
+    assert spark.read.json(path).count() == 6
+
+
+def test_relational_tables_shape(etl):
+    tables = relational_tables(etl.merged, etl.offers_flat)
+    prod = tables["products"].collect()
+    assert len(prod) == 6
+    s24 = next(r for r in prod if r.product_id == "samsung_s24ultra")
+    assert s24.specifications.startswith("{")  # spec map serialized to JSON (F16)
+    assert tables["offers"].count() == 8
+
+
+# --- enrichment with injected clients.  NOTE: clients must be defined as
+# closures (pickled BY VALUE) — module-level functions in a test module
+# pickle by reference and Python workers can't import tests.* ---------------
+
+def make_fake_clients():
+    def ok(url, payload=None, timeout=None):
+        return True, f"payload-for:{url.rsplit('/', 1)[-1]}"
+
+    def empty(url, payload=None, timeout=None):
+        return True, ""
+
+    def error(url, payload=None, timeout=None):
+        return False, "Erreur: connection refused"
+
+    def ollama(url, payload=None, timeout=None):
+        return True, '{"response": "analyse: prix anormalement bas"}'
+
+    return ok, empty, error, ollama
+
+
+fake_client_ok, fake_client_empty, fake_client_error, fake_ollama = make_fake_clients()
+
+
+def test_enrich_statuses(spark, etl):
+    for client, status, payload_check in [
+        (fake_client_ok, "found", lambda p: p.startswith("payload-for:")),
+        (fake_client_empty, "not_found", lambda p: p is None),
+        (fake_client_error, "error", lambda p: "Erreur" in p),
+    ]:
+        out = enrich_with_http(
+            etl.offers_flat,
+            key_col="product_id",
+            url_template="http://api.example/lookup/{key}",
+            client=client,
+            rate_limit_per_sec=0,
+        ).collect()
+        assert len(out) == 8
+        assert all(r.enrich_status == status for r in out)
+        assert all(payload_check(r.enriched_payload) for r in out)
+
+
+def test_ollama_analysis_column(spark, etl):
+    from etl_marketeye_airflow_spark.jobs import run_anomaly_analysis
+
+    top = run_anomaly_analysis(etl.offers_flat, strategy="zscore", z_threshold=0.5)[
+        "top_anomalies"
+    ]
+    out = ollama_analyze(top, client=fake_ollama).collect()
+    assert len(out) == len(top.collect())
+    assert all(r.ollama_analysis == "analyse: prix anormalement bas" for r in out)
+
+
+def test_ollama_error_captured_as_value(spark, etl):
+    from etl_marketeye_airflow_spark.jobs import run_anomaly_analysis
+
+    top = run_anomaly_analysis(etl.offers_flat, strategy="zscore", z_threshold=0.5)[
+        "top_anomalies"
+    ]
+    out = ollama_analyze(top, client=fake_client_error).collect()
+    # reference behavior: the error string IS the analysis value
+    assert all("Erreur" in r.ollama_analysis for r in out)
+
+
+# --- streaming ETL ----------------------------------------------------------
+
+def test_stream_etl_matches_batch(spark, etl, tmp_path_factory):
+    import json
+
+    out = tmp_path_factory.mktemp("stream")
+    # streaming landing dirs are NDJSON-by-contract: re-stage the array-
+    # layout fixtures line-per-record (the avito file already is NDJSON,
+    # corrupt line included — the stream must skip it like batch does)
+    landing = out / "landing"
+    landing.mkdir()
+    (landing / "avito_ads.json").write_text(
+        (Path(FIXTURES) / "avito_ads.json").read_text()
+    )
+    for name in ["jumia_products.json", "electroplanet_data.json"]:
+        records = json.loads((Path(FIXTURES) / name).read_text())
+        (landing / name).write_text(
+            "\n".join(json.dumps(r, ensure_ascii=False) for r in records)
+        )
+    q = stream_etl_available_now(
+        spark, str(landing), str(out / "final"), str(out / "ckpt")
+    )
+    q.awaitTermination()
+    streamed = spark.read.json(str(out / "final"))
+    assert streamed.count() == 6  # same products as the batch pipeline
+    batch_ids = {r.product_id for r in etl.merged.select("product_id").collect()}
+    stream_ids = {r.product_id for r in streamed.select("product_id").collect()}
+    assert stream_ids == batch_ids
