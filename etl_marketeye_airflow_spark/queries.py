@@ -1051,6 +1051,43 @@ def q31_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ---------------------------------------------------------------------------
+# S9 — rate-limited HTTP enrichment (deterministic injected client so the
+# full mapInPandas fetch→join pipeline is oracle-verifiable).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_enrichment_http",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR)              AS part_key,
+           p_brand,
+           concat('payload-for:', CAST(p_partkey AS VARCHAR)) AS enriched_payload,
+           'found'                                  AS enrich_status
+    FROM part
+    """,
+)
+def q32_enrichment_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 pipeline shape end-to-end: distinct keys → rate-limited
+    mapInPandas fetch (deterministic offline client here) → broadcast
+    join back.  The real HTTP client is the injectable default."""
+    from .operators.enrich import enrich_with_http
+
+    def offline_client(url, payload=None, timeout=None):
+        return True, f"payload-for:{url.rsplit('/', 1)[-1]}"
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("part_key"), "p_brand"
+    )
+    return enrich_with_http(
+        p,
+        key_col="part_key",
+        url_template="http://lookup.invalid/api/{key}",
+        client=offline_client,
+        rate_limit_per_sec=0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,143 @@
+"""Property-based tests (SURVEY §5 item 4, hypothesis-driven).
+
+Single-Spark-roundtrip style: hypothesis generates a batch of cases,
+one DataFrame evaluates them all (per-example Spark jobs would be
+minutes-slow), properties asserted over the batch.
+"""
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_marketeye_airflow_spark.functions import clean_price, determine_condition, product_id
+from etl_marketeye_airflow_spark.operators.merge import merge_products, union_sources
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+price_strings = st.one_of(
+    st.text(max_size=30),
+    st.from_regex(r"\d{1,7}([.,]\d{1,3})? ?(DH|MAD|dh)?", fullmatch=True),
+    st.floats(min_value=0, max_value=1e9, allow_nan=False).map(str),
+)
+
+
+@SET
+@given(st.lists(price_strings, min_size=1, max_size=50))
+def test_price_parser_total_and_nonnegative(spark, cases):
+    """clean_price never throws, never yields null, never negative."""
+    df = spark.createDataFrame([(c,) for c in cases], "p string")
+    out = [r.v for r in df.select(clean_price(F.col("p")).alias("v")).collect()]
+    assert all(v is not None and v >= 0.0 for v in out)
+
+
+@SET
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=50))
+def test_condition_total(spark, cases):
+    """determine_condition always lands in the canonical vocabulary."""
+    vocab = {"new", "good", "fair", "poor", "like new", "refurbished", "used"}
+    df = spark.createDataFrame([(c,) for c in cases], "c string")
+    out = [r.v for r in df.select(determine_condition(F.col("c")).alias("v")).collect()]
+    assert all(v in vocab for v in out)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=20), st.text(max_size=20), st.text(max_size=40)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_product_id_shape_and_determinism(spark, cases):
+    """ids are non-empty, lowercase-alnum-underscore, and stable across runs."""
+    df = spark.createDataFrame(cases, "b string, m string, t string")
+    expr = product_id(F.col("b"), F.col("m"), F.col("t"), avito=True).alias("v")
+    out1 = [r.v for r in df.select(expr).collect()]
+    out2 = [r.v for r in df.select(expr).collect()]
+    assert out1 == out2
+    assert all(v and re.fullmatch(r"[a-z0-9_]+", v) for v in out1)
+
+
+def _mk_products(spark, rows):
+    """Minimal master-schema docs from (pid, name, source, price, url)."""
+    data = [
+        (
+            pid,
+            "B",
+            "M",
+            name,
+            "Smartphone",
+            {},
+            [
+                {
+                    "source": src,
+                    "price": float(price),
+                    "original_price": None,
+                    "currency": "MAD",
+                    "condition": "new",
+                    "seller_type": None,
+                    "seller_name": None,
+                    "location": None,
+                    "rating": None,
+                    "reviews_count": None,
+                    "url": url,
+                    "scraped_at": "2026-01-01T00:00:00",
+                }
+            ],
+            {"sources": [src], "created_at": "t", "last_updated": "t"},
+        )
+        for pid, name, src, price, url in rows
+    ]
+    from etl_marketeye_airflow_spark.schemas import MASTER_SCHEMA
+
+    return spark.createDataFrame(data, MASTER_SCHEMA)
+
+
+offer_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["p1", "p2", "p3"]),
+        st.text(min_size=1, max_size=12),
+        st.sampled_from(["Avito", "Jumia", "Electroplanet"]),
+        st.integers(min_value=1, max_value=9999),
+        st.sampled_from(["u1", "u2", "u3", "u4"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _canon(merged):
+    return {
+        r.product_id: (
+            sorted((o.source, o.price, o.url) for o in r.offers),
+            sorted(r.metadata.sources),
+        )
+        for r in merged.collect()
+    }
+
+
+@SET
+@given(offer_rows)
+def test_merge_order_invariance_and_dedup_idempotence(spark, rows):
+    """Merging in any arrival order yields the same offer sets, and
+    re-merging merged output changes nothing (idempotence)."""
+    df = _mk_products(spark, rows)
+    merged = merge_products(df)
+    again = merge_products(union_sources(df, df))  # duplicated input
+    assert _canon(merged) == _canon(again)
+
+    from pyspark.sql import functions as FF
+
+    remerged = merge_products(
+        merged.select(
+            "product_id", "brand", "model", "product_name", "category",
+            "specifications", "offers", "metadata",
+        )
+    )
+    assert _canon(merged) == _canon(remerged)
