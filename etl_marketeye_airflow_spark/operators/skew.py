@@ -1,0 +1,78 @@
+"""Skew-resilient aggregation: two-phase (salted) group statistics.
+
+The reference dataset is skewed — one product group held 995 of 25,558
+offers (SURVEY §4, offre_3.ipynb).  At 100 TB a hot key turns a groupBy
+into one straggler task.  AQE handles skewed JOINS automatically, but a
+skewed AGGREGATION key still funnels every row of the hot group through
+one reducer; the classic fix is salting:
+
+  phase 1: groupBy(key, salt) — the hot group splits across n_salts
+           reducers, each computing exact partial aggregates;
+  phase 2: groupBy(key) — combines n_salts partial rows per key.
+
+All partials are exact (counts, DECIMAL sums, min/max), so the final
+stats are IDENTICAL to the single-phase aggregate — verified by the
+oracle-backed registry entry q33 whose SQL is the plain aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(19,4)"
+
+
+def salted_group_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_salts: int = 16,
+    salt_expr: Column | None = None,
+    min_group_size: int = 1,
+) -> DataFrame:
+    """Per-key count/mean/std/min/max via salted two-phase aggregation.
+
+    ``salt_expr`` must spread rows of the same key across reducers; the
+    default hashes the full row tuple (any value works — salt never
+    affects the result, only the shuffle distribution).
+    """
+    if salt_expr is None:
+        salt_expr = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+    v = F.col(value_col)
+    dec = v.cast(_DEC)
+
+    partial = (
+        df.withColumn("_salt", salt_expr)
+        .groupBy(key_col, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec).alias("_s"),
+            F.sum(dec * dec).alias("_ss"),
+            F.min(v).alias("_min"),
+            F.max(v).alias("_max"),
+        )
+    )
+    combined = partial.groupBy(key_col).agg(
+        F.sum("_n").alias("total_count"),
+        F.sum("_s").alias("_s"),
+        F.sum("_ss").alias("_ss"),
+        F.min("_min").alias("value_min"),
+        F.max("_max").alias("value_max"),
+    )
+    n = F.col("total_count").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mean = s / n
+    var = (ss - (s * s) / n) / (n - F.lit(1.0))
+    return (
+        combined.filter(F.col("total_count") >= min_group_size)
+        .select(
+            key_col,
+            "total_count",
+            mean.alias("value_mean"),
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias("value_std"),
+            "value_min",
+            "value_max",
+        )
+    )

@@ -1088,6 +1088,73 @@ def q32_enrichment_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Skew path — salted two-phase aggregation must equal the plain aggregate
+# (the oracle IS the unsalted SQL; exact partials make them identical).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q33_salted_group_stats",
+    oracle=f"""
+    SELECT l_partkey                                  AS l_partkey,
+           count(*)                                   AS total_count,
+           {_sql_mean('l_extendedprice')}             AS value_mean,
+           {_sql_stddev('l_extendedprice')}           AS value_std,
+           min(l_extendedprice)                       AS value_min,
+           max(l_extendedprice)                       AS value_max
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 3
+    """,
+)
+def q33_salted_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe group stats: groupBy(key, salt) partials then combine
+    — identical results to the one-phase aggregate, but a 995-offer hot
+    group (the reference's real skew) spreads over 16 reducers."""
+    from .operators.skew import salted_group_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_group_stats(
+        li, "l_partkey", "l_extendedprice", n_salts=16, min_group_size=3
+    )
+
+
+@query("q34_stateful_running_totals", oracle=None)  # stateful streaming: rows-only
+def q34_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running per-user totals, drained with
+    AvailableNow.  Single-batch catch-up here; state carries across
+    batches when files arrive incrementally (tested with 2-batch run in
+    tests/test_sinks_streaming.py)."""
+    import uuid
+
+    from .streaming.stateful import running_user_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    name = f"q34_out_{uuid.uuid4().hex[:8]}"
+    # Stateful streams pay a per-partition state-store cost each batch;
+    # at this key cardinality 8 partitions beats the session default
+    # (shuffle-partition conf is fixed at stream START — restore after).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

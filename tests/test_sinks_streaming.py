@@ -142,3 +142,55 @@ def test_stream_etl_matches_batch(spark, etl, tmp_path_factory):
     batch_ids = {r.product_id for r in etl.merged.select("product_id").collect()}
     stream_ids = {r.product_id for r in streamed.select("product_id").collect()}
     assert stream_ids == batch_ids
+
+
+# --- stateful streaming: state must carry across micro-batches --------------
+
+def test_stateful_running_totals_across_batches(spark, tmp_path_factory):
+    import json
+    import uuid
+
+    from etl_marketeye_airflow_spark.streaming.stateful import running_user_totals
+
+    d = tmp_path_factory.mktemp("stateful")
+    batch1 = [{"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 5.0},
+              {"user_id": 2, "value": 7.0}]
+    batch2 = [{"user_id": 1, "value": 1.0}, {"user_id": 3, "value": 2.0}]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in batch2))
+
+    stream = (spark.readStream.schema("user_id long, value double")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (running_user_totals(stream).writeStream.format("memory")
+         .queryName(name).outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql(f"select * from {name}").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.total_events, r.total_value))
+    # user 1 appears in both micro-batches → two emissions, the second
+    # cumulative over carried state: final (3 events, 16.0) regardless of
+    # which file formed the first batch
+    assert len(per_user[1]) == 2
+    assert max(per_user[1]) == (3, 16.0)
+    assert per_user[2] == [(1, 7.0)]
+    assert per_user[3] == [(1, 2.0)]
+
+
+def test_salted_stats_equal_plain(spark):
+    from etl_marketeye_airflow_spark.operators.skew import salted_group_stats
+
+    df = spark.createDataFrame(
+        [("hot", float(i % 7 + 1)) for i in range(500)] + [("cold", 3.0), ("cold", 5.0)],
+        "k string, v double",
+    )
+    salted = {r.k: r for r in salted_group_stats(df, "k", "v", n_salts=8).collect()}
+    from pyspark.sql import functions as FF
+    plain = {r.k: r for r in df.groupBy("k").agg(
+        FF.count(FF.lit(1)).alias("n"), FF.avg("v").alias("m"),
+        FF.min("v").alias("lo"), FF.max("v").alias("hi")).collect()}
+    for k in plain:
+        assert salted[k].total_count == plain[k].n
+        assert salted[k].value_mean == pytest.approx(plain[k].m, rel=1e-12)
+        assert salted[k].value_min == plain[k].lo and salted[k].value_max == plain[k].hi
