@@ -121,6 +121,121 @@ def _py_bucket(vec: list[float], planes: list[list[int]]) -> int:
     return key
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the first ``n_centroids`` vectors by id — a
+    deterministic sample (k-means refinement is an optional training
+    pass on top; IVF-Flat recall depends mostly on nprobe, not centroid
+    quality).  Returns (assigned_df with ``_centroid`` column, centroids).
+
+    Scale path: write the corpus ``partitionBy("_centroid")`` once; each
+    query then reads only nprobe partitions (partition pruning — see
+    build_ann_index/query_ann_index).
+    """
+    cents = [
+        list(r[0])
+        for r in embeddings.orderBy(id_col).select(emb_col).limit(n_centroids).collect()
+    ]
+    e = F.col(emb_col)
+    # Distances as ONE array column, argmin via array_position over the
+    # staged attribute.  A chained when(d < best_d, ...) argmin embeds the
+    # whole previous chain into every new condition — exponential (2^K)
+    # expression blowup; this form is linear in n_centroids.
+    dists = F.array(
+        *[
+            dot(e, e)
+            - F.lit(2.0) * dot(e, F.array(*[F.lit(float(x)) for x in cvec]))
+            + F.lit(sum(float(x) * x for x in cvec))
+            for cvec in cents
+        ]
+    )
+    assigned = (
+        embeddings.withColumn("_dists", dists)
+        .withColumn(
+            "_centroid",
+            (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1).cast("int"),
+        )
+        .drop("_dists")
+    )
+    return assigned, cents
+
+
+def _nearest_centroids(vec: list[float], cents: list[list[float]], nprobe: int) -> list[int]:
+    def d2(a, b):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+
+    return sorted(range(len(cents)), key=lambda i: d2(vec, cents[i]))[:nprobe]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: scan only the nprobe nearest centroid
+    cells (~nprobe/n_centroids of the corpus), exact cosine within."""
+    assigned, cents = ivf_assign(embeddings, n_centroids, id_col, emb_col)
+    probe = _nearest_centroids(query_vec, cents, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("_centroid").isin(probe))
+        .select(F.col(id_col), cosine(F.col(emb_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF index: corpus written partitionBy(_centroid).
+
+    One shot at ingest; afterwards every query is a partition-pruned
+    read of nprobe cells — the 100 TB serving shape.  Returns centroids
+    (persist them beside the index; they're tiny)."""
+    assigned, cents = ivf_assign(embeddings, n_centroids, id_col, emb_col)
+    assigned.write.mode("overwrite").partitionBy("_centroid").parquet(index_path)
+    return cents
+
+
+def query_ann_index(
+    spark,
+    index_path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Serve a top-k query from the materialized IVF index.
+
+    The `_centroid IN (...)` filter is a PARTITION filter — Spark prunes
+    to nprobe directories before any IO (asserted in tests)."""
+    probe = _nearest_centroids(query_vec, centroids, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = spark.read.parquet(index_path).filter(F.col("_centroid").isin(probe))
+    return (
+        df.select(F.col(id_col), cosine(F.col(emb_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

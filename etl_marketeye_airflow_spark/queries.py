@@ -1155,6 +1155,59 @@ def q34_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q1 — the canonical OLAP aggregate, exact-decimal throughout.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q35_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_SQL_SUM.format(c='l_quantity')}            AS sum_qty,
+           {_SQL_SUM.format(c='l_extendedprice')}       AS sum_base_price,
+           count(*)                                     AS count_order,
+           {_sql_mean('l_quantity')}                    AS avg_qty,
+           {_sql_mean('l_extendedprice')}               AS avg_price,
+           {_sql_mean('l_discount')}                    AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q35_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (discounted-revenue columns omitted where
+    they'd need decimal×decimal row products — sums/avgs shown are the
+    exact-decimal forms; the pattern matches the guide's canonical shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            n.alias("count_order"),
+            _mean(_dsum("l_quantity"), n).alias("avg_qty"),
+            _mean(_dsum("l_extendedprice"), n).alias("avg_price"),
+            _mean(_dsum("l_discount"), n).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query("q36_ivf_topk", oracle=None)  # approximate: rows-only check
+def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-10 (nprobe=4 of 16 cells) — the partition-pruned
+    scale path; materialized-index variant tested in test_trainingdata."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb, list(qv), k=10, n_centroids=16, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

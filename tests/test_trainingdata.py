@@ -183,3 +183,25 @@ def test_simhash_signature_parity(spark, docs):
                 docs.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
     df_form = {r._id: r._sig for r in simhash_signatures(docs).collect()}
     assert col_form == df_form
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path_factory):
+    """IVF materialized index: query reads only nprobe partitions
+    (PartitionFilters on _centroid) and finds the exact top match."""
+    from etl_marketeye_airflow_spark.operators.similarity import (
+        build_ann_index,
+        query_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    cents = build_ann_index(emb, path, n_centroids=8)
+    assert len(cents) == 8
+
+    qv = list(emb.filter(F.col("vec_id") == 7).select("embedding").first()[0])
+    out = query_ann_index(spark, path, cents, qv, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_centroid" in plan.split("PartitionFilters")[1][:200]
+    rows = out.collect()
+    assert rows[0].vec_id == 7  # the vector itself lives in a probed cell
+    assert rows[0].cosine == pytest.approx(1.0)
