@@ -1,0 +1,119 @@
+"""Temporal join operators Spark lacks natively: as-of join and range
+join (pyspark guide 'common OLAP patterns'; the reference has neither —
+engine-completeness operators for event-time analytics).
+
+Both are expressed as compositions of built-in ops (preference order (a)
+from the brief), NOT applyInPandas:
+
+- **as-of join** via the tagged-union + running-last window trick: union
+  left and right rows on the key, sort by (time, side) with right rows
+  first at equal times, carry the latest right payload forward with
+  ``last(ignorenulls)`` over an unbounded-preceding window, keep left
+  rows.  One shuffle on the key — same cost as a window, no per-group
+  Python, no skew beyond the key's own.
+- **range join** via time-bucketing: candidates are equi-joined on
+  (key, bucket) with each left row probing its ±1 neighbor buckets, then
+  filtered on the exact interval.  Bucket width = range width keeps the
+  candidate blowup ≤ 3×; this is the standard pre-AQE strategy for
+  interval joins at scale (a naive theta-join is a cartesian per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    time_col: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, the right row with the greatest time ≤ left time
+    (direction='backward'; ties match).  Columns: left.* + matched right
+    value cols (null when no prior right row exists).
+    """
+    if direction != "backward":
+        raise NotImplementedError("forward as-of: flip the sort — not needed yet")
+    lcols = left.columns
+    # side 0 = right (sorts first at equal time → ties match), 1 = left
+    l_tagged = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(time_col).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(time_col).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "_k",
+        "_t",
+        "_side",
+        "_l",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_value_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col("_l").getField(c).alias(c) for c in lcols],
+        *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in right_value_cols],
+    )
+    return out
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    time_col: str,
+    range_width: int,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Count right rows within ±range_width of each left row's time
+    (same key).  Bucketed equi-join: left probes buckets {b-1, b, b+1}
+    of width=range_width, exact filter after — candidates ≤ 3× matches.
+    """
+    b = F.lit(int(range_width))
+    r_b = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(time_col).alias("_rt"),
+        (F.col(time_col) / b).cast("long").alias("_bucket"),
+    )
+    l_b = left.withColumn(
+        "_probe",
+        F.explode(
+            F.array(
+                (F.col(time_col) / b).cast("long") - 1,
+                (F.col(time_col) / b).cast("long"),
+                (F.col(time_col) / b).cast("long") + 1,
+            )
+        ),
+    )
+    joined = l_b.join(
+        r_b,
+        (l_b["_probe"] == r_b["_bucket"]) & (l_b[key_col] == r_b["_k"]),
+        "left",
+    ).filter(
+        F.col("_rt").isNull()
+        | (F.abs(F.col("_rt") - F.col(time_col)) <= F.lit(int(range_width)))
+    )
+    return (
+        joined.groupBy(*[left[c] for c in left.columns])
+        .agg(F.count("_rt").alias(count_alias))
+    )

@@ -1208,6 +1208,103 @@ def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, list(qv), k=10, n_centroids=16, nprobe=4)
 
 
+# ---------------------------------------------------------------------------
+# Temporal joins Spark lacks natively (as-of / range) + pivot family.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q37_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    errors AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           e.ts_us AS asof_ts_us, e.value AS asof_value
+    FROM purchases p
+    ASOF LEFT JOIN errors e
+      ON p.user_id = e.user_id AND p.ts_us >= e.ts_us
+    """,
+)
+def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent error before each purchase, per user) via
+    the tagged-union + running-last window composition — one shuffle,
+    verified against DuckDB's native ASOF JOIN."""
+    from .operators.temporal import asof_join
+
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts_us", "value")
+    return asof_join(purchases, errors, "user_id", "ts_us", ["ts_us", "value"])
+
+
+@query(
+    "q38_range_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    errors AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us, count(e.ts_us) AS n_in_range
+    FROM purchases p
+    LEFT JOIN errors e
+      ON p.user_id = e.user_id AND abs(e.ts_us - p.ts_us) <= 600000000
+    GROUP BY 1, 2, 3
+    """,
+)
+def q38_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (errors within ±10 min of each purchase, same user)
+    via time-bucketed equi-join + exact filter — candidates ≤ 3× matches
+    instead of a per-key cartesian."""
+    from .operators.temporal import range_join_count
+
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts_us")
+    return range_join_count(purchases, errors, "user_id", "ts_us", 600_000_000)
+
+
+@query(
+    "q39_pivot_unpivot",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'O' AS status, status_O AS n FROM p
+    UNION ALL SELECT o_orderpriority, 'F', status_F FROM p
+    UNION ALL SELECT o_orderpriority, 'P', status_P FROM p
+    """,
+)
+def q39_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status columns per priority) then unpivot back via stack —
+    round-trips the wide↔long reshaping pair in one plan."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}") for s in ("O", "F", "P")],
+        )
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'O', status_O, 'F', status_F, 'P', status_P) AS (status, n)",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
