@@ -178,9 +178,12 @@ def minhash_lsh_pairs(
         )
     )
 
+    # Banding/join carry ONLY (id, band, bh): replicating the shingle
+    # sets into the bands-way explode would shuffle the dominant payload
+    # ~2×bands times.  The sets join back by id onto the (few) surviving
+    # candidate pairs for the Jaccard verify.
     banded = base.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -189,7 +192,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "_sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
     # Drop pathological buckets before the self-join (skew guard).
     from pyspark.sql.window import Window
@@ -206,13 +209,13 @@ def minhash_lsh_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = base.select("_id", "_sh")
+    pairs = (
+        pairs.join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (

@@ -67,7 +67,14 @@ def enrich_with_http(
     status: 'found' | 'not_found' (ok but empty) | 'error' — matching
     the reference's url_status values.
     """
-    tmpl, rate, retries, backoff = url_template, float(rate_limit_per_sec), int(max_retries), float(retry_backoff_sec)
+    # at least one attempt — max_retries=0 must mean "no retries", not
+    # "no requests" (which would leave the result unbound)
+    tmpl, rate, retries, backoff = (
+        url_template,
+        float(rate_limit_per_sec),
+        max(1, int(max_retries)),
+        float(retry_backoff_sec),
+    )
     fetch = client
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

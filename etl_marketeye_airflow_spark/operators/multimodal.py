@@ -96,23 +96,18 @@ def decode_media(media: DataFrame, require_real_decoder: bool = False) -> DataFr
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
-        try:  # pragma: no cover - decoder libs absent in this container
-            import PIL.Image  # noqa: F401
-
-            has_decoder = True
-        except ImportError:
-            has_decoder = False
-
         def decode(buf: bytes):
-            if not has_decoder:
-                if require:
-                    raise NotImplementedError(
-                        "no image decoder available in this environment; "
-                        "install pillow or run with require_real_decoder=False"
-                    )
-                h = _hl.sha256(buf or b"").digest()
-                return 64 + h[0] % 192, 64 + h[1] % 192, 3, "fake"
-            raise NotImplementedError("real decoder wiring lands with the imaging dependency")
+            # Real-decoder wiring is not implemented yet: requiring it is
+            # always an error (regardless of whether PIL happens to be
+            # importable); NOT requiring it always takes the marked-fake
+            # deterministic path.
+            if require:
+                raise NotImplementedError(
+                    "real image decoding is not wired yet; "
+                    "run with require_real_decoder=False for the marked-fake path"
+                )
+            h = _hl.sha256(buf or b"").digest()
+            return 64 + h[0] % 192, 64 + h[1] % 192, 3, "fake"
 
         for pdf in batches:
             out = []

@@ -247,7 +247,11 @@ def embedding_near_dup_pairs(
     """Near-duplicate pairs by cosine ≥ threshold, candidate-limited to
     same-LSH-bucket pairs (bucket-join, not all-pairs)."""
     # dim inferred lazily is awkward; peek one row (driver-side, O(1)).
-    dim = len(embeddings.select(emb_col).first()[0])
+    head = embeddings.select(emb_col).first()
+    if head is None:  # empty corpus → empty pair set, not a crash
+        spark = embeddings.sparkSession
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    dim = len(head[0])
     planes = hyperplanes(n_planes, dim, seed)
     b = embeddings.select(
         F.col(id_col).alias("_id"),

@@ -34,11 +34,14 @@ def salted_group_stats(
     """Per-key count/mean/std/min/max via salted two-phase aggregation.
 
     ``salt_expr`` must spread rows of the same key across reducers; the
-    default hashes the full row tuple (any value works — salt never
-    affects the result, only the shuffle distribution).
+    default uses a per-row physical id — unlike content hashing it also
+    spreads IDENTICAL duplicate rows (the common hot-key shape: many
+    equal re-scraped offers) and never chokes on unhashable column types
+    (xxhash64 rejects maps).  The salt never affects the result, only
+    the shuffle distribution, so its run-to-run instability is benign.
     """
     if salt_expr is None:
-        salt_expr = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+        salt_expr = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     v = F.col(value_col)
     dec = v.cast(_DEC)
 

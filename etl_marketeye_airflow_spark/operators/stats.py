@@ -61,6 +61,11 @@ def render_report(stats_row, brand_rows, ts: str) -> str:
     """Text report from collected stats (driver-side formatting only —
     mirrors dags/marketeye_etl_dag.py:802-817 + top-5 brands
     plugins/marketeye_operators.py:449)."""
+    # degenerate runs (no positive-price offers) yield null price aggs —
+    # the report must still render (reference prints 0, dags:810-812)
+    avg_p = stats_row["avg_price"] or 0.0
+    min_p = stats_row["min_price"] or 0.0
+    max_p = stats_row["max_price"] or 0.0
     lines = [
         "=" * 43,
         f"RAPPORT ETL MARKETEYE - {ts}",
@@ -68,10 +73,10 @@ def render_report(stats_row, brand_rows, ts: str) -> str:
         "",
         "RESUME:",
         f"- Produits uniques: {stats_row['total_products']}",
-        f"- Offres totales: {stats_row['total_offers']}",
-        f"- Prix moyen: {stats_row['avg_price']:.2f} MAD",
-        f"- Prix min: {stats_row['min_price']:.2f} MAD",
-        f"- Prix max: {stats_row['max_price']:.2f} MAD",
+        f"- Offres totales: {stats_row['total_offers'] or 0}",
+        f"- Prix moyen: {avg_p:.2f} MAD",
+        f"- Prix min: {min_p:.2f} MAD",
+        f"- Prix max: {max_p:.2f} MAD",
         "",
         f"SOURCES: {', '.join(stats_row['sources'])}",
         "",

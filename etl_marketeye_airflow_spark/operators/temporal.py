@@ -40,41 +40,45 @@ def asof_join(
     if direction != "backward":
         raise NotImplementedError("forward as-of: flip the sort — not needed yet")
     lcols = left.columns
+    # The right payload is carried as ONE struct: last(ignorenulls) per
+    # individual column would backfill a matched row's null field from an
+    # OLDER row — fabricating a tuple no right row contains.  The struct
+    # is non-null for every right row (even with null fields inside), so
+    # the carried value is exactly the matched row.
+    r_payload = F.struct(*[F.col(c).alias(c) for c in right_value_cols])
     # side 0 = right (sorts first at equal time → ties match), 1 = left
     l_tagged = left.select(
         F.col(key_col).alias("_k"),
         F.col(time_col).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*lcols).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
+        F.lit(None).cast(
+            right.select(r_payload.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
     r_tagged = right.select(
         F.col(key_col).alias("_k"),
         F.col(time_col).alias("_t"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        r_payload.alias("_r"),
     )
+    # "_r" in the orderBy: a deterministic tiebreak among right rows that
+    # share (_k, _t) — otherwise the carried row is partition-order luck.
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
-        "_k",
-        "_t",
         "_side",
         "_l",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in right_value_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
-    out = carried.filter(F.col("_side") == 1).select(
+    return carried.filter(F.col("_side") == 1).select(
         *[F.col("_l").getField(c).alias(c) for c in lcols],
-        *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in right_value_cols],
+        *[F.col("_m").getField(c).alias(f"asof_{c}") for c in right_value_cols],
     )
-    return out
 
 
 def range_join_count(
@@ -95,7 +99,11 @@ def range_join_count(
         F.col(time_col).alias("_rt"),
         (F.col(time_col) / b).cast("long").alias("_bucket"),
     )
-    l_b = left.withColumn(
+    # a per-row uid (assigned BEFORE the probe explode so all 3 probe
+    # rows share it) keeps DUPLICATE left rows distinct through the
+    # group-back — grouping by left columns alone would merge them and
+    # sum their counts.  The uid never reaches the output.
+    l_b = left.withColumn("_uid", F.monotonically_increasing_id()).withColumn(
         "_probe",
         F.explode(
             F.array(
@@ -114,6 +122,7 @@ def range_join_count(
         | (F.abs(F.col("_rt") - F.col(time_col)) <= F.lit(int(range_width)))
     )
     return (
-        joined.groupBy(*[left[c] for c in left.columns])
+        joined.groupBy("_uid", *[l_b[c] for c in left.columns])
         .agg(F.count("_rt").alias(count_alias))
+        .drop("_uid")
     )

@@ -75,7 +75,14 @@ def read_json_tolerant(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
-    return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    # The corrupt-row filter also references a data column: Spark
+    # disallows raw-JSON queries whose referenced columns are ONLY the
+    # corrupt-record column (e.g. a bare .count() right after this
+    # filter would throw).  For corrupt rows every data column is null,
+    # so the extra isNotNull disjunct never changes the result.
+    first_data = schema.fields[0].name
+    keep = F.col(_CORRUPT).isNull() | F.col(first_data).isNotNull()
+    return df.filter(keep).drop(_CORRUPT)
 
 
 def read_source(

@@ -31,12 +31,22 @@ def stream_etl_available_now(
     raw_dir: str,
     out_path: str,
     checkpoint_dir: str,
+    staged_path: str | None = None,
 ):
-    """Incremental file ingestion → full merge → overwrite, per batch.
+    """Incremental file ingestion → cumulative merge → overwrite.
+
+    Each micro-batch APPENDS its adapter output to ``staged_path``
+    (default: ``<checkpoint_dir>/_staged``) and then re-merges the FULL
+    staged set into ``out_path``.  Merging only the batch and
+    overwriting would silently drop products from earlier batches/runs
+    (a restart with new files would wipe history).  foreachBatch retries
+    may append a batch twice — harmless: the merge dedups offers on
+    (product_id, source, url, price), so the pipeline is idempotent.
 
     Returns the started StreamingQuery (AvailableNow: runs to catch-up
     then finishes; call .awaitTermination()).
     """
+    staged = staged_path or f"{checkpoint_dir.rstrip('/')}/_staged"
     streams = []
     for schema, transform, glob in (
         (AVITO_RAW_SCHEMA, transform_avito, "*avito*"),
@@ -64,7 +74,10 @@ def stream_etl_available_now(
     unioned = union_sources(*streams)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_products(batch_df).write.mode("overwrite").json(out_path)
+        batch_df.write.mode("append").parquet(staged)
+        merge_products(batch_df.sparkSession.read.parquet(staged)).write.mode(
+            "overwrite"
+        ).json(out_path)
 
     return (
         unioned.writeStream.foreachBatch(write_batch)

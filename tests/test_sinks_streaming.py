@@ -194,3 +194,90 @@ def test_salted_stats_equal_plain(spark):
         assert salted[k].total_count == plain[k].n
         assert salted[k].value_mean == pytest.approx(plain[k].m, rel=1e-12)
         assert salted[k].value_min == plain[k].lo and salted[k].value_max == plain[k].hi
+
+
+# --- regression tests for review findings -----------------------------------
+
+def test_stream_etl_accumulates_across_batches(spark, tmp_path_factory):
+    """Products from batch 1 must survive batch 2's write (cumulative
+    staged merge, not batch-only overwrite)."""
+    import json
+
+    out = tmp_path_factory.mktemp("stream_acc")
+    landing = out / "landing"
+    landing.mkdir()
+    rec = {"ad_id": "1", "title": "Samsung S24 ULTRA", "price": "100 DH",
+           "brand": "SAMSUNG", "model": "S24 ULTRA", "condition": "NEUF"}
+    rec2 = dict(rec, ad_id="2", brand="APPLE", model="IPHONE 15", title="iPhone 15")
+    (landing / "avito_1.json").write_text(json.dumps(rec))
+    (landing / "avito_2.json").write_text(json.dumps(rec2))
+    stream_kwargs = dict(out_path=str(out / "final"), checkpoint_dir=str(out / "ckpt"))
+    q = stream_etl_available_now(spark, str(landing), **stream_kwargs)
+    q.awaitTermination()
+    first_run = {r.product_id for r in spark.read.json(str(out / "final")).collect()}
+    assert len(first_run) == 2
+
+    # later run with a NEW file and the same checkpoint: batch contains
+    # only the new file, output must still contain all three products
+    rec3 = dict(rec, ad_id="3", brand="XIAOMI", model="REDMI 12", title="Redmi 12")
+    (landing / "avito_3.json").write_text(json.dumps(rec3))
+    q = stream_etl_available_now(spark, str(landing), **stream_kwargs)
+    q.awaitTermination()
+    second_run = {r.product_id for r in spark.read.json(str(out / "final")).collect()}
+    assert first_run < second_run and len(second_run) == 3
+
+
+def test_json_source_bare_count(spark):
+    """count() directly on the tolerant reader must not hit Spark's
+    corrupt-record-only-column restriction."""
+    from etl_marketeye_airflow_spark.schemas import AVITO_RAW_SCHEMA
+    from etl_marketeye_airflow_spark.sources.json_source import read_source
+
+    assert read_source(spark, FIXTURES, "avito", AVITO_RAW_SCHEMA).count() == 4
+
+
+def test_render_report_degenerate_stats():
+    from etl_marketeye_airflow_spark.operators.stats import render_report
+
+    out = render_report(
+        {"total_products": 0, "total_offers": None, "avg_price": None,
+         "min_price": None, "max_price": None, "sources": []},
+        [], "2026-01-01",
+    )
+    assert "0.00 MAD" in out
+
+
+def test_enrich_zero_retries(spark, etl):
+    out = enrich_with_http(
+        etl.offers_flat, key_col="product_id",
+        url_template="http://api.example/{key}",
+        client=fake_client_error, rate_limit_per_sec=0, max_retries=0,
+    ).collect()
+    assert all(r.enrich_status == "error" for r in out)
+
+
+def test_asof_no_cross_row_backfill(spark):
+    """A matched right row with a null value field must yield null, not a
+    value backfilled from an older right row."""
+    from etl_marketeye_airflow_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 3, "L")], "k long, t long, lbl string")
+    right = spark.createDataFrame([(1, 1, 5.0), (1, 2, None)], "k long, t long, v double")
+    row = asof_join(left, right, "k", "t", ["t", "v"]).collect()[0]
+    assert row.asof_t == 2 and row.asof_v is None
+
+
+def test_range_join_duplicate_left_rows(spark):
+    from etl_marketeye_airflow_spark.operators.temporal import range_join_count
+
+    left = spark.createDataFrame([(1, 100), (1, 100)], "k long, t long")
+    right = spark.createDataFrame([(1, 90), (1, 110)], "k long, t long")
+    out = range_join_count(left, right, "k", "t", 60).collect()
+    assert [r.n_in_range for r in out] == [2, 2]  # two rows, not one row of 4
+
+
+def test_embedding_near_dup_empty(spark):
+    from etl_marketeye_airflow_spark.operators.similarity import embedding_near_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_near_dup_pairs(empty).count() == 0
