@@ -1,0 +1,107 @@
+"""Dataset profiling: per-column quality stats in ONE pass.
+
+A training-data pipeline's first question about a new 100 TB drop:
+null rates, cardinalities, ranges.  One aggregate computes every
+column's profile simultaneously (a per-column loop of count queries
+would scan N× — the anti-pattern).  Exact counts for correctness-gate
+parity; approx_count_distinct offered for the at-scale variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None, approx: bool = False) -> DataFrame:
+    """One row per profiled column: rows, nulls, distincts, min/max as strings.
+
+    ``approx=True`` swaps exact distinct counts for HLL sketches
+    (approx_count_distinct) — the 100 TB mode, where exact distinct on
+    every column is a shuffle per column.
+    """
+    cols = columns or df.columns
+    distinct = F.approx_count_distinct if approx else F.countDistinct
+    aggs = []
+    for c in cols:
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"{c}__rows"),
+                F.count(c).alias(f"{c}__non_null"),
+                distinct(c).alias(f"{c}__distinct"),
+                F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+                F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    stacked = wide.selectExpr(
+        f"stack({len(cols)}, "
+        + ", ".join(
+            f"'{c}', {c}__rows, {c}__non_null, {c}__distinct, {c}__min, {c}__max" for c in cols
+        )
+        + ") AS (column_name, n_rows, n_non_null, n_distinct, min_value, max_value)"
+    )
+    return stacked.withColumn(
+        "null_fraction",
+        (F.col("n_rows") - F.col("n_non_null")).cast("double") / F.col("n_rows").cast("double"),
+    )
+
+
+def scd2_merge(
+    current: DataFrame,
+    incoming: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+    batch_ts: str,
+) -> DataFrame:
+    """SCD-type-2 history merge without Delta (guide: 'emulate with
+    anti-join + union'): close changed/absent rows, append new versions.
+
+    ``current`` schema: key + compare cols + (valid_from string,
+    valid_to string-null).  Returns the full new history (caller
+    overwrites the history table — the reference's last-write-wins model).
+    """
+    active = current.filter(F.col("valid_to").isNull())
+    closed = current.filter(F.col("valid_to").isNotNull())
+
+    # Incoming columns are prefix-renamed up front: the output's fresh
+    # rows share lineage with `incoming`, so merging that output against
+    # the same incoming frame again (the daily-batch shape) would
+    # otherwise hit Spark's ambiguous-self-join resolution.
+    inc = incoming.select(
+        F.col(key_col).alias("_inc_key"),
+        *[F.col(c).alias(f"_inc_{c}") for c in compare_cols],
+    )
+
+    # a row closes when any compare col differs or the key disappeared
+    diff = F.col("_inc_key").isNull()
+    for c in compare_cols:
+        diff = diff | ~F.col(c).eqNullSafe(F.col(f"_inc_{c}"))
+    changed_or_gone = (
+        active.join(inc, active[key_col] == F.col("_inc_key"), "left")
+        .filter(diff)
+        .select(*[active[c] for c in active.columns])
+    )
+    now_closed = changed_or_gone.withColumn("valid_to", F.lit(batch_ts))
+
+    unchanged = active.join(
+        now_closed.select(F.col(key_col).alias("_ck")),
+        active[key_col] == F.col("_ck"),
+        "left_anti",
+    )
+
+    fresh = (
+        inc.join(
+            unchanged.select(F.col(key_col).alias("_uk")),
+            F.col("_inc_key") == F.col("_uk"),
+            "left_anti",
+        )
+        .select(
+            F.col("_inc_key").alias(key_col),
+            *[F.col(f"_inc_{c}").alias(c) for c in compare_cols],
+        )
+        .withColumn("valid_from", F.lit(batch_ts))
+        .withColumn("valid_to", F.lit(None).cast("string"))
+        .select(*[F.col(c) for c in [key_col, *compare_cols, "valid_from", "valid_to"]])
+    )
+    return closed.unionByName(now_closed).unionByName(unchanged).unionByName(fresh)

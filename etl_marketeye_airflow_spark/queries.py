@@ -1305,6 +1305,36 @@ def q39_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Dataset profiling — one-pass per-column quality stats.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("p_brand", "p_type", "p_size", "p_retailprice")
+_PROFILE_ORACLE_ROW = """
+    SELECT '{c}' AS column_name,
+           count(*)                          AS n_rows,
+           count({c})                        AS n_non_null,
+           count(DISTINCT {c})               AS n_distinct,
+           min(CAST({c} AS VARCHAR))         AS min_value,
+           max(CAST({c} AS VARCHAR))         AS max_value,
+           CAST(count(*) - count({c}) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS null_fraction
+    FROM part
+"""
+
+
+@query(
+    "q40_column_profile",
+    oracle=" UNION ALL ".join(_PROFILE_ORACLE_ROW.format(c=c) for c in _PROFILE_COLS),
+)
+def q40_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile (rows/nulls/distincts/min-max) — the
+    first question a pipeline asks about a new data drop; a per-column
+    loop of count queries would scan N×."""
+    from .operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "part"), list(_PROFILE_COLS))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,99 @@
+"""Tests: one-pass column profiling + SCD2 history merge + bucketed join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_marketeye_airflow_spark.operators.profile import profile_columns, scd2_merge
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "a", 6.0), (4, None, None)],
+        "id long, cat string, val double",
+    )
+    prof = {r.column_name: r for r in profile_columns(df).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_distinct == 4
+    assert prof["cat"].n_non_null == 3 and prof["cat"].n_distinct == 2
+    assert prof["val"].null_fraction == pytest.approx(0.5)
+    assert prof["val"].min_value == "5.0" and prof["val"].max_value == "6.0"
+
+
+def test_profile_single_plan(spark):
+    """The whole profile is ONE aggregate — no per-column scan loop."""
+    df = spark.createDataFrame([(1, "a")], "id long, cat string")
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 2
+
+
+def test_scd2_merge(spark):
+    hist = spark.createDataFrame(
+        [
+            ("p1", 100.0, "2026-01-01", "2026-01-02"),  # already closed
+            ("p1", 120.0, "2026-01-02", None),          # active, will change
+            ("p2", 50.0, "2026-01-01", None),           # active, unchanged
+            ("p3", 70.0, "2026-01-01", None),           # active, disappears
+        ],
+        "product_id string, price double, valid_from string, valid_to string",
+    )
+    incoming = spark.createDataFrame(
+        [("p1", 130.0), ("p2", 50.0), ("p4", 99.0)], "product_id string, price double"
+    )
+    out = scd2_merge(hist, incoming, "product_id", ["price"], "2026-01-03")
+    rows = {(r.product_id, r.price, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        ("p1", 100.0, "2026-01-01", "2026-01-02"),  # untouched closed history
+        ("p1", 120.0, "2026-01-02", "2026-01-03"),  # closed by change
+        ("p1", 130.0, "2026-01-03", None),          # new version
+        ("p2", 50.0, "2026-01-01", None),           # unchanged stays open
+        ("p3", 70.0, "2026-01-01", "2026-01-03"),   # closed by disappearance
+        ("p4", 99.0, "2026-01-03", None),           # brand-new key
+    }
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """bucketBy'd tables co-locate a sort-merge join: neither side gets
+    an Exchange (only the tiny final agg shuffles) — the at-scale
+    repeated-join pattern.  merge hint forces SMJ (tiny tables would
+    otherwise broadcast, which proves nothing about bucketing)."""
+    import shutil
+
+    # session catalogs don't survive across pytest runs but warehouse
+    # dirs do — clear both to keep the test rerunnable
+    for t in ("li_b", "ord_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    orders.write.bucketBy(8, "o_orderkey").saveAsTable("ord_b")
+    j = (
+        spark.table("li_b")
+        .hint("merge")
+        .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert plan.count("Exchange") == 1  # only the final agg exchange
+    assert j.count() > 0  # and it actually runs
+    for t in ("li_b", "ord_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_scd2_remerge_own_output(spark):
+    """Merging SCD2 output against the SAME incoming frame (the daily
+    batch shape) must not hit ambiguous-self-join resolution, and a
+    no-change re-merge must be a no-op on the active rows."""
+    hist = spark.createDataFrame(
+        [("p1", 10.0, "d1", None)], "k string, price double, valid_from string, valid_to string"
+    )
+    inc = spark.createDataFrame([("p1", 12.0)], "k string, price double")
+    h2 = scd2_merge(hist, inc, "k", ["price"], "d2")
+    h3 = scd2_merge(h2, inc, "k", ["price"], "d3")
+    assert sorted((r.price, r.valid_from, r.valid_to) for r in h3.collect()) == [
+        (10.0, "d1", "d2"),
+        (12.0, "d2", None),  # unchanged vs incoming → stays open, no d3 version
+    ]
