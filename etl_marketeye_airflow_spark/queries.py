@@ -1335,6 +1335,76 @@ def q40_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(_t(spark, sf_dir, "part"), list(_PROFILE_COLS))
 
 
+# ---------------------------------------------------------------------------
+# Grouped Pandas path (applyInPandas) — Arrow-batched per-group compute,
+# oracle-verified: pandas float64 ops are the same IEEE ops as SQL's.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_grouped_pandas_normalize",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN max(value) OVER (PARTITION BY user_id)
+                     = min(value) OVER (PARTITION BY user_id)
+                THEN 0.0
+                ELSE (value - min(value) OVER (PARTITION BY user_id))
+                     / (max(value) OVER (PARTITION BY user_id)
+                        - min(value) OVER (PARTITION BY user_id))
+           END AS value_pos
+    FROM events
+    """,
+)
+def q41_grouped_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max normalization via applyInPandas — the grouped-
+    Arrow path with bit-exact parity (min/max are selections; the one
+    division is the same IEEE op in pandas float64 and SQL doubles).
+    Use this path only for logic SQL can't express — the oracle shows
+    the equivalent (faster) built-in window form."""
+    e = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double, props string"
+    ).parquet(f"{sf_dir}/events.parquet")
+
+    def normalize(pdf):
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        span = hi - lo
+        pos = (pdf["value"] - lo) / span if span != 0 else 0.0
+        return pdf.assign(value_pos=pos)[["event_id", "user_id", "value_pos"]]
+
+    return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        normalize, schema="event_id long, user_id long, value_pos double"
+    )
+
+
+@query(
+    "q42_running_totals_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(19,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                                                    AS running_spend,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                                                    AS order_seq
+    FROM orders
+    """,
+)
+def q42_running_totals_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend (running window frame) — the
+    unbounded-preceding running-aggregate shape, exact-decimal sums."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(running).cast("double").alias(
+            "running_spend"
+        ),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
