@@ -22,22 +22,29 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None, approx: boo
     """
     cols = columns or df.columns
     distinct = F.approx_count_distinct if approx else F.countDistinct
+    # internal positional aliases: arbitrary column names (spaces, quotes)
+    # must not reach selectExpr; min/max aggregate on the NATIVE type and
+    # cast after — casting first would make numeric ranges lexicographic
+    # ('10' < '2').
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        col = F.col(c)
         aggs.extend(
             [
-                F.count(F.lit(1)).alias(f"{c}__rows"),
-                F.count(c).alias(f"{c}__non_null"),
-                distinct(c).alias(f"{c}__distinct"),
-                F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-                F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+                F.count(F.lit(1)).alias(f"_p{i}_rows"),
+                F.count(col).alias(f"_p{i}_non_null"),
+                distinct(col).alias(f"_p{i}_distinct"),
+                F.min(col).cast("string").alias(f"_p{i}_min"),
+                F.max(col).cast("string").alias(f"_p{i}_max"),
             ]
         )
     wide = df.agg(*aggs)
     stacked = wide.selectExpr(
         f"stack({len(cols)}, "
         + ", ".join(
-            f"'{c}', {c}__rows, {c}__non_null, {c}__distinct, {c}__min, {c}__max" for c in cols
+            f"'{c.replace(chr(39), chr(39) * 2)}', _p{i}_rows, _p{i}_non_null, "
+            f"_p{i}_distinct, _p{i}_min, _p{i}_max"
+            for i, c in enumerate(cols)
         )
         + ") AS (column_name, n_rows, n_non_null, n_distinct, min_value, max_value)"
     )
@@ -61,6 +68,18 @@ def scd2_merge(
     valid_to string-null).  Returns the full new history (caller
     overwrites the history table — the reference's last-write-wins model).
     """
+    # Multiple incoming versions of one key would fan the active row out
+    # and leave several simultaneously-open history rows — fail fast like
+    # a real MERGE does on multiple source matches (one small eager job).
+    dup = (
+        incoming.groupBy(key_col).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"scd2_merge: incoming has multiple rows for key "
+            f"{dup[0][0]!r} — dedup the batch to one version per key first"
+        )
+
     active = current.filter(F.col("valid_to").isNull())
     closed = current.filter(F.col("valid_to").isNotNull())
 

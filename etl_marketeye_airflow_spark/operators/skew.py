@@ -68,13 +68,22 @@ def salted_group_stats(
     ss = F.col("_ss").cast("double")
     mean = s / n
     var = (ss - (s * s) / n) / (n - F.lit(1.0))
+    # std is NULL (not 0.0) when undefined: n=1 (0/0 divide → null, and
+    # greatest() would silently skip the null) or when the decimal
+    # sum-of-squares overflowed to null (values beyond ~1e15 at ~1e6
+    # rows/group exceed decimal(38,8) — sample stddev semantics must not
+    # report certainty it doesn't have).
+    std = F.when(
+        (F.col("total_count") > 1) & ss.isNotNull() & s.isNotNull(),
+        F.sqrt(F.greatest(var, F.lit(0.0))),
+    )
     return (
         combined.filter(F.col("total_count") >= min_group_size)
         .select(
             key_col,
             "total_count",
             mean.alias("value_mean"),
-            F.sqrt(F.greatest(var, F.lit(0.0))).alias("value_std"),
+            std.alias("value_std"),
             "value_min",
             "value_max",
         )

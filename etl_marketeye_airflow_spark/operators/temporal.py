@@ -39,6 +39,10 @@ def asof_join(
     """
     if direction != "backward":
         raise NotImplementedError("forward as-of: flip the sort — not needed yet")
+    # null right times can never satisfy "greatest right time ≤ left
+    # time" (ASOF semantics), but the window's nulls-first sort would
+    # carry them into every otherwise-unmatched left row — drop them.
+    right = right.filter(F.col(time_col).isNotNull())
     lcols = left.columns
     # The right payload is carried as ONE struct: last(ignorenulls) per
     # individual column would backfill a matched row's null field from an
@@ -63,11 +67,18 @@ def asof_join(
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
         r_payload.alias("_r"),
     )
-    # "_r" in the orderBy: a deterministic tiebreak among right rows that
-    # share (_k, _t) — otherwise the carried row is partition-order luck.
+    # Tiebreak among right rows sharing (_k, _t): order by the payload's
+    # ORDERABLE fields only — ordering the whole struct fails analysis
+    # when a value column is a map/array.  (Left rows have null fields →
+    # consistent.)  With no orderable field the tie stays arbitrary.
+    orderable = [
+        c
+        for c in right_value_cols
+        if right.schema[c].dataType.typeName() not in ("map", "array")
+    ]
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side", "_r")
+        .orderBy("_t", "_side", *[F.col("_r").getField(c) for c in orderable])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
@@ -93,25 +104,22 @@ def range_join_count(
     (same key).  Bucketed equi-join: left probes buckets {b-1, b, b+1}
     of width=range_width, exact filter after — candidates ≤ 3× matches.
     """
-    b = F.lit(int(range_width))
+    # integer `div`, not double division: epoch values near/above 2^53
+    # (nanosecond timestamps) lose precision in double and can land a
+    # row 2 buckets away from its probe set.
+    w = int(range_width)
+    bucket = F.expr(f"CAST(`{time_col}` AS BIGINT) div {w}")
     r_b = right.select(
         F.col(key_col).alias("_k"),
         F.col(time_col).alias("_rt"),
-        (F.col(time_col) / b).cast("long").alias("_bucket"),
+        bucket.alias("_bucket"),
     )
     # a per-row uid (assigned BEFORE the probe explode so all 3 probe
     # rows share it) keeps DUPLICATE left rows distinct through the
     # group-back — grouping by left columns alone would merge them and
     # sum their counts.  The uid never reaches the output.
     l_b = left.withColumn("_uid", F.monotonically_increasing_id()).withColumn(
-        "_probe",
-        F.explode(
-            F.array(
-                (F.col(time_col) / b).cast("long") - 1,
-                (F.col(time_col) / b).cast("long"),
-                (F.col(time_col) / b).cast("long") + 1,
-            )
-        ),
+        "_probe", F.explode(F.array(bucket - 1, bucket, bucket + 1))
     )
     joined = l_b.join(
         r_b,
@@ -119,7 +127,7 @@ def range_join_count(
         "left",
     ).filter(
         F.col("_rt").isNull()
-        | (F.abs(F.col("_rt") - F.col(time_col)) <= F.lit(int(range_width)))
+        | (F.abs(F.col("_rt") - F.col(time_col)) <= F.lit(w))
     )
     return (
         joined.groupBy("_uid", *[l_b[c] for c in left.columns])

@@ -1039,28 +1039,35 @@ def q31_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.ingest import windowed_event_counts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # window_start strings render in the SESSION timezone; pin UTC so a
+    # driver session running under any system TZ matches the oracle
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")  # file source needs a DIR
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withColumn("value", F.col("value").cast("decimal(19,4)"))
         )
-        .option("pathGlobFilter", "events.parquet")  # file source needs a DIR
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("value", F.col("value").cast("decimal(19,4)"))
-    )
-    out = windowed_event_counts(stream, "1 hour", "10 minutes").withColumn(
-        "total_value", F.col("total_value").cast("double")
-    )
-    name = f"q31_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+        out = windowed_event_counts(stream, "1 hour", "10 minutes").withColumn(
+            "total_value", F.col("total_value").cast("double")
+        )
+        name = f"q31_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 # ---------------------------------------------------------------------------
@@ -1327,8 +1334,8 @@ _PROFILE_ORACLE_ROW = """
            count(*)                          AS n_rows,
            count({c})                        AS n_non_null,
            count(DISTINCT {c})               AS n_distinct,
-           min(CAST({c} AS VARCHAR))         AS min_value,
-           max(CAST({c} AS VARCHAR))         AS max_value,
+           CAST(min({c}) AS VARCHAR)         AS min_value,
+           CAST(max({c}) AS VARCHAR)         AS max_value,
            CAST(count(*) - count({c}) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS null_fraction
     FROM part
 """

@@ -31,22 +31,27 @@ def stream_etl_available_now(
     raw_dir: str,
     out_path: str,
     checkpoint_dir: str,
-    staged_path: str | None = None,
 ):
-    """Incremental file ingestion → cumulative merge → overwrite.
+    """Incremental file ingestion → cumulative merge → atomic-swap write.
 
-    Each micro-batch APPENDS its adapter output to ``staged_path``
-    (default: ``<checkpoint_dir>/_staged``) and then re-merges the FULL
-    staged set into ``out_path``.  Merging only the batch and
-    overwriting would silently drop products from earlier batches/runs
-    (a restart with new files would wipe history).  foreachBatch retries
-    may append a batch twice — harmless: the merge dedups offers on
-    (product_id, source, url, price), so the pipeline is idempotent.
+    Each micro-batch merges the PREVIOUS merged output (product
+    granularity — bounded by catalog size) with the new batch, writes to
+    a temp dir, then swaps it into ``out_path``.  This keeps per-batch
+    cost proportional to the current catalog, unlike re-merging an
+    append-only staging log (O(K²) over K batches, unbounded storage).
+    Merging only the batch and overwriting would silently drop earlier
+    products.  Replayed batches are idempotent: the merge dedups offers
+    on (product_id, source, url, price) — property-tested re-merge
+    invariance.
+
+    Crash window: a failure between delete and rename leaves the result
+    only in ``<out_path>.tmp-<epoch>`` (no data loss; manual rename or
+    the next batch's recovery is needed — a production deployment puts a
+    manifest/Delta commit here instead).
 
     Returns the started StreamingQuery (AvailableNow: runs to catch-up
     then finishes; call .awaitTermination()).
     """
-    staged = staged_path or f"{checkpoint_dir.rstrip('/')}/_staged"
     streams = []
     for schema, transform, glob in (
         (AVITO_RAW_SCHEMA, transform_avito, "*avito*"),
@@ -74,10 +79,23 @@ def stream_etl_available_now(
     unioned = union_sources(*streams)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(staged)
-        merge_products(batch_df.sparkSession.read.parquet(staged)).write.mode(
-            "overwrite"
-        ).json(out_path)
+        from ..schemas import MASTER_SCHEMA
+
+        sp = batch_df.sparkSession
+        hconf = sp._jsc.hadoopConfiguration()
+        jvm = sp._jvm
+        out_p = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = out_p.getFileSystem(hconf)
+        tmp = f"{out_path}.tmp-{epoch_id}"
+
+        if fs.exists(out_p):
+            prev = sp.read.schema(MASTER_SCHEMA).json(out_path)
+            combined = prev.unionByName(batch_df)
+        else:
+            combined = batch_df
+        merge_products(combined).write.mode("overwrite").json(tmp)
+        fs.delete(out_p, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), out_p)
 
     return (
         unioned.writeStream.foreachBatch(write_batch)
@@ -97,6 +115,11 @@ def windowed_event_counts(
 
     State is bounded: windows older than the watermark are finalized and
     evicted — the scale-safe shape for infinite streams.
+
+    NOTE: ``window_start`` renders via date_format, which uses the
+    SESSION timezone — pin ``spark.sql.session.timeZone`` (our session
+    factory pins UTC; q31 pins it explicitly for foreign sessions) or
+    downstream string consumers shift across deployments.
     """
     return (
         events_stream.withWatermark(ts_col, watermark_delay)

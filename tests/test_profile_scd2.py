@@ -97,3 +97,45 @@ def test_scd2_remerge_own_output(spark):
         (10.0, "d1", "d2"),
         (12.0, "d2", None),  # unchanged vs incoming → stays open, no d3 version
     ]
+
+
+# --- regression tests (2nd review round) ------------------------------------
+
+def test_profile_numeric_minmax_not_lexicographic(spark):
+    df = spark.createDataFrame([(2,), (10,)], "n int")
+    r = profile_columns(df).collect()[0]
+    assert r.min_value == "2" and r.max_value == "10"  # not '10' < '2'
+
+
+def test_profile_weird_column_names(spark):
+    df = spark.createDataFrame([(1, 2.0)], ["order date", "price (mad)'s"])
+    names = {r.column_name for r in profile_columns(df).collect()}
+    assert names == {"order date", "price (mad)'s"}
+
+
+def test_scd2_duplicate_incoming_raises(spark):
+    hist = spark.createDataFrame(
+        [("p1", 10.0, "d1", None)], "k string, price double, valid_from string, valid_to string"
+    )
+    inc = spark.createDataFrame([("p1", 12.0), ("p1", 13.0)], "k string, price double")
+    with pytest.raises(ValueError, match="multiple rows"):
+        scd2_merge(hist, inc, "k", ["price"], "d2")
+
+
+def test_skew_singleton_group_null_std(spark):
+    from etl_marketeye_airflow_spark.operators.skew import salted_group_stats
+
+    df = spark.createDataFrame([("solo", 5.0)], "k string, v double")
+    r = salted_group_stats(df, "k", "v").collect()[0]
+    assert r.total_count == 1 and r.value_std is None and r.value_mean == 5.0
+
+
+def test_asof_null_right_time_never_matches(spark):
+    from etl_marketeye_airflow_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100, "L")], "k long, t long, lbl string")
+    right = spark.createDataFrame(
+        [(1, None, 9.0)], "k long, t long, v double"  # null-time right row
+    )
+    row = asof_join(left, right, "k", "t", ["t", "v"]).collect()[0]
+    assert row.asof_t is None and row.asof_v is None
