@@ -228,6 +228,76 @@ def minhash_lsh_pairs(
 # --- SimHash ----------------------------------------------------------------
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → cluster labels.
+
+    The dedup endgame: pairwise matches (from MinHash/SimHash/embedding
+    pipelines) are transitive in intent — A≈B and B≈C means one cluster
+    {A,B,C} even if (A,C) was never a candidate.  Iterative min-label
+    propagation: every vertex repeatedly takes the min label in its
+    neighborhood; converges in O(cluster diameter) rounds (near-dup
+    clusters are shallow — a handful of rounds in practice).
+
+    Each round is a join + hash-agg; lineage is truncated per round
+    (localCheckpoint) so 20 rounds don't build a 20-deep plan.  The
+    convergence check is one count per round — driver-side control flow
+    over distributed data, never data on the driver.
+
+    Returns (id, cluster) — cluster = min doc id reachable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))).alias(
+                    "new_cluster"
+                ),
+                F.col("cluster").alias("old_cluster"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_cluster") != F.col("old_cluster")).count()
+        labels = updated.select("id", F.col("new_cluster").alias("cluster"))
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster; docs in no
+    cluster pass through untouched."""
+    clusters = near_dup_clusters(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
 def simhash(c: Column, bits: int = 64) -> Column:
     """Charikar simhash over word tokens: per-bit ±1 votes, sign → bit.
 

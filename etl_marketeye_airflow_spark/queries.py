@@ -1424,6 +1424,18 @@ def q42_running_totals_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q43_dedup_clusters", oracle=None)  # iterative algorithm: rows-only
+def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup endgame: MinHash-LSH pairs → connected components →
+    one representative per cluster.  Iterative min-label propagation
+    with per-round lineage truncation and a convergence check."""
+    from .operators.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.3)
+    return near_dup_clusters(pairs).orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -205,3 +205,30 @@ def test_ivf_index_partition_pruning(spark, tmp_path_factory):
     rows = out.collect()
     assert rows[0].vec_id == 7  # the vector itself lives in a probed cell
     assert rows[0].cosine == pytest.approx(1.0)
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A≈B, B≈C, D≈E → clusters {A,B,C} and {D,E}; F untouched."""
+    from etl_marketeye_airflow_spark.operators.dedup import (
+        dedup_by_clusters,
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    labels = {r.id: r.cluster for r in near_dup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 7)], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup_by_clusters(docs, pairs).collect())
+    assert kept == [1, 4, 6]  # one rep per cluster + untouched doc 6
+
+
+def test_near_dup_clusters_long_chain(spark):
+    """A 10-node path graph needs multiple propagation rounds."""
+    from etl_marketeye_airflow_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(10)], "id_a long, id_b long")
+    labels = {r.id: r.cluster for r in near_dup_clusters(pairs).collect()}
+    assert set(labels.values()) == {0} and len(labels) == 11
