@@ -250,10 +250,14 @@ def near_dup_clusters(
 
     Returns (id, cluster) — cluster = min doc id reachable.
     """
+    # Edges are scanned EVERY round: materialize once, or each iteration
+    # recomputes the entire upstream pairs pipeline (for MinHash input
+    # that's the full shingle+signature+join job × rounds).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))

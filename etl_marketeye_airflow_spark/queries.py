@@ -1436,6 +1436,51 @@ def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(pairs).orderBy("id")
 
 
+# ---------------------------------------------------------------------------
+# Fuzzy string matching — the brand-typo problem (samsng→Samsung) as a
+# scalable similarity join: length-band blocking + edit-distance verify.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q44_fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_partkey < 400)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q44_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical name pairs via edit distance.
+
+    Scale shape: the length-difference pre-filter is a necessary
+    condition for distance ≤ k, so at scale the join blocks on length
+    bands (equi-join on length div (k+1) buckets) instead of this
+    bounded-slice cross join; levenshtein only runs on candidates.
+    """
+    names = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .select("p_name")
+        .distinct()
+    )
+    a, b = names.alias("a"), names.alias("b")
+    na, nb = F.col("a.p_name"), F.col("b.p_name")
+    return (
+        a.join(b, na < nb)
+        .filter(F.abs(F.length(na) - F.length(nb)) <= 3)
+        .select(
+            na.alias("name_a"),
+            nb.alias("name_b"),
+            F.levenshtein(na, nb).alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 3)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
