@@ -124,3 +124,42 @@ def anomaly_type_distribution(anomalies: DataFrame) -> DataFrame:
     counts = anomalies.groupBy("anomaly_type").agg(F.count(F.lit(1)).alias("n"))
     total = Window.partitionBy()
     return counts.withColumn("pct", F.col("n") / F.sum("n").over(total) * 100.0)
+
+
+def render_anomaly_report(
+    n_products_analyzed: int,
+    anomalies: DataFrame,
+    top_n: int = 10,
+    ts: str = "",
+) -> str:
+    """§2.11 step 4: text report shaped like the reference artifact
+    anomaly_report_20260102_201927.txt (totals, mean deviation, type
+    distribution with percentages, top-N by deviation)."""
+    summary = anomalies.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.avg("deviation_percent").alias("mean_dev"),
+    ).collect()[0]
+    dist = anomaly_type_distribution(anomalies).collect()
+    top = top_anomalies(anomalies, top_n).collect()
+    lines = [
+        "=" * 50,
+        f"RAPPORT D'ANOMALIES DE PRIX - {ts}",
+        "=" * 50,
+        "",
+        f"Produits analyses: {n_products_analyzed}",
+        f"Total anomalies: {summary['total']}",
+        f"Ecart moyen: {(summary['mean_dev'] or 0.0):.1f}%",
+        "",
+        "DISTRIBUTION:",
+    ]
+    for r in sorted(dist, key=lambda x: x["anomaly_type"]):
+        lines.append(f"- {r['anomaly_type'].upper()}: {r['n']} ({r['pct']:.1f}%)")
+    lines.append("")
+    lines.append(f"TOP {top_n} ANOMALIES:")
+    for i, r in enumerate(top, 1):
+        lines.append(
+            f"{i}. {r['product_name']} [{r['anomaly_type']}] "
+            f"{r['anomaly_price']:.0f} MAD vs moyenne {r['market_mean']:.0f} MAD "
+            f"(ecart {r['deviation_percent']:.1f}%)"
+        )
+    return "\n".join(lines)

@@ -147,3 +147,16 @@ def test_anomaly_reports(offers_anomaly):
     assert [(r.anomaly_type, r.n, r.pct) for r in dist] == [("trop_haut", 1, 100.0)]
     top = res["top_anomalies"].collect()
     assert len(top) == 1 and top[0].anomaly_price == 2000.0
+
+
+def test_anomaly_report_rendering(spark, offers_anomaly):
+    from etl_marketeye_airflow_spark.operators.anomaly import (
+        flag_anomalies,
+        render_anomaly_report,
+    )
+
+    anomalies = flag_anomalies(offers_anomaly, strategy="iqr")
+    report = render_anomaly_report(1, anomalies, top_n=5, ts="2026-08-13")
+    assert "Total anomalies: 1" in report
+    assert "TROP_HAUT: 1 (100.0%)" in report
+    assert "2000 MAD vs moyenne 417 MAD" in report

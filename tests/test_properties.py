@@ -141,3 +141,37 @@ def test_merge_order_invariance_and_dedup_idempotence(spark, rows):
         )
     )
     assert _canon(merged) == _canon(remerged)
+
+
+asof_frames = st.tuples(
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=1, max_size=15),
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 50), st.integers(0, 99)),
+             min_size=0, max_size=15),
+)
+
+
+@SET
+@given(asof_frames)
+def test_asof_join_matches_reference_impl(spark, frames):
+    """asof_join vs a brute-force pure-Python as-of on random frames."""
+    from etl_marketeye_airflow_spark.operators.temporal import asof_join
+
+    lrows, rrows = frames
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    left = spark.createDataFrame(lrows, "k long, t long, lid long")
+    right = spark.createDataFrame(rrows or [(99, 0, 0)], "k long, t long, v long")
+    if not rrows:
+        right = right.filter("k < 0")  # empty right frame case
+
+    out = {r.lid: (r.asof_t, r.asof_v) for r in
+           asof_join(left, right, "k", "t", ["t", "v"]).collect()}
+
+    for k, t, lid in lrows:
+        cands = [(rt, rv) for (rk, rt, rv) in rrows if rk == k and rt <= t]
+        if cands:
+            best_t = max(rt for rt, _ in cands)
+            # tie on rt: engine picks max payload (orderable tiebreak)
+            best_v = max(rv for rt, rv in cands if rt == best_t)
+            assert out[lid] == (best_t, best_v), (k, t)
+        else:
+            assert out[lid] == (None, None), (k, t)
