@@ -1481,6 +1481,39 @@ def q44_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Rank-function family — percent_rank / ntile / dense_rank (W-coverage
+# depth; rank math is integer-derived → engine-exact).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           dense_rank()   OVER w AS price_dense_rank,
+           percent_rank() OVER w AS price_pct_rank,
+           ntile(4)       OVER w AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q45_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / percent_rank / ntile per customer by order value —
+    the remaining window-rank family (unique ORDER BY tiebreak keeps
+    every rank deterministic; percent_rank = (rank-1)/(n-1) is one
+    integer-derived division, engine-exact)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
