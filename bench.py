@@ -3,10 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Per-query time = wall clock of plan build + execution to completion
-(count() action — full materialization without driver-side row transfer
-dominating).  A JVM warm-up query runs first so fixed session spin-up
-isn't charged to the first query.
+Per-query time = wall clock of plan build + execution to completion.
+The action is sum(xxhash64(struct(all output columns))) — unlike
+count(), which Catalyst strips projections under, this forces every
+output expression to actually evaluate, while still returning one row
+(no driver-side row-transfer noise).  A JVM warm-up query runs first so
+fixed session spin-up isn't charged to the first query.
 """
 
 from __future__ import annotations
@@ -38,10 +40,26 @@ def main() -> None:
             continue  # nano-timestamp table: queries set nanosAsLong themselves
         spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
 
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    def force_full_eval(df) -> None:
+        """One-row action that can't skip output expressions: hash every
+        column (maps stringified first — hash of MapType is disallowed)
+        and sum the hashes."""
+        cols = [
+            F.to_json(F.col(f.name)) if isinstance(f.dataType, MapType) else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+        df.select(F.xxhash64(F.struct(*cols)).alias("_h")).agg(
+            F.sum(F.col("_h").cast("decimal(38,0)"))
+        ).collect()
+
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        force_full_eval(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

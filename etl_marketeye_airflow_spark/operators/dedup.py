@@ -19,6 +19,7 @@ All signatures are computed with JVM-side higher-order functions
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -176,6 +177,13 @@ def minhash_lsh_pairs(
         .select(
             "_id", "_sh", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
         )
+        # base fans out to THREE consumers (banded once, sets twice via the
+        # id_a/id_b joins); without a persist Spark recomputes the whole
+        # shingle+explode+64-min aggregation per consumer (measured ~2× on
+        # q22, compounding into every clusters() caller).  MEMORY_AND_DISK:
+        # the cached payload is signatures+hash-sets (~0.6 KB/doc), orders
+        # of magnitude under the source text, and spills safely at scale.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # Banding/join carry ONLY (id, band, bh): replicating the shingle
@@ -233,58 +241,95 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → cluster labels.
 
     The dedup endgame: pairwise matches (from MinHash/SimHash/embedding
     pipelines) are transitive in intent — A≈B and B≈C means one cluster
-    {A,B,C} even if (A,C) was never a candidate.  Iterative min-label
-    propagation: every vertex repeatedly takes the min label in its
-    neighborhood; converges in O(cluster diameter) rounds (near-dup
-    clusters are shallow — a handful of rounds in practice).
+    {A,B,C} even if (A,C) was never a candidate.
 
-    Each round is a join + hash-agg; lineage is truncated per round
-    (localCheckpoint) so 20 rounds don't build a 20-deep plan.  The
-    convergence check is one count per round — driver-side control flow
-    over distributed data, never data on the driver.
+    Each round does min-label **propagation** (every vertex takes the min
+    label in its neighborhood) followed by **pointer jumping**
+    (label(v) ← label(label(v))).  Jumping doubles the distance a min
+    label has travelled, so convergence is O(log diameter) rounds instead
+    of O(diameter) — the difference between 4 and 1000 rounds on a
+    chain-shaped near-dup cluster.  Labels only decrease and always name a
+    real vertex, so the jump join is a plain equi-join on the label table.
+
+    Lineage is truncated per round so ``max_iterations`` rounds don't
+    build a deep plan.  With ``checkpoint_dir`` set, truncation uses
+    reliable ``checkpoint()`` (HDFS/object-store durable — survives
+    executor loss on a real cluster); default is ``localCheckpoint``,
+    which is cheaper but non-replicated (fine for local/driver runs).
+    The convergence check is one count per round — driver-side control
+    flow over distributed data, never data on the driver.
+
+    ``stats`` (optional dict) receives {"rounds": n} — rounds that
+    changed at least one label (used by convergence tests).
 
     Returns (id, cluster) — cluster = min doc id reachable.
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # Edges are scanned EVERY round: materialize once, or each iteration
     # recomputes the entire upstream pairs pipeline (for MinHash input
     # that's the full shingle+signature+join job × rounds).
-    edges = (
+    edges = _materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _materialize(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
-        .localCheckpoint(eager=True)
     )
+    rounds_used = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("cluster").alias("n_min"))
         )
-        updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
+        propagated = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            F.least(F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))).alias(
+                "p_cluster"
+            ),
+            F.col("cluster").alias("old_cluster"),
+        )
+        # Pointer jump: p_cluster is itself a vertex id, so look up ITS
+        # freshly-propagated label and adopt it.  label(x) ≤ x invariant
+        # makes this monotone; coalesce covers the (impossible in a
+        # connected label table, cheap to guard) miss case.
+        jump = propagated.select(
+            F.col("id").alias("j_id"), F.col("p_cluster").alias("j_cluster")
+        )
+        updated = _materialize(
+            propagated.join(jump, propagated["p_cluster"] == jump["j_id"], "left").select(
                 "id",
-                F.least(F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))).alias(
-                    "new_cluster"
-                ),
-                F.col("cluster").alias("old_cluster"),
+                F.coalesce(F.col("j_cluster"), F.col("p_cluster")).alias("new_cluster"),
+                "old_cluster",
             )
-        ).localCheckpoint(eager=True)
+        )
         changed = updated.filter(F.col("new_cluster") != F.col("old_cluster")).count()
         labels = updated.select("id", F.col("new_cluster").alias("cluster"))
         if changed == 0:
             break
+        rounds_used += 1
+    if stats is not None:
+        stats["rounds"] = rounds_used
     return labels
 
 

@@ -51,9 +51,8 @@ def default_http_client(url: str, payload: str | None = None, timeout: float = 3
         return False, f"Erreur: {e}"
 
 
-def enrich_with_http(
-    df: DataFrame,
-    key_col: str,
+def enrich_keys(
+    keys: DataFrame,
     url_template: str,
     client=default_http_client,
     rate_limit_per_sec: float = 2.0,
@@ -61,12 +60,9 @@ def enrich_with_http(
     retry_backoff_sec: float = 1.0,
     n_partitions: int = 4,
 ) -> DataFrame:
-    """S9: look up each distinct key over HTTP; left-join the enrichment
-    back onto ``df`` as (enriched_payload, enrich_status).
-
-    status: 'found' | 'not_found' (ok but empty) | 'error' — matching
-    the reference's url_status values.
-    """
+    """Fetch core: (_key) → (_key, enriched_payload, enrich_status), one
+    HTTP call per key with per-partition rate limiting and retries.
+    ``keys`` must expose a ``_key`` column (already deduplicated)."""
     # at least one attempt — max_retries=0 must mean "no retries", not
     # "no requests" (which would leave the result unbound)
     tmpl, rate, retries, backoff = (
@@ -104,13 +100,110 @@ def enrich_with_http(
                 out.append({"_key": key, "enriched_payload": body, "enrich_status": status})
             yield pd.DataFrame(out, columns=["_key", "enriched_payload", "enrich_status"])
 
-    keys = df.select(F.col(key_col).alias("_key")).dropDuplicates().repartition(n_partitions)
-    enriched = keys.mapInPandas(
+    return keys.repartition(n_partitions).mapInPandas(
         run, schema="_key string, enriched_payload string, enrich_status string"
     )
-    return df.join(
-        F.broadcast(enriched.withColumnRenamed("_key", key_col)), key_col, "left"
+
+
+def enrich_with_http(
+    df: DataFrame,
+    key_col: str,
+    url_template: str,
+    client=default_http_client,
+    rate_limit_per_sec: float = 2.0,
+    max_retries: int = 3,
+    retry_backoff_sec: float = 1.0,
+    n_partitions: int = 4,
+    broadcast: bool = False,
+) -> DataFrame:
+    """S9: look up each distinct key over HTTP; left-join the enrichment
+    back onto ``df`` as (enriched_payload, enrich_status).
+
+    status: 'found' | 'not_found' (ok but empty) | 'error' — matching
+    the reference's url_status values.
+
+    The join back is NOT force-broadcast by default: the enrichment's
+    cardinality = distinct keys, which at corpus scale can be far past
+    driver memory — a hard F.broadcast() would OOM exactly when it
+    matters.  AQE sees the runtime size and broadcasts small results on
+    its own; pass ``broadcast=True`` only when the key set is known
+    small (e.g. a bounded code list).
+    """
+    keys = df.select(F.col(key_col).alias("_key")).dropDuplicates()
+    enriched = enrich_keys(
+        keys,
+        url_template,
+        client=client,
+        rate_limit_per_sec=rate_limit_per_sec,
+        max_retries=max_retries,
+        retry_backoff_sec=retry_backoff_sec,
+        n_partitions=n_partitions,
+    ).withColumnRenamed("_key", key_col)
+    if broadcast:
+        enriched = F.broadcast(enriched)
+    return df.join(enriched, key_col, "left")
+
+
+def enrich_with_http_resumable(
+    df: DataFrame,
+    key_col: str,
+    url_template: str,
+    checkpoint_dir: str,
+    client=default_http_client,
+    rate_limit_per_sec: float = 2.0,
+    max_retries: int = 3,
+    retry_backoff_sec: float = 1.0,
+    n_partitions: int = 4,
+    n_batch_groups: int = 10,
+) -> DataFrame:
+    """S9 with DURABLE progress: fetch results checkpoint to parquet per
+    batch-group, and a restarted job fetches only what isn't there yet.
+
+    Reference parity: the notebook enrichment saves progress every 10
+    batches (data/raw/Untitled.ipynb cell 2) so a died run resumes
+    instead of refetching — at corpus scale (days of rate-limited HTTP)
+    restart-from-zero is fatal, so this is the production S9 shape.
+
+    Mechanics: distinct keys are split into ``n_batch_groups`` stable
+    hash groups; groups are fetched one Spark job at a time and APPENDED
+    to ``checkpoint_dir`` (parquet commit is atomic per job — a group
+    that dies mid-fetch leaves nothing behind and is retried whole on
+    restart).  Already-checkpointed keys are dropped with a left-anti
+    join before any HTTP happens.  Results join back from the
+    checkpoint, so the returned DataFrame is also reproducible offline.
+    """
+    spark = df.sparkSession
+    keys = df.select(F.col(key_col).alias("_key")).dropDuplicates()
+    try:
+        done = spark.read.parquet(checkpoint_dir).select("_key").dropDuplicates()
+    except Exception:  # first run: no checkpoint yet
+        done = None
+    todo = keys if done is None else keys.join(done, "_key", "left_anti")
+    grouped = todo.withColumn(
+        "_grp", F.pmod(F.xxhash64(F.col("_key")), F.lit(n_batch_groups))
     )
+    for grp in range(n_batch_groups):
+        batch = grouped.filter(F.col("_grp") == grp).drop("_grp")
+        # cheap emptiness probe (keys only — no HTTP): skips the job
+        # entirely for finished groups on restart
+        if batch.isEmpty():
+            continue
+        fetched = enrich_keys(
+            batch,
+            url_template,
+            client=client,
+            rate_limit_per_sec=rate_limit_per_sec,
+            max_retries=max_retries,
+            retry_backoff_sec=retry_backoff_sec,
+            n_partitions=n_partitions,
+        )
+        fetched.write.mode("append").parquet(checkpoint_dir)
+    enriched = (
+        spark.read.parquet(checkpoint_dir)
+        .dropDuplicates(["_key"])
+        .withColumnRenamed("_key", key_col)
+    )
+    return df.join(enriched, key_col, "left")
 
 
 def ollama_analyze(

@@ -91,20 +91,36 @@ def lsh_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 42,
+    hamming_radius: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: scan only the query's LSH bucket.
+    """Approximate top-k: scan only the query's LSH bucket(s).
 
-    Recall/latency trade: more planes → smaller buckets, lower recall.
+    Recall/latency trade: more planes → smaller buckets, lower recall;
+    ``hamming_radius`` is the multi-probe knob — radius r also probes
+    every bucket whose key differs in ≤ r sign bits (a true neighbor
+    near a hyperplane lands one bit away), scanning C(n_planes, ≤r)+1
+    buckets instead of 1.  Sign-LSH recall is strong on CLUSTERED
+    corpora; on near-isotropic data (like the synthetic test embeddings,
+    pairwise cosine ≈ 0) neighbor ranking is noise-like and IVF-with-
+    training is the better index — measured in
+    tests/test_trainingdata.py::test_ann_recall_vs_exact.
     The bucket column is a plain expression — at scale, PARTITION the
     corpus by bucket once (write partitioned parquet) and each query
-    reads a single partition (partition pruning does the rest).
+    reads only the probed partitions (partition pruning does the rest).
     """
     planes = hyperplanes(n_planes, len(query_vec), seed)
     q_bucket = _py_bucket(query_vec, planes)
+    probe = {q_bucket}
+    if hamming_radius >= 1:
+        probe.update(q_bucket ^ (1 << i) for i in range(n_planes))
+    if hamming_radius >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe.add(q_bucket ^ (1 << i) ^ (1 << j))
     bucketed = embeddings.withColumn("_bucket", lsh_bucket(F.col(emb_col), planes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        bucketed.filter(F.col("_bucket") == q_bucket)
+        bucketed.filter(F.col("_bucket").isin(sorted(probe)))
         .select(F.col(id_col), cosine(F.col(emb_col), q).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
@@ -121,32 +137,17 @@ def _py_bucket(vec: list[float], planes: list[list[int]]) -> int:
     return key
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    n_centroids: int = 16,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-) -> tuple[DataFrame, list[list[float]]]:
-    """IVF coarse quantizer: assign every vector to its nearest centroid.
+def _assign_to_centroids(
+    embeddings: DataFrame, cents: list[list[float]], emb_col: str
+) -> DataFrame:
+    """Add ``_centroid`` = argmin squared-distance over ``cents``.
 
-    Centroids are the first ``n_centroids`` vectors by id — a
-    deterministic sample (k-means refinement is an optional training
-    pass on top; IVF-Flat recall depends mostly on nprobe, not centroid
-    quality).  Returns (assigned_df with ``_centroid`` column, centroids).
-
-    Scale path: write the corpus ``partitionBy("_centroid")`` once; each
-    query then reads only nprobe partitions (partition pruning — see
-    build_ann_index/query_ann_index).
+    Distances as ONE array column, argmin via array_position over the
+    staged attribute.  A chained when(d < best_d, ...) argmin embeds the
+    whole previous chain into every new condition — exponential (2^K)
+    expression blowup; this form is linear in n_centroids.
     """
-    cents = [
-        list(r[0])
-        for r in embeddings.orderBy(id_col).select(emb_col).limit(n_centroids).collect()
-    ]
     e = F.col(emb_col)
-    # Distances as ONE array column, argmin via array_position over the
-    # staged attribute.  A chained when(d < best_d, ...) argmin embeds the
-    # whole previous chain into every new condition — exponential (2^K)
-    # expression blowup; this form is linear in n_centroids.
     dists = F.array(
         *[
             dot(e, e)
@@ -155,7 +156,7 @@ def ivf_assign(
             for cvec in cents
         ]
     )
-    assigned = (
+    return (
         embeddings.withColumn("_dists", dists)
         .withColumn(
             "_centroid",
@@ -163,7 +164,76 @@ def ivf_assign(
         )
         .drop("_dists")
     )
-    return assigned, cents
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means in DataFrame algebra: assign (argmin expression)
+    → per-cell mean (posexplode → groupBy(cell, dim) → avg) → repeat.
+
+    Init = first ``n_centroids`` vectors by id (deterministic).  Each
+    iteration is one distributed pass; only the n_centroids × dim means
+    come back to the driver.  Means are rounded to 9 dp before the next
+    pass so ulp-level partial-agg reorder can't flip a boundary
+    assignment between runs (keeps downstream results deterministic).
+    Cells that lose all members keep their previous centroid.
+    """
+    cents = [
+        list(r[0])
+        for r in embeddings.orderBy(id_col).select(emb_col).limit(n_centroids).collect()
+    ]
+    for _ in range(max(0, iters)):
+        assigned = _assign_to_centroids(embeddings, cents, emb_col)
+        means = (
+            assigned.select("_centroid", F.posexplode(F.col(emb_col)))
+            .groupBy("_centroid", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("v"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r._centroid, {})[r.pos] = r.v
+        cents = [
+            [round(by_cell[c][d], 9) for d in range(len(cents[c]))]
+            if c in by_cell
+            else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    train_iters: int = 0,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    ``train_iters=0``: centroids are the first ``n_centroids`` vectors by
+    id — a deterministic sample.  ``train_iters>0`` runs that many Lloyd
+    iterations (``train_centroids``) first — better-separated cells →
+    higher recall at the same nprobe.  Returns (assigned_df with
+    ``_centroid`` column, centroids).
+
+    Scale path: write the corpus ``partitionBy("_centroid")`` once; each
+    query then reads only nprobe partitions (partition pruning — see
+    build_ann_index/query_ann_index).
+    """
+    if train_iters > 0:
+        cents = train_centroids(embeddings, n_centroids, train_iters, id_col, emb_col)
+    else:
+        cents = [
+            list(r[0])
+            for r in embeddings.orderBy(id_col).select(emb_col).limit(n_centroids).collect()
+        ]
+    return _assign_to_centroids(embeddings, cents, emb_col), cents
 
 
 def _nearest_centroids(vec: list[float], cents: list[list[float]], nprobe: int) -> list[int]:
@@ -181,10 +251,11 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: scan only the nprobe nearest centroid
     cells (~nprobe/n_centroids of the corpus), exact cosine within."""
-    assigned, cents = ivf_assign(embeddings, n_centroids, id_col, emb_col)
+    assigned, cents = ivf_assign(embeddings, n_centroids, id_col, emb_col, train_iters)
     probe = _nearest_centroids(query_vec, cents, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
@@ -201,13 +272,14 @@ def build_ann_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    train_iters: int = 0,
 ) -> list[list[float]]:
     """Materialize the IVF index: corpus written partitionBy(_centroid).
 
     One shot at ingest; afterwards every query is a partition-pruned
     read of nprobe cells — the 100 TB serving shape.  Returns centroids
     (persist them beside the index; they're tiny)."""
-    assigned, cents = ivf_assign(embeddings, n_centroids, id_col, emb_col)
+    assigned, cents = ivf_assign(embeddings, n_centroids, id_col, emb_col, train_iters)
     assigned.write.mode("overwrite").partitionBy("_centroid").parquet(index_path)
     return cents
 

@@ -33,12 +33,20 @@ def asof_join(
     right_value_cols: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, the right row with the greatest time ≤ left time
-    (direction='backward'; ties match).  Columns: left.* + matched right
-    value cols (null when no prior right row exists).
+    """For each left row, the matched right row per direction (ties match
+    in both): 'backward' = greatest right time ≤ left time, 'forward' =
+    smallest right time ≥ left time.  Columns: left.* + matched right
+    value cols (null when no matching right row exists).
+
+    Forward is the same tagged-union + running-last composition with the
+    time sort flipped DESCENDING: traversing right rows from latest to
+    earliest, the last right row seen at-or-after a left row is exactly
+    the nearest follower.  Right rows still sort before left rows at
+    equal times (ties match), and payload-field tiebreak order is shared
+    so both directions pick deterministically among equal-time rights.
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip the sort — not needed yet")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # null right times can never satisfy "greatest right time ≤ left
     # time" (ASOF semantics), but the window's nulls-first sort would
     # carry them into every otherwise-unmatched left row — drop them.
@@ -76,9 +84,10 @@ def asof_join(
         for c in right_value_cols
         if right.schema[c].dataType.typeName() not in ("map", "array")
     ]
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side", *[F.col("_r").getField(c) for c in orderable])
+        .orderBy(t_order, F.col("_side").asc(), *[F.col("_r").getField(c) for c in orderable])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(

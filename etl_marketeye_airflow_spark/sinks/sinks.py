@@ -69,40 +69,57 @@ def relational_tables(merged: DataFrame, offers_flat: DataFrame) -> dict[str, Da
     return {"products": products, "offers": offers_flat}
 
 
+def jdbc_table_options(jdbc_url: str, table: str, properties: dict[str, str] | None = None) -> dict[str, str]:
+    """The exact option map a JDBC table write sends (pure — contract-
+    tested without a server in tests/test_sinks_streaming.py)."""
+    opts = {"url": jdbc_url, "dbtable": table}
+    opts.update(properties or {})
+    return opts
+
+
 def write_jdbc_relational(
     merged: DataFrame,
     offers_flat: DataFrame,
     jdbc_url: str,
     properties: dict[str, str] | None = None,
     create_indexes: bool = True,
+    connection_factory=None,
 ) -> None:
     """S6: overwrite products+offers via JDBC, then index DDL driver-side.
 
     Raises a clear error when no JDBC driver/server is reachable — the
     caller (Airflow task) owns retries per the reference's retry policy.
+    ``connection_factory`` (url, user, password) → DB-API-ish connection
+    is injectable so the DDL contract is testable serverless.
     """
     props = dict(properties or {})
     for name, df in relational_tables(merged, offers_flat).items():
-        writer = df.write.format("jdbc").mode("overwrite").option("url", jdbc_url).option(
-            "dbtable", name
-        )
-        for k, v in props.items():
+        writer = df.write.format("jdbc").mode("overwrite")
+        for k, v in jdbc_table_options(jdbc_url, name, props).items():
             writer = writer.option(k, v)
         writer.save()
     if create_indexes:
-        _run_jdbc_ddl(jdbc_url, props, _JDBC_INDEX_DDL)
+        _run_jdbc_ddl(jdbc_url, props, _JDBC_INDEX_DDL, connection_factory)
 
 
-def _run_jdbc_ddl(jdbc_url: str, props: dict[str, str], statements: tuple[str, ...]) -> None:
+def _default_connection_factory(jdbc_url: str, user: str, password: str):
     from py4j.java_gateway import java_import
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
     jvm = spark._jvm
     java_import(jvm, "java.sql.DriverManager")
-    conn = jvm.java.sql.DriverManager.getConnection(
-        jdbc_url, props.get("user", ""), props.get("password", "")
-    )
+    return jvm.java.sql.DriverManager.getConnection(jdbc_url, user, password)
+
+
+def _run_jdbc_ddl(
+    jdbc_url: str,
+    props: dict[str, str],
+    statements: tuple[str, ...],
+    connection_factory=None,
+) -> None:
+    factory = connection_factory or _default_connection_factory
+    conn = factory(jdbc_url, props.get("user", ""), props.get("password", ""))
     try:
         stmt = conn.createStatement()
         for sql in statements:
@@ -111,17 +128,19 @@ def _run_jdbc_ddl(jdbc_url: str, props: dict[str, str], statements: tuple[str, .
         conn.close()
 
 
+def mongo_write_options(uri: str, database: str, collection: str) -> dict[str, str]:
+    """The exact option map the Mongo write sends (pure — contract-tested
+    without the connector jar)."""
+    return {"connection.uri": uri, "database": database, "collection": collection}
+
+
 def write_mongo_documents(merged: DataFrame, uri: str, database: str, collection: str) -> None:
     """S7: nested documents to MongoDB (overwrite = wipe-and-insert parity).
 
     Requires the mongo-spark connector on the classpath; raises Spark's
     DATA_SOURCE_NOT_FOUND otherwise (gate at the Airflow-task level).
     """
-    (
-        merged.write.format("mongodb")
-        .mode("overwrite")
-        .option("connection.uri", uri)
-        .option("database", database)
-        .option("collection", collection)
-        .save()
-    )
+    writer = merged.write.format("mongodb").mode("overwrite")
+    for k, v in mongo_write_options(uri, database, collection).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -41,8 +41,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # The conf is captured at DataFrame-CREATION time (verified: actions
+    # on the returned df succeed after restore), so restore immediately —
+    # leaking it would silently change nano-timestamp parquet reads for
+    # every later query on the shared driver session (convention #5).
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return df.withColumn("ts_us", F.expr("ts div 1000"))
 
 

@@ -20,19 +20,35 @@ OUTPUT_SCHEMA = "user_id long, total_events long, total_value double"
 STATE_SCHEMA = "total_events long, total_value double"
 
 
-def running_user_totals(events_stream: DataFrame) -> DataFrame:
+def running_user_totals(
+    events_stream: DataFrame, exact_decimals: int | None = None
+) -> DataFrame:
     """events(user_id, value, ...) stream → cumulative totals per user,
-    one output row per user per micro-batch that touched them."""
+    one output row per user per micro-batch that touched them.
+
+    ``exact_decimals=d`` accumulates value in fixed-point ticks of 10^-d
+    (stored in the double state slot — ticks are integers, exact in a
+    double up to 2^53).  This makes the running total independent of
+    row/batch arrival order — required for deterministic restarts and
+    for cross-engine verification (a float left-fold differs at the ulp
+    level per order).  ``None`` keeps plain float accumulation.
+    """
 
     def update(key, pdfs, state):
         import pandas as pd
 
+        scale = None if exact_decimals is None else 10.0 ** exact_decimals
         (user_id,) = key
-        n, total = state.get if state.exists else (0, 0.0)
+        n, acc = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
+            v = pdf["value"].fillna(0.0)
+            if scale is None:
+                acc += float(v.sum())
+            else:
+                acc += float((v * scale).round().sum())
+        state.update((n, acc))
+        total = acc if scale is None else acc / scale
         yield pd.DataFrame(
             [{"user_id": user_id, "total_events": n, "total_value": total}]
         )

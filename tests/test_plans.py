@@ -59,3 +59,13 @@ def test_adapters_stay_codegen(spark):
 def test_topk_uses_partitioned_window_not_global_sort(spark):
     plan = executed_plan(reg.QUERIES["q15_topk_per_group"](spark, SF))
     assert "Window" in plan
+
+
+def test_fuzzy_pairs_is_band_blocked_equi_join(spark):
+    """q44 must execute as a hash/sort-merge equi-join on the length
+    band — a nested-loop over all name pairs is the O(n²) scale-killer
+    the banding exists to avoid."""
+    plan = executed_plan(reg.QUERIES["q44_fuzzy_name_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # still actually a join, not something degenerate

@@ -175,3 +175,39 @@ def test_asof_join_matches_reference_impl(spark, frames):
             assert out[lid] == (best_t, best_v), (k, t)
         else:
             assert out[lid] == (None, None), (k, t)
+
+
+def test_q12_deterministic_under_ties(spark, tmp_path_factory):
+    """q12's min_by/max_by picks must agree between Spark and the DuckDB
+    oracle even on tie-HEAVY data (every order in a group shares the
+    same o_orderdate / o_totalprice) — the composite tiebreak keys make
+    the pick deterministic in both engines."""
+    import datetime
+
+    import duckdb
+
+    from etl_marketeye_airflow_spark.queries import ORACLES, QUERIES
+
+    d = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 5 customers x 6 orders, all dates equal, all prices equal -> every
+    # group is one giant tie on both aggregate keys.
+    for cust in range(5):
+        for i in range(6):
+            rows.append((cust * 10 + i, cust, "O", 100.0, d, f"P{i % 3}"))
+    sf = tmp_path_factory.mktemp("q12ties")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(sf / "orders.parquet"))
+
+    got = sorted(
+        tuple(r) for r in QUERIES["q12_merge_collect"](spark, str(sf)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLES["q12_merge_collect"]).fetchall())
+    assert got == want

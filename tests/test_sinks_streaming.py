@@ -281,3 +281,121 @@ def test_embedding_near_dup_empty(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert embedding_near_dup_pairs(empty).count() == 0
+
+
+# --- S9 resumable checkpointing: a died run must resume, not refetch -------
+
+def test_enrich_resumable_checkpoint(spark, tmp_path_factory):
+    import pytest as _pt
+
+    from etl_marketeye_airflow_spark.operators.enrich import enrich_with_http_resumable
+
+    d = tmp_path_factory.mktemp("enrich_ck")
+    ckpt = str(d / "ckpt")
+    log = str(d / "fetched.log")
+    df = spark.createDataFrame([(f"k{i:02d}",) for i in range(20)], "product_id string")
+    grp = {
+        r._key: r.g
+        for r in df.select(F.col("product_id").alias("_key"))
+        .withColumn("g", F.pmod(F.xxhash64("_key"), F.lit(10)))
+        .collect()
+    }
+    # poison a key in the LAST populated batch-group: every earlier group
+    # must have committed its checkpoint before the "crash"
+    last_grp = max(grp.values())
+    poison = sorted(k for k, g in grp.items() if g == last_grp)[0]
+
+    def make_clients(poison_key, log_path):
+        def failing(url, payload=None, timeout=None):
+            key = url.rsplit("/", 1)[-1]
+            if key == poison_key:
+                raise RuntimeError("simulated mid-run death")
+            return True, f"p:{key}"
+
+        def logging_ok(url, payload=None, timeout=None):
+            key = url.rsplit("/", 1)[-1]
+            with open(log_path, "a") as f:
+                f.write(key + "\n")
+            return True, f"p:{key}"
+
+        return failing, logging_ok
+
+    failing, logging_ok = make_clients(poison, log)
+
+    with _pt.raises(Exception):
+        enrich_with_http_resumable(
+            df, "product_id", "http://x/{key}", ckpt,
+            client=failing, rate_limit_per_sec=0, n_partitions=2,
+        )
+    done1 = {r._key for r in spark.read.parquet(ckpt).select("_key").collect()}
+    assert 0 < len(done1) < 20 and poison not in done1  # partial, durable
+
+    out = enrich_with_http_resumable(
+        df, "product_id", "http://x/{key}", ckpt,
+        client=logging_ok, rate_limit_per_sec=0, n_partitions=2,
+    ).collect()
+    assert len(out) == 20
+    assert all(r.enrich_status == "found" for r in out)
+    refetched = set(open(log).read().split())
+    assert refetched == set(grp) - done1  # ONLY the remainder was fetched
+
+
+# --- S6/S7 contract tests: exact options + DDL, no server needed -----------
+
+def test_jdbc_ddl_contract_without_server():
+    from etl_marketeye_airflow_spark.sinks.sinks import (
+        _JDBC_INDEX_DDL,
+        _run_jdbc_ddl,
+        jdbc_table_options,
+    )
+
+    opts = jdbc_table_options(
+        "jdbc:postgresql://db:5432/marketeye", "products",
+        {"user": "u", "password": "p", "driver": "org.postgresql.Driver"},
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://db:5432/marketeye",
+        "dbtable": "products",
+        "user": "u",
+        "password": "p",
+        "driver": "org.postgresql.Driver",
+    }
+
+    executed, factory_args = [], []
+
+    class FakeConn:
+        closed = False
+
+        def createStatement(self):
+            return self
+
+        def execute(self, sql):
+            executed.append(sql)
+            return True
+
+        def close(self):
+            self.closed = True
+
+    conn = FakeConn()
+
+    def factory(url, user, password):
+        factory_args.append((url, user, password))
+        return conn
+
+    _run_jdbc_ddl(
+        "jdbc:postgresql://db:5432/marketeye", {"user": "u", "password": "p"},
+        _JDBC_INDEX_DDL, connection_factory=factory,
+    )
+    assert factory_args == [("jdbc:postgresql://db:5432/marketeye", "u", "p")]
+    assert executed == list(_JDBC_INDEX_DDL)  # all 5 reference indexes, in order
+    assert conn.closed
+
+
+def test_mongo_write_options_contract():
+    from etl_marketeye_airflow_spark.sinks.sinks import mongo_write_options
+
+    assert mongo_write_options("mongodb://h:27017", "marketeye", "products") == {
+        "connection.uri": "mongodb://h:27017",
+        "database": "marketeye",
+        "collection": "products",
+    }
