@@ -13,8 +13,12 @@ document-level dedup family a 100 TB text pipeline needs:
 - embedding near-dup: random-hyperplane LSH buckets + cosine verify
   (see similarity.py for the primitives).
 
-All signatures are computed with JVM-side higher-order functions
-(transform/aggregate/zip_with over arrays) — no Python in the hot path.
+All signatures stay JVM-side — corpus-scale paths use explode +
+whole-stage-codegen'd min/sum aggregates (the Column higher-order-function
+forms exist for per-row use but are interpreted per element and ~10×
+slower at scale); no Python in the hot path.  The clustering endgame
+(connected components) is min-label propagation + pointer jumping,
+O(log diameter) rounds.
 """
 
 from __future__ import annotations

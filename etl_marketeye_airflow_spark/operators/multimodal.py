@@ -110,23 +110,25 @@ def decode_media(media: DataFrame, require_real_decoder: bool = False) -> DataFr
             return 64 + h[0] % 192, 64 + h[1] % 192, 3, "fake"
 
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                buf = bytes(row["content"]) if row["content"] is not None else b""
-                w, h, ch, dec = decode(buf)
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "n_bytes": len(buf),
-                        "sha256": _hl.sha256(buf).hexdigest(),
-                        "width": w,
-                        "height": h,
-                        "n_channels": ch,
-                        "decoder": dec,
-                    }
-                )
-            yield pd.DataFrame(out)
+            # column-wise loops over .values, not iterrows(): iterrows
+            # materializes a Series per row (~5× slower at corpus batch
+            # sizes) — the decode itself is the only per-row work
+            bufs = [
+                bytes(c) if c is not None else b"" for c in pdf["content"].values
+            ]
+            decoded = [decode(b) for b in bufs]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "n_bytes": [len(b) for b in bufs],
+                    "sha256": [_hl.sha256(b).hexdigest() for b in bufs],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_channels": [d[2] for d in decoded],
+                    "decoder": [d[3] for d in decoded],
+                }
+            )
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
@@ -144,18 +146,22 @@ def extract_features(media: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                buf = np.frombuffer(bytes(row["content"] or b""), dtype=np.uint8)
+            feats = []
+            for c in pdf["content"].values:
+                buf = np.frombuffer(bytes(c or b""), dtype=np.uint8)
                 if buf.size:
                     hist = np.bincount(buf >> 4, minlength=dim).astype("float32")
                     hist /= hist.sum()
                 else:
                     hist = np.zeros(dim, dtype="float32")
-                rows.append(
-                    {"media_id": row["media_id"], "feature": hist.tolist(), "feature_dim": dim}
-                )
-            yield pd.DataFrame(rows)
+                feats.append(hist.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "feature": feats,
+                    "feature_dim": dim,
+                }
+            )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -142,28 +142,38 @@ def _assign_to_centroids(
 ) -> DataFrame:
     """Add ``_centroid`` = argmin squared-distance over ``cents``.
 
-    Distances as ONE array column, argmin via array_position over the
-    staged attribute.  A chained when(d < best_d, ...) argmin embeds the
-    whole previous chain into every new condition — exponential (2^K)
-    expression blowup; this form is linear in n_centroids.
+    Implemented as an Arrow-batched Pandas UDF doing ONE numpy matmul
+    per batch — this is a genuinely dense-numeric kernel, exactly the
+    case where a vectorized UDF beats Column algebra: the expression
+    form needs n_centroids interpreted higher-order ``aggregate`` folds
+    per row (measured ~4× slower per training pass at 128 dims × 16
+    cells).  Ties break to the lowest cell id (np.argmin first-match,
+    matching array_position semantics).  Closure hygiene: captures only
+    a plain list + numpy/pandas (see operators/multimodal.py note).
+
+    (Historical trap, still true for Column-form argmins elsewhere: a
+    chained when(d < best_d, ...) argmin embeds the whole previous chain
+    into every new condition — exponential expression blowup.)
     """
-    e = F.col(emb_col)
-    dists = F.array(
-        *[
-            dot(e, e)
-            - F.lit(2.0) * dot(e, F.array(*[F.lit(float(x)) for x in cvec]))
-            + F.lit(sum(float(x) * x for x in cvec))
-            for cvec in cents
-        ]
-    )
-    return (
-        embeddings.withColumn("_dists", dists)
-        .withColumn(
-            "_centroid",
-            (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1).cast("int"),
-        )
-        .drop("_dists")
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    plain_cents = [[float(x) for x in c] for c in cents]
+
+    @pandas_udf("int")
+    def nearest(batch):
+        import numpy as np
+        import pandas as pd
+
+        if len(batch) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.asarray(plain_cents, dtype=np.float64)          # (k, d)
+        c_sq = (M * M).sum(axis=1)                             # ‖c‖²
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
+        # argmin ‖x−c‖² = argmin ‖c‖² − 2·x·c  (‖x‖² constant per row)
+        d2 = c_sq[None, :] - 2.0 * (X @ M.T)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return embeddings.withColumn("_centroid", nearest(F.col(emb_col)))
 
 
 def train_centroids(
@@ -183,27 +193,31 @@ def train_centroids(
     assignment between runs (keeps downstream results deterministic).
     Cells that lose all members keep their previous centroid.
     """
-    cents = [
-        list(r[0])
-        for r in embeddings.orderBy(id_col).select(emb_col).limit(n_centroids).collect()
-    ]
-    for _ in range(max(0, iters)):
-        assigned = _assign_to_centroids(embeddings, cents, emb_col)
-        means = (
-            assigned.select("_centroid", F.posexplode(F.col(emb_col)))
-            .groupBy("_centroid", "pos")
-            .agg(F.avg(F.col("col").cast("double")).alias("v"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r._centroid, {})[r.pos] = r.v
+    train = embeddings.select(id_col, emb_col).persist()
+    try:
         cents = [
-            [round(by_cell[c][d], 9) for d in range(len(cents[c]))]
-            if c in by_cell
-            else cents[c]
-            for c in range(len(cents))
+            list(r[0])
+            for r in train.orderBy(id_col).select(emb_col).limit(n_centroids).collect()
         ]
+        for _ in range(max(0, iters)):
+            assigned = _assign_to_centroids(train, cents, emb_col)
+            means = (
+                assigned.select("_centroid", F.posexplode(F.col(emb_col)))
+                .groupBy("_centroid", "pos")
+                .agg(F.avg(F.col("col").cast("double")).alias("v"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cell.setdefault(r._centroid, {})[r.pos] = r.v
+            cents = [
+                [round(by_cell[c][d], 9) for d in range(len(cents[c]))]
+                if c in by_cell
+                else cents[c]
+                for c in range(len(cents))
+            ]
+    finally:
+        train.unpersist()
     return cents
 
 
@@ -315,31 +329,81 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, candidate-limited to
-    same-LSH-bucket pairs (bucket-join, not all-pairs)."""
+    same-LSH-bucket pairs (bucket-join, not all-pairs).
+
+    ``n_tables`` is the recall knob: L independent hash tables (distinct
+    plane seeds) each propose same-bucket candidates; a pair whose
+    per-table collision probability is p = (1−θ/π)^n_planes survives
+    with 1−(1−p)^L.  Precision is always exact (cosine verify).  Cost
+    scales linearly in L — bucket columns are one projection, and the
+    self-join runs per (table, bucket) key, still never all-pairs."""
     # dim inferred lazily is awkward; peek one row (driver-side, O(1)).
     head = embeddings.select(emb_col).first()
     if head is None:  # empty corpus → empty pair set, not a crash
         spark = embeddings.sparkSession
         return spark.createDataFrame([], "id_a long, id_b long, cosine double")
     dim = len(head[0])
-    planes = hyperplanes(n_planes, dim, seed)
-    b = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.col(emb_col).alias("_e"),
-        lsh_bucket(F.col(emb_col), planes).alias("_bucket"),
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(
+                    F.col(emb_col), hyperplanes(n_planes, dim, seed + t)
+                ).alias("bk"),
+            )
+            for t in range(max(1, n_tables))
+        ]
     )
-    x, y = b.alias("x"), b.alias("y")
-    return (
+    # The bucket self-join carries ONLY (id, table, bucket) — replicating
+    # vectors through an L-way explode would shuffle the dominant payload
+    # L× (same discipline as minhash's banding).  Vectors join back onto
+    # the DEDUPED candidate pairs, pre-normalized once per row (norm
+    # staged as an attribute — inlining norm(e) in the transform lambda
+    # would re-fold it per element), so the verify is one dot fold per
+    # unique candidate pair.
+    buckets = embeddings.select(
+        F.col(id_col).alias("_id"), F.explode(tables).alias("tb")
+    ).select("_id", F.col("tb.t").alias("_t"), F.col("tb.bk").alias("_bucket"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
         x.join(
             y,
-            (F.col("x._bucket") == F.col("y._bucket")) & (F.col("x._id") < F.col("y._id")),
+            (F.col("x._t") == F.col("y._t"))
+            & (F.col("x._bucket") == F.col("y._bucket"))
+            & (F.col("x._id") < F.col("y._id")),
         )
-        .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            cosine(F.col("x._e"), F.col("y._e")).alias("cosine"),
-        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    unit = embeddings.withColumn("_nrm", norm(F.col(emb_col))).select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(emb_col), lambda v: v.cast("double") / F.col("_nrm")).alias("_u"),
+    )
+
+    # Candidate verify = one numpy batch dot (Arrow-batched pandas UDF):
+    # an interpreted per-element fold over ~10^5 candidate pairs was the
+    # dominant cost (measured ~2×).  q24 keeps the Column fold — its
+    # oracle parity depends on the exact left-fold op order; here the
+    # threshold sits in a dead zone so ulp-order differences are inert.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(ua, ub):
+        import numpy as np
+        import pandas as pd
+
+        if len(ua) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in ua])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in ub])
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return (
+        cand.join(unit.withColumnRenamed("_id", "id_a").withColumnRenamed("_u", "u_a"), "id_a")
+        .join(unit.withColumnRenamed("_id", "id_b").withColumnRenamed("_u", "u_b"), "id_b")
+        .select("id_a", "id_b", pair_dot(F.col("u_a"), F.col("u_b")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -99,3 +99,34 @@ def doc_fingerprint(c: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: (acc * 31 + v) % FINGERPRINT_PRIME,
     )
+
+
+def ngrams_from_tokens(w: Column, n: int) -> Column:
+    """ALL word n-grams from a (preferably STAGED) token-array column,
+    duplicates kept — the denominator of repetition metrics.  Texts
+    shorter than n words yield one gram.  Pass a staged attribute, not
+    a fresh ``word_tokens(text)`` tree, when computing several gram
+    sizes: each inlined copy re-tokenizes the text."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+
+
+def word_ngrams_all(c: Column, n: int) -> Column:
+    return ngrams_from_tokens(word_tokens(c), n)
+
+
+def dup_fraction_from_grams(grams: Column) -> Column:
+    """1 − distinct/total over a (staged) gram-array column."""
+    return F.lit(1.0) - (
+        F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast("double")
+    )
+
+
+def duplicate_ngram_fraction(c: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that are
+    repeats of an earlier gram, 1 − distinct/total.  0 for clean prose,
+    → 1 for looping boilerplate.  Exact integer ratio → one double
+    division, bit-reproducible in oracle SQL."""
+    return dup_fraction_from_grams(word_ngrams_all(c, n))

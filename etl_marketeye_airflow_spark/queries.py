@@ -839,7 +839,44 @@ def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q22_minhash_lsh_dedup", oracle=None)  # signature pipeline: not SQL-expressible
+@query(
+    "q22_minhash_lsh_dedup",
+    # The banding/minhash machinery itself is not SQL-expressible, but its
+    # VERIFIED OUTPUT is: the Jaccard filter runs on exact shingle-hash
+    # sets, so surviving pairs must equal brute-force exact-Jaccard pairs
+    # whenever banding recall is complete — which it is on this corpus
+    # (all true pairs J >= 0.9, capture ~1-4e-8; pair sets verified
+    # identical, jaccard doubles bit-identical: int-size ratio in both
+    # engines).  The oracle recomputes pairs the slow exact way via an
+    # inverted index.  Recall completeness pinned by
+    # tests/test_trainingdata.py::test_minhash_lsh_recall_vs_exact.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 1) + 1),
+                 i -> array_to_string(
+                        list_slice(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), i, i + 2), ' ')
+               )
+             ) AS grams
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.id_a
+    JOIN sizes sb ON sb.doc_id = inter.id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.3
+    """,
+)
 def q22_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup pairs, Jaccard-verified ≥ 0.3.
     Candidate generation is a bucket-join on band hashes — never all-pairs."""
@@ -916,15 +953,18 @@ def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, list(qv), k=10, n_planes=8, hamming_radius=1)
 
 
-@query("q26_embedding_near_dup", oracle=None)  # approximate: rows-only check
+@query("q26_embedding_near_dup", oracle=None)  # approximate: recall pinned in pytest
 def q26_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ 0.45) via LSH bucket-join.
-    (Synthetic embeddings are near-orthogonal — max pairwise cosine ≈ 0.51
-    at sf0.01 — so the threshold sits where real candidates exist.)"""
+    """Embedding near-duplicate pairs (cosine ≥ 0.45) via MULTI-TABLE LSH
+    bucket-join (4 independent tables — the recall knob; precision is
+    exact by construction, cosine-verified).  Synthetic embeddings are
+    near-orthogonal — max pairwise cosine ≈ 0.51 at sf0.01 — so the
+    threshold sits where real candidates exist; recall floor + exact
+    precision asserted in test_trainingdata."""
     from .operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=6
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=6, n_tables=4
     ).orderBy("id_a", "id_b")
 
 
@@ -1024,7 +1064,25 @@ def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
-@query("q30_multimodal_decode", oracle=None)  # Pandas-UDF pipeline: rows-only check
+@query(
+    "q30_multimodal_decode",
+    # The stub decode is DETERMINISTIC (dims derive from the sha256 of
+    # the content bytes), so the whole pipeline is SQL-checkable: DuckDB
+    # recomputes n_bytes/sha/width/height from the same utf-8 bytes.
+    # ('0x'||hex)::BIGINT mirrors the digest-byte extraction exactly.
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+           sha256(coalesce(text, '')) AS sha256,
+           CAST(64 + CAST('0x' || substr(sha256(coalesce(text, '')), 1, 2) AS BIGINT) % 192 AS INT) AS width,
+           CAST(64 + CAST('0x' || substr(sha256(coalesce(text, '')), 3, 2) AS BIGINT) % 192 AS INT) AS height,
+           3 AS n_channels,
+           'fake' AS decoder,
+           16 AS feature_dim
+    FROM documents
+    """,
+)
 def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary content column → Arrow-
     batched decode (stubbed, marked 'fake') → byte-histogram features.
@@ -1730,6 +1788,172 @@ def q47_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.35)
     return dedup_by_clusters(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text-quality depth: repetition signals (Gopher-style filters) and
+# per-language corpus reporting — the remaining pieces of a training-data
+# quality pipeline, all exact-integer-derived → fully oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+_SQL_WORDS = (
+    "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+)
+
+
+def _sql_dup_frac(n: int, ws: str = "ws") -> str:
+    grams = (
+        f"list_transform(range(1, greatest(len({ws}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({ws}, i, i + {n - 1}), ' '))"
+    )
+    return (
+        f"1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) "
+        f"/ CAST(len({grams}) AS DOUBLE)"
+    )
+
+
+@query(
+    "q48_repetition_quality",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, max(cnt) AS max_cnt, CAST(sum(cnt) AS BIGINT) AS n_tokens
+      FROM cnts GROUP BY 1
+    ),
+    g AS (
+      SELECT doc_id,
+             {_sql_dup_frac(2)} AS dup_2gram_frac,
+             {_sql_dup_frac(3)} AS dup_3gram_frac
+      FROM w
+    )
+    SELECT g.doc_id, top.n_tokens, g.dup_2gram_frac, g.dup_3gram_frac,
+           CAST(top.max_cnt AS DOUBLE) / CAST(top.n_tokens AS DOUBLE) AS max_word_frac,
+           (g.dup_3gram_frac > 0.18
+            OR CAST(top.max_cnt AS DOUBLE) / CAST(top.n_tokens AS DOUBLE) > 0.2)
+             AS is_repetitive
+    FROM g JOIN top ON g.doc_id = top.doc_id
+    """,
+)
+def q48_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters a pretraining pipeline runs per document:
+    duplicate word-2/3-gram fractions (Column algebra, scan-speed) and
+    top-word concentration (explode → two hash-aggs — the scalable form
+    of an in-array mode), with a Gopher-style repetitive flag.  All
+    metrics are exact-integer ratios → bit-reproducible in SQL."""
+    from .operators import text as tx
+
+    # Tokenize ONCE (staged attribute) — inlining word_tokens into both
+    # gram expressions and the explode would re-run the regexp split ~5×
+    # per row (measured ~2× query cost).
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.word_tokens(F.col("text")).alias("_w")
+    )
+    toks = base.select("doc_id", F.explode("_w").alias("tok"))
+    top = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_cnt"), F.sum("cnt").alias("n_tokens"))
+    )
+    metrics = (
+        base.withColumn("_g2", tx.ngrams_from_tokens(F.col("_w"), 2))
+        .withColumn("_g3", tx.ngrams_from_tokens(F.col("_w"), 3))
+        .select(
+            "doc_id",
+            tx.dup_fraction_from_grams(F.col("_g2")).alias("dup_2gram_frac"),
+            tx.dup_fraction_from_grams(F.col("_g3")).alias("dup_3gram_frac"),
+        )
+    )
+    mw = F.col("max_cnt").cast("double") / F.col("n_tokens").cast("double")
+    return metrics.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        mw.alias("max_word_frac"),
+        ((F.col("dup_3gram_frac") > 0.18) | (mw > 0.2)).alias("is_repetitive"),
+    )
+
+
+@query(
+    "q49_corpus_stats_by_lang",
+    # Spark percentile()/median() are bit-identical to DuckDB
+    # median/quantile_cont over integer inputs (verified across 2000
+    # groups in round 1) — safe to expose raw.
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens,
+           median(n_tok) AS median_tokens,
+           quantile_cont(n_tok, 0.25) AS p25_tokens,
+           quantile_cont(n_tok, 0.75) AS p75_tokens
+    FROM (SELECT lang, len({_SQL_WORDS}) AS n_tok FROM documents)
+    GROUP BY lang
+    """,
+)
+def q49_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus reporting: token-count distribution per language (count,
+    total, mean, median, quartiles) — the dataset card a training-data
+    pipeline publishes.  One hash-agg; percentiles are per-group sorts
+    of integer token counts, engine-exact."""
+    from .operators import text as tx
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", tx.whitespace_token_count(F.col("text")).alias("n_tok")
+    )
+    n = F.count(F.lit(1))
+    return d.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.sum("n_tok").cast("double") / n.cast("double")).alias("mean_tokens"),
+        F.median("n_tok").alias("median_tokens"),
+        F.percentile("n_tok", F.lit(0.25)).alias("p25_tokens"),
+        F.percentile("n_tok", F.lit(0.75)).alias("p75_tokens"),
+    )
+
+
+@query(
+    "q50_streaming_dedup",
+    # Drained stream state == batch DISTINCT: same normalization, same
+    # md5 hex in both engines.
+    oracle="""
+    SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+             AS content_hash
+    FROM documents
+    """,
+)
+def q50_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup AT INGEST: streaming dropDuplicates over content digests,
+    drained with AvailableNow — each distinct normalized content emits
+    exactly once across all micro-batches (cross-batch suppression
+    tested in tests/test_sinks_streaming.py)."""
+    import uuid
+
+    from .streaming.ingest import streaming_exact_dedup
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    name = f"q50_out_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -135,3 +135,25 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup AT INGEST: emit each distinct normalized-content
+    digest the first time it is seen, across micro-batches.
+
+    ``dropDuplicates`` on a stream keeps per-key state, so a document
+    whose content already flowed through ANY earlier batch is suppressed
+    — the streaming twin of ``operators.dedup.exact_dedup`` (cites
+    SURVEY §2.9 extension; dedup-at-ingest is how a training-data
+    pipeline avoids re-storing duplicates at all).  State is one
+    16-byte digest per distinct content — bounded by unique content,
+    not stream length; add a watermark upstream for TTL'd state when
+    re-crawl windows allow it.
+    """
+    from ..operators.dedup import normalize_text
+
+    return docs_stream.select(
+        F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    ).dropDuplicates(["content_hash"])

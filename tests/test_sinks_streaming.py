@@ -399,3 +399,29 @@ def test_mongo_write_options_contract():
         "database": "marketeye",
         "collection": "products",
     }
+
+
+def test_streaming_dedup_suppresses_across_batches(spark, tmp_path_factory):
+    """A digest seen in batch 1 must NOT re-emit in batch 2 — the whole
+    point of dedup-at-ingest state."""
+    import json
+    import uuid
+
+    from etl_marketeye_airflow_spark.streaming.ingest import streaming_exact_dedup
+
+    d = tmp_path_factory.mktemp("sdedup")
+    batch1 = [{"doc_id": 1, "text": "alpha beta"}, {"doc_id": 2, "text": "gamma"}]
+    batch2 = [{"doc_id": 3, "text": "  ALPHA   beta "},  # normalization dup of 1
+              {"doc_id": 4, "text": "delta"}]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in batch2))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (streaming_exact_dedup(stream).writeStream.format("memory")
+         .queryName(name).outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    hashes = [r.content_hash for r in spark.sql(f"select * from {name}").collect()]
+    assert len(hashes) == 3  # alpha-beta, gamma, delta — duplicate suppressed
+    assert len(set(hashes)) == 3

@@ -330,3 +330,97 @@ def test_ann_recall_vs_exact(spark):
     }
     assert len(multi & exact) >= len(single & exact)
     assert len(multi & exact) / 10 >= 0.1
+
+
+def test_duplicate_ngram_fraction(spark):
+    """Hand-computed repetition fractions: 'a b a b a b' has 2-grams
+    [ab, ba, ab, ba, ab] -> 2 distinct of 5 -> dup frac 0.6; clean text
+    has 0; texts shorter than n yield a single gram -> 0."""
+    df = spark.createDataFrame(
+        [("a b a b a b",), ("all words differ here",), ("hi",)], "text string"
+    )
+    out = [
+        r.f
+        for r in df.select(tx.duplicate_ngram_fraction(F.col("text"), 2).alias("f")).collect()
+    ]
+    assert out[0] == pytest.approx(1 - 2 / 5)
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+
+
+def test_embedding_near_dup_recall_and_precision(spark):
+    """Multi-table LSH near-dup vs an exact numpy all-pairs baseline:
+    precision must be EXACT (every emitted pair really has cosine >=
+    threshold — the verify step guarantees it), and 4 tables must find
+    at least as many true pairs as 1 (the recall knob working)."""
+    import numpy as np
+
+    from etl_marketeye_airflow_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn @ Xn.T
+    iu = np.triu_indices(len(ids), 1)
+    mask = C[iu] >= 0.45
+    exact = {
+        tuple(sorted((int(ids[i]), int(ids[j]))))
+        for i, j in zip(iu[0][mask], iu[1][mask])
+    }
+    assert exact  # non-vacuous
+
+    one = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.45, n_planes=6).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.45, n_planes=6, n_tables=4
+        ).collect()
+    }
+    assert one <= exact and multi <= exact  # exact precision
+    assert len(multi & exact) >= len(one & exact)  # tables buy recall
+    assert len(multi & exact) >= 2  # measured 3/7 at this config
+
+
+def test_simhash_banding_recall_complete_d3(spark):
+    """Pigeonhole guarantee on real data: 4 chunks of 16 bits mean any
+    two signatures within hamming distance 3 share >= 1 exact chunk, so
+    simhash_pairs(max_distance=3) must contain EVERY such pair.  Checked
+    against an exact all-pairs hamming sweep over the corpus signatures
+    (driver-side numpy on 500 sigs — test-only; the operator never does
+    all-pairs)."""
+    import numpy as np
+
+    from etl_marketeye_airflow_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = {r._id: r._sig for r in simhash_signatures(docs).collect()}
+    ids = np.array(sorted(sigs))
+    # signatures are signed 64-bit keys — reinterpret the bits unsigned
+    vals = np.array([sigs[i] for i in ids], dtype=np.int64).view(np.uint64)
+    x = vals[:, None] ^ vals[None, :]
+    # vectorized popcount over the xor matrix
+    d = np.zeros(x.shape, dtype=np.int64)
+    for shift in range(0, 64, 8):
+        byte = ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)
+        d += np.unpackbits(byte).reshape(*x.shape, 8).sum(axis=-1).astype(np.int64)
+    iu = np.triu_indices(len(ids), 1)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[0][d[iu] <= 3], iu[1][d[iu] <= 3])
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, max_distance=3).collect()
+    }
+    assert exact  # planted dups make this non-vacuous
+    assert exact <= got <= exact  # recall-complete AND nothing beyond d<=3
