@@ -69,3 +69,19 @@ def test_fuzzy_pairs_is_band_blocked_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan  # still actually a join, not something degenerate
+
+
+def test_minhash_base_is_cached(spark):
+    """q22/q47's signature+set base must come from the persisted
+    InMemoryRelation — losing the persist silently re-runs the dominant
+    shingle+64-min aggregation for each of its 3 consumers."""
+    plan = executed_plan(reg.QUERIES["q22_minhash_lsh_dedup"](spark, SF))
+    assert "InMemoryTableScan" in plan
+
+
+def test_embedding_near_dup_join_is_equi(spark):
+    """Multi-table LSH candidate generation must be a hash/sort-merge
+    bucket join — never a nested loop over vector pairs."""
+    plan = executed_plan(reg.QUERIES["q26_embedding_near_dup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -211,3 +211,37 @@ def test_q12_deterministic_under_ties(spark, tmp_path_factory):
     )
     want = sorted(tuple(r) for r in con.execute(ORACLES["q12_merge_collect"]).fetchall())
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_near_dup_clusters_matches_union_find(spark, edges):
+    """Distributed CC (propagation + pointer jumping) must equal a
+    driver-side union-find on arbitrary random graphs — not just the
+    hand-built fixtures."""
+    from etl_marketeye_airflow_spark.operators.dedup import near_dup_clusters
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    pairs = spark.createDataFrame(norm, "id_a long, id_b long")
+    got = {r.id: r.cluster for r in near_dup_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in norm:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want

@@ -424,3 +424,34 @@ def test_simhash_banding_recall_complete_d3(spark):
     }
     assert exact  # planted dups make this non-vacuous
     assert exact <= got <= exact  # recall-complete AND nothing beyond d<=3
+
+
+def test_lsh_partitioned_serving_prunes(spark, tmp_path_factory):
+    """The LSH scale path the docstring promises: corpus written
+    partitionBy(_bucket) once; a query's (multi-probe) bucket filter
+    becomes PARTITION pruning — no full-corpus IO — and still finds the
+    query vector itself."""
+    from etl_marketeye_airflow_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket,
+        _py_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    planes = hyperplanes(6, dim, seed=42)
+    path = str(tmp_path_factory.mktemp("lshidx") / "index")
+    emb.withColumn("_bucket", lsh_bucket(F.col("embedding"), planes)).write.mode(
+        "overwrite"
+    ).partitionBy("_bucket").parquet(path)
+
+    qv = list(emb.filter(F.col("vec_id") == 7).select("embedding").first()[0])
+    qb = _py_bucket(qv, planes)
+    probe = sorted({qb} | {qb ^ (1 << i) for i in range(6)})
+    served = spark.read.parquet(path).filter(F.col("_bucket").isin(probe))
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_bucket" in plan.split("PartitionFilters")[1][:200]
+    ids = {r.vec_id for r in served.select("vec_id").collect()}
+    assert 7 in ids  # a vector always lands in its own bucket
+    assert len(ids) < emb.count()  # and we did NOT read the whole corpus
