@@ -455,3 +455,23 @@ def test_lsh_partitioned_serving_prunes(spark, tmp_path_factory):
     ids = {r.vec_id for r in served.select("vec_id").collect()}
     assert 7 in ids  # a vector always lands in its own bucket
     assert len(ids) < emb.count()  # and we did NOT read the whole corpus
+
+
+def test_near_dup_clusters_empty_pairs(spark):
+    """No pairs → no labels, no crash, zero rounds."""
+    from etl_marketeye_airflow_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    stats: dict = {}
+    assert near_dup_clusters(pairs, stats=stats).count() == 0
+    assert stats["rounds"] == 0
+
+
+def test_repetition_metrics_edge_texts(spark):
+    """Single-word and empty-ish texts must yield defined (0.0)
+    fractions, never divide-by-zero nulls."""
+    df = spark.createDataFrame([("word",), (" ",)], "text string")
+    out = df.select(
+        tx.duplicate_ngram_fraction(F.col("text"), 3).alias("f")
+    ).collect()
+    assert all(r.f == 0.0 for r in out)
