@@ -13,12 +13,14 @@ document-level dedup family a 100 TB text pipeline needs:
 - embedding near-dup: random-hyperplane LSH buckets + cosine verify
   (see similarity.py for the primitives).
 
-All signatures stay JVM-side — corpus-scale paths use explode +
-whole-stage-codegen'd min/sum aggregates (the Column higher-order-function
-forms exist for per-row use but are interpreted per element and ~10×
-slower at scale); no Python in the hot path.  The clustering endgame
-(connected components) is min-label propagation + pointer jumping,
-O(log diameter) rounds.
+Token hashing stays JVM-side (xxhash64); dense integer kernels (simhash
+bit votes) run as Arrow-batched numpy — bitwise-identical to the JVM
+forms, zero shuffle, and no multi-second Janino compile of wide
+aggregates.  MinHash keeps the explode + codegen'd min-agg form (64
+min-buffers compile fast).  The Column higher-order-function forms exist
+for per-row use but are interpreted per element and ~10× slower at
+scale.  The clustering endgame (connected components) is min-label
+propagation + pointer jumping, O(log diameter) rounds.
 """
 
 from __future__ import annotations
@@ -155,36 +157,66 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    # One explode + ONE aggregation yields both the signature and the
-    # shingle-hash set (for Jaccard verify) — separate agg+join re-runs
-    # the shingling (measured 3× slower).  Shingles are pre-hashed to a
-    # long ONCE; the 64 minhashes mix that long instead of rehashing an
-    # ~80-char string 64×.  Verify Jaccard runs over the hash sets
-    # (collision probability ~2^-64 — immaterial to the estimate).
-    ex = (
+    # Shingles are hashed to a long ONCE (JVM xxhash64, distinct per row
+    # via word_shingles); the minhash signature is then a pure per-row
+    # Arrow kernel: h_i(x) = A_i·x + B_i over Z/2^64 (multiply-shift,
+    # A_i odd, seeded constants), min per i.  Like simhash this makes
+    # signature generation a zero-shuffle MAP — the previous
+    # explode → 64-min-agg form shuffled one row per shingle and paid a
+    # multi-second Janino compile for the 64-buffer aggregate.  The
+    # mixing family changed from xxhash64(i, x) to multiply-shift; LSH
+    # capture at the operating point (J ≥ threshold, 16×4 banding) is
+    # unaffected — recall-completeness on the fixed corpus stays pinned
+    # by test_minhash_lsh_recall_vs_exact, which is what q22/q47's
+    # exact-Jaccard oracles rely on.  Verify Jaccard runs over the hash
+    # sets (collision probability ~2^-64 — immaterial to the estimate).
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as _np
+
+    _rng = _np.random.RandomState(0x5EED)
+    # odd 64-bit multipliers + arbitrary addends, fixed seed → signatures
+    # are deterministic across runs/partitions/machines
+    mul = (
+        _rng.randint(0, 2**62, size=num_hashes, dtype=_np.int64).view(_np.uint64)
+        << _np.uint64(1)
+    ) | _np.uint64(1)
+    add = _rng.randint(-(2**62), 2**62, size=num_hashes, dtype=_np.int64).view(_np.uint64)
+
+    @pandas_udf("array<long>")
+    def minhash_kernel(sh_arrays):
+        import numpy as np
+        import pandas as pd
+
+        arrs = sh_arrays.to_numpy()
+        n = len(arrs)
+        out = np.empty(n, dtype=object)
+        empty_sig = np.full(len(mul), np.iinfo(np.int64).max, dtype=np.int64)
+        for idx in range(n):
+            a = arrs[idx]
+            if a is None or len(a) == 0:
+                out[idx] = empty_sig
+                continue
+            x = np.asarray(a, dtype=np.int64).view(np.uint64)
+            # (num_hashes, n_shingles) in one broadcastmultiply; rows are
+            # short (shingle count ~ token count), so no chunking needed
+            sig = (mul[:, None] * x[None, :] + add[:, None]).min(axis=1)
+            out[idx] = sig.view(np.int64)
+        return pd.Series(out)
+
+    base = (
         spread(docs)
         .select(
             F.col(id_col).alias("_id"),
-            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_s"),
+            F.transform(
+                word_shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+            ).alias("_sh"),
         )
-        .select("_id", F.xxhash64("_s").alias("_s64"))
-    )
-    base = (
-        ex.groupBy("_id")
-        .agg(
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("_s64"))).alias(f"_h{i}")
-                for i in range(num_hashes)
-            ],
-            F.collect_set("_s64").alias("_sh"),
-        )
-        .select(
-            "_id", "_sh", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
-        )
+        .select("_id", "_sh", minhash_kernel(F.col("_sh")).alias("_sig"))
         # base fans out to THREE consumers (banded once, sets twice via the
         # id_a/id_b joins); without a persist Spark recomputes the whole
-        # shingle+explode+64-min aggregation per consumer (measured ~2× on
-        # q22, compounding into every clusters() caller).  MEMORY_AND_DISK:
+        # shingle+kernel pipeline per consumer (measured ~2× on q22,
+        # compounding into every clusters() caller).  MEMORY_AND_DISK:
         # the cached payload is signatures+hash-sets (~0.6 KB/doc), orders
         # of magnitude under the source text, and spills safely at scale.
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -389,12 +421,79 @@ def simhash(c: Column, bits: int = 64) -> Column:
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """Corpus-scale simhash: explode token hashes → hash-agg with `bits`
+    """Corpus-scale simhash: JVM tokenizes + xxhash64's each token, then
+    ONE Arrow-batched numpy kernel turns each row's token-hash array into
+    the packed 64-bit signature (bit matrix → segment-sum votes → sign
+    bits, MSB-first like the Column form).
+
+    Integer-exact — bitwise equal to the Column-form ``simhash`` and the
+    explode/agg form ``simhash_signatures_agg`` (parity pinned in tests).
+
+    Scale shape: a pure per-row MAP — no shuffle at all, where the agg
+    form shuffles one (id, hash) row per token (~100× the doc count).
+    The kernel self-chunks to ≤2^20 tokens per bit-matrix so executor
+    memory stays bounded regardless of document length, and it avoids
+    the multi-second Janino compile of a 64-buffer hash aggregate.
+    """
+    if bits != 64:
+        return simhash_signatures_agg(docs, text_col, id_col, bits)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sig_kernel(tok_hashes):
+        import numpy as np
+        import pandas as pd
+
+        arrs = tok_hashes.to_numpy()
+        n = len(arrs)
+        out = np.zeros(n, dtype=np.uint64)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=n
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        # packing weight for bit j: the Column form emits vote_0 at the
+        # MSB (key = key<<1 | sign), so bit j lands at position 63-j
+        weights = np.uint64(1) << (np.uint64(63) - shifts)
+        chunk_tokens = 1 << 20
+        i = 0
+        while i < n:
+            j, tok = i, 0
+            while j < n and (tok == 0 or tok + lens[j] <= chunk_tokens):
+                tok += lens[j]
+                j += 1
+            seg_lens = lens[i:j]
+            nz = np.flatnonzero(seg_lens > 0)
+            if nz.size:
+                flat = np.concatenate(
+                    [np.asarray(arrs[i + k], dtype=np.int64) for k in nz]
+                ).view(np.uint64)
+                bit_mat = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+                offsets = np.zeros(nz.size, dtype=np.int64)
+                np.cumsum(seg_lens[nz][:-1], out=offsets[1:])
+                setcnt = np.add.reduceat(bit_mat, offsets, axis=0)
+                votes = 2 * setcnt - seg_lens[nz][:, None]
+                out[i + nz] = ((votes > 0) * weights).sum(axis=1, dtype=np.uint64)
+            i = j
+        return pd.Series(out.view(np.int64))
+
+    return spread(docs).select(
+        F.col(id_col).alias("_id"),
+        sig_kernel(
+            F.transform(words(F.col(text_col)), lambda t: F.xxhash64(t))
+        ).alias("_sig"),
+    )
+
+
+def simhash_signatures_agg(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """Explode/agg simhash: token hashes explode → hash-agg with `bits`
     codegen'd ±1-vote sums → sign bits packed into a long.
 
-    Same output as the Column-form ``simhash`` (verified in tests) but
-    whole-stage-codegen'd throughout — the interpreted per-token
-    zip_with fold is ~10× slower at corpus scale.
+    Pure-JVM alternative to the Arrow kernel in ``simhash_signatures``
+    (bitwise-identical output; kept for environments without Python
+    workers and as the parity baseline).  Costs one shuffle of the
+    exploded token stream plus a large one-time codegen compile.
     """
     ex = spread(docs).select(
         F.col(id_col).alias("_id"),
@@ -426,8 +525,15 @@ def simhash_pairs(
     Any two signatures within hamming distance 3 share at least one of
     the 4 16-bit chunks exactly (pigeonhole) → bucket-join on (chunk_idx,
     chunk_value), verify with bit_count(xor) — no all-pairs scan.
+
+    Signatures are persisted before the self-join: both join sides
+    consume them, and without the persist Spark re-runs the whole
+    scan → tokenize → kernel pipeline per side (same fan-out rule as
+    minhash_lsh_pairs).  16 bytes/doc — trivially memory-resident.
     """
-    base = simhash_signatures(docs, text_col, id_col)
+    base = simhash_signatures(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = base.select(
         "_id",
         "_sig",

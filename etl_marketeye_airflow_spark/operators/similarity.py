@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import random
 
+import numpy as _np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -67,20 +68,36 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
 
 
 def lsh_bucket(emb: Column, planes: list[list[int]]) -> Column:
-    """Sign-bit bucket key: bit_j = [dot(emb, plane_j) > 0]."""
-    key = F.lit(0).cast("long")
-    for plane in planes:
-        proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(float(v)) for v in plane]),
-                lambda x, p: x.cast("double") * p,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        key = key * 2 + F.when(proj > 0, 1).otherwise(0).cast("long")
-    return key
+    """Sign-bit bucket key: bit_j = [dot(emb, plane_j) > 0], plane 0 at
+    the MSB.
+
+    Arrow-batched numpy kernel: ±1-plane products are rounding-free, and
+    the per-row pairwise ``.sum(axis=1)`` rounds identically to the
+    driver-side ``_py_bucket`` (same numpy reduction over the same
+    contiguous length — deliberately NOT a BLAS matmul, whose blocking
+    could round borderline projections differently per call site).  The
+    interpreted per-plane higher-order folds this replaces were the
+    dominant fixed cost of every LSH query (n_planes × dim literal
+    arrays, evaluated per element per row).
+    """
+    planes_arr = _np.asarray(planes, dtype=_np.float64)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def bucket_kernel(embs):
+        import numpy as np
+        import pandas as pd
+
+        if len(embs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in embs.to_numpy()])
+        # keep in lockstep with _py_bucket / _bucket_keys_np
+        key = np.zeros(mat.shape[0], dtype=np.int64)
+        for p in planes_arr:
+            key = (key << 1) | ((mat * p).sum(axis=1) > 0).astype(np.int64)
+        return pd.Series(key)
+
+    return bucket_kernel(emb)
 
 
 def lsh_topk(
@@ -127,14 +144,18 @@ def lsh_topk(
     )
 
 
-def _py_bucket(vec: list[float], planes: list[list[int]]) -> int:
-    key = 0
-    for plane in planes:
-        proj = 0.0
-        for x, p in zip(vec, plane):
-            proj += float(x) * p
-        key = key * 2 + (1 if proj > 0 else 0)
+def _bucket_keys_np(mat: "_np.ndarray", planes_arr: "_np.ndarray") -> "_np.ndarray":
+    """Driver-side twin of the ``lsh_bucket`` kernel body — identical
+    numpy ops so signs round identically (lockstep comment there)."""
+    key = _np.zeros(mat.shape[0], dtype=_np.int64)
+    for p in planes_arr:
+        key = (key << 1) | ((mat * p).sum(axis=1) > 0).astype(_np.int64)
     return key
+
+
+def _py_bucket(vec: list[float], planes: list[list[int]]) -> int:
+    mat = _np.asarray([vec], dtype=_np.float64)
+    return int(_bucket_keys_np(mat, _np.asarray(planes, dtype=_np.float64))[0])
 
 
 def _assign_to_centroids(
@@ -346,17 +367,31 @@ def embedding_near_dup_pairs(
         spark = embeddings.sparkSession
         return spark.createDataFrame([], "id_a long, id_b long, cosine double")
     dim = len(head[0])
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                lsh_bucket(
-                    F.col(emb_col), hyperplanes(n_planes, dim, seed + t)
-                ).alias("bk"),
-            )
-            for t in range(max(1, n_tables))
-        ]
-    )
+    all_planes = _np.asarray(
+        [hyperplanes(n_planes, dim, seed + t) for t in range(max(1, n_tables))],
+        dtype=_np.float64,
+    )  # (L, n_planes, dim)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def multi_bucket_kernel(embs):
+        import numpy as np
+        import pandas as pd
+
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in embs.to_numpy()])
+        keys = np.zeros((mat.shape[0], all_planes.shape[0]), dtype=np.int64)
+        for t in range(all_planes.shape[0]):
+            # lockstep with lsh_bucket's kernel / _bucket_keys_np
+            key = np.zeros(mat.shape[0], dtype=np.int64)
+            for p in all_planes[t]:
+                key = (key << 1) | ((mat * p).sum(axis=1) > 0).astype(np.int64)
+            keys[:, t] = key
+        return pd.Series(list(keys))
+
+    # All L tables' keys come from ONE Arrow pass over the vectors (one
+    # kernel returning array<long>), then posexplode to (table, bucket).
     # The bucket self-join carries ONLY (id, table, bucket) — replicating
     # vectors through an L-way explode would shuffle the dominant payload
     # L× (same discipline as minhash's banding).  Vectors join back onto
@@ -365,8 +400,9 @@ def embedding_near_dup_pairs(
     # would re-fold it per element), so the verify is one dot fold per
     # unique candidate pair.
     buckets = embeddings.select(
-        F.col(id_col).alias("_id"), F.explode(tables).alias("tb")
-    ).select("_id", F.col("tb.t").alias("_t"), F.col("tb.bk").alias("_bucket"))
+        F.col(id_col).alias("_id"),
+        F.posexplode(multi_bucket_kernel(F.col(emb_col))).alias("_t", "_bucket"),
+    )
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (
         x.join(

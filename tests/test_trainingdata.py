@@ -176,13 +176,19 @@ def test_multimodal_require_real_decoder(spark, docs):
 
 
 def test_simhash_signature_parity(spark, docs):
-    """Codegen'd corpus-scale path must equal the Column-form simhash."""
-    from etl_marketeye_airflow_spark.operators.dedup import simhash, simhash_signatures
+    """All three forms — Column fold, Arrow numpy kernel, explode/agg —
+    must produce bitwise-identical signatures."""
+    from etl_marketeye_airflow_spark.operators.dedup import (
+        simhash,
+        simhash_signatures,
+        simhash_signatures_agg,
+    )
 
     col_form = {r.doc_id: r.s for r in
                 docs.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
-    df_form = {r._id: r._sig for r in simhash_signatures(docs).collect()}
-    assert col_form == df_form
+    arrow_form = {r._id: r._sig for r in simhash_signatures(docs).collect()}
+    agg_form = {r._id: r._sig for r in simhash_signatures_agg(docs).collect()}
+    assert col_form == arrow_form == agg_form
 
 
 def test_ivf_index_partition_pruning(spark, tmp_path_factory):
