@@ -383,6 +383,42 @@ def dedup_by_clusters(
     return docs.join(drop, id_col, "left_anti")
 
 
+def cross_corpus_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus doc, count how many of
+    its distinct word k-grams also appear in the benchmark set.  Docs
+    with n_shared_grams > 0 are contamination candidates (eval data
+    leaked into training data) and get dropped or audited.
+
+    Scale shape: an inverted-index equi-join on the gram HASH — grams
+    are xxhash64'd to 8-byte keys before the join, so the shuffle never
+    carries gram strings; the benchmark side (distinct gram hashes,
+    typically millions of rows vs the corpus' billions) broadcasts.
+    A hash collision could at worst credit one extra shared gram
+    (probability ~n²·2⁻⁶⁴ — immaterial).  Counting is exact: per-doc
+    grams are distinct by construction (word_shingles), so count(*)
+    after the join is the distinct-overlap size.
+    """
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_g"),
+        ).select(id_col, F.xxhash64("_g").alias("_gh"))
+
+    bench = gram_hashes(benchmark).select("_gh").distinct()
+    return (
+        gram_hashes(corpus)
+        .join(F.broadcast(bench), "_gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def simhash(c: Column, bits: int = 64) -> Column:
     """Charikar simhash over word tokens: per-bit ±1 votes, sign → bit.
 

@@ -1,0 +1,127 @@
+"""Dataset-assembly sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on verbatim: it is SPLIT (train/val/
+test), DOWNSAMPLED per domain, FILTERED to a quality band, and PACKED
+into length buckets.  Each of these is a one-pass DataFrame op whose
+randomness is a deterministic content hash — reproducible across runs,
+machines, and engines (the DuckDB oracles recompute the same md5-derived
+values), and crucially ORDER-FREE: no global sort, no RNG state, no
+driver-side sampling step.
+
+Scale notes per op:
+- hash_split: pure map — bucket = md5(key) mod 100.  Zero shuffle; the
+  split column can partition a write (partitionBy("split")).
+- stratified_cap: one window per group (hash-ordered row_number).  The
+  shuffle is by group key; skewed groups cost what their size is, and
+  the cap bounds the OUTPUT, letting AQE coalesce the tail.  For
+  pathological single-key skew, pre-aggregate with the salted two-phase
+  pattern in skew.py.
+- quantile_band: two-pass — exact percentile agg (one scalar row),
+  broadcast back as a filter.  At scale swap percentile for
+  approx_percentile and the band bounds stay a broadcast scalar.
+- length_buckets: one hash-agg on the bucket id + a cumulative window
+  over the (tiny) bucket table — the window runs on n_buckets rows, not
+  corpus rows.
+
+Reference scope: the MarketEye reference has no sampling stage (its
+corpus is one day of scraped offers, dags/marketeye_etl_dag.py ingest
+tasks); these extend the engine for LLM-data-pipeline use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 md5 hex chars of
+    the key's string form, parsed as an integer, mod n_buckets.
+
+    md5 (not xxhash64) so any engine can recompute it — the oracle
+    parses the same hex in SQL.  32 bits of hash for a 2-digit bucket:
+    bias from the modulo is < 2^-25, immaterial for split purposes.
+    """
+    h32 = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return h32 % n_buckets
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign train/val/test by content-hash bucket — the standard
+    deterministic split: membership depends only on the key, so reruns,
+    backfills, and incremental appends never migrate a row across
+    splits."""
+    bucket = hash_bucket(F.col(key_col))
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by deterministic hash
+    order (md5 of the key, key as tiebreak) — downsampling over-
+    represented domains without an RNG."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= cap)
+    )
+
+
+def quantile_band(
+    df: DataFrame,
+    metric_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Keep rows whose metric lies within the corpus [lo, hi] quantile
+    band — the outlier trim every quality pipeline runs (too-short and
+    too-long documents out).  Exact percentiles over integers are
+    engine-identical; the two bound scalars broadcast to the filter."""
+    bounds = df.agg(
+        F.percentile(metric_col, F.lit(lo)).alias("_lo"),
+        F.percentile(metric_col, F.lit(hi)).alias("_hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col(metric_col) >= F.col("_lo")) & (F.col(metric_col) <= F.col("_hi"))
+        )
+        .drop("_lo", "_hi")
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    metric_col: str,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Sequence-length bucketing plan: group rows into fixed-width
+    length buckets and report per-bucket count/volume plus the running
+    cumulative volume in bucket order — the packing table a trainer uses
+    to budget tokens per batch shape."""
+    bucketed = df.withColumn(
+        "bucket", F.expr(f"{metric_col} div {bucket_width}").cast("long")
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(metric_col).alias("bucket_volume"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return agg.withColumn("cum_volume", F.sum("bucket_volume").over(w))

@@ -1956,6 +1956,157 @@ def q50_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ---------------------------------------------------------------------------
+# Dataset assembly: deterministic split / stratified downsampling / quality
+# band / length packing / benchmark decontamination — the sampling stages
+# between "clean corpus" and "training batches".  All hash-deterministic →
+# fully oracle-checkable (operators/sampling.py, dedup.py).
+# ---------------------------------------------------------------------------
+
+
+_SQL_HASH_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@query(
+    "q51_hash_split",
+    # identical md5-hex→int derivation on both sides (verified: Spark
+    # conv(hex,16,10) == DuckDB '0x…'::BIGINT)
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_SQL_HASH_BUCKET} AS bucket FROM documents)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q51_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: membership is a pure function
+    of doc_id (md5 bucket), so reruns and incremental appends never
+    migrate a document across splits.  Zero shuffle — a map column that
+    can drive a partitionBy("split") write."""
+    from .operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, "doc_id").select("doc_id", "bucket", "split")
+
+
+@query(
+    "q52_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 30
+    """,
+)
+def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling cap: at most 30 docs per lang, picked
+    by deterministic hash order — rebalancing over-represented domains
+    without an RNG (reproducible across engines and runs)."""
+    from .operators.sampling import stratified_cap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_cap(d, "lang", "doc_id", cap=30).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+@query(
+    "q53_quantile_band_filter",
+    # exact interpolated percentiles over integer n_chars are
+    # engine-identical (same q49 discipline); the band bounds are scalar
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.05) FROM documents)
+      AND n_chars <= (SELECT quantile_cont(n_chars, 0.95) FROM documents)
+    """,
+)
+def q53_quantile_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-band trim: keep documents inside the corpus' [p05, p95]
+    length band — the outlier cut (too short / machine-generated walls)
+    every pretraining filter chain applies.  Exact percentile agg → two
+    scalars broadcast into the filter."""
+    from .operators.sampling import quantile_band
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_band(d, "n_chars", 0.05, 0.95)
+
+
+@query(
+    "q54_length_bucket_packing",
+    oracle="""
+    WITH agg AS (
+      SELECT n_chars // 64 AS bucket,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS bucket_volume
+      FROM documents GROUP BY 1
+    )
+    SELECT bucket, n_docs, bucket_volume,
+           CAST(sum(bucket_volume) OVER (
+             ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_volume
+    FROM agg
+    """,
+)
+def q54_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: fixed-width length buckets with per-bucket
+    doc counts/volume and the cumulative volume in bucket order — the
+    table a trainer uses to budget tokens per batch shape.  The window
+    runs over the tiny bucket table, not corpus rows."""
+    from .operators.sampling import length_buckets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return length_buckets(d, "n_chars", 64).select(
+        "bucket", "n_docs", "bucket_volume", "cum_volume"
+    )
+
+
+@query(
+    "q55_decontamination",
+    # same inverted-index semantics, gram strings in SQL vs xxhash64'd
+    # grams in Spark (collision probability ~2^-64 — immaterial); per-doc
+    # grams are distinct on both sides so count(*) = distinct overlap
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 4, 1) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 4), ' ')))) AS gram
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src1')
+    SELECT g.doc_id, count(*) AS n_shared_grams
+    FROM g JOIN bench USING (gram)
+    WHERE g.source <> 'src1'
+    GROUP BY g.doc_id
+    """,
+)
+def q55_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: count 5-gram overlaps between each
+    corpus doc and the benchmark slice (source='src1' stands in for an
+    eval set).  Inverted-index equi-join on gram hashes, benchmark side
+    broadcast — never an all-pairs document comparison."""
+    from .operators.dedup import cross_corpus_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_corpus_contamination(
+        d.filter(F.col("source") != "src1"),
+        d.filter(F.col("source") == "src1"),
+        shingle_k=5,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -85,3 +85,12 @@ def test_embedding_near_dup_join_is_equi(spark):
     plan = executed_plan(reg.QUERIES["q26_embedding_near_dup"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """q55's inverted-index join must broadcast the (small) benchmark
+    gram-hash side and never nested-loop over document pairs."""
+    df = reg.QUERIES["q55_decontamination"](spark, SF)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert "BroadcastNestedLoopJoin" not in plan

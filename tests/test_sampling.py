@@ -1,0 +1,85 @@
+"""Unit tests for dataset-assembly sampling operators (sampling.py +
+cross_corpus_contamination): determinism, caps, band edges, packing
+invariants — the properties the oracle gate can't see (stability across
+reruns and append-only growth)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_marketeye_airflow_spark.operators.sampling import (
+    hash_split,
+    length_buckets,
+    quantile_band,
+    stratified_cap,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_split_deterministic_and_stable_under_append(spark, docs):
+    """Split membership is a pure function of the key: recomputing on a
+    SUBSET assigns every surviving doc the same split (no migration on
+    append/delete — the property RNG-based splits lack)."""
+    full = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    sub = {r.doc_id: r.split for r in hash_split(subset, "doc_id").collect()}
+    assert sub == {k: v for k, v in full.items() if k % 3 == 0}
+    # fractions land near 80/10/10 (md5 is uniform; corpus is small so
+    # allow wide tolerance)
+    n = len(full)
+    train = sum(1 for v in full.values() if v == "train") / n
+    assert 0.7 < train < 0.9
+
+
+def test_stratified_cap_bounds_every_group(spark, docs):
+    out = stratified_cap(docs, "lang", "doc_id", cap=5)
+    per_group = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in per_group)
+    # deterministic: same pick on rerun
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_cap(docs, "lang", "doc_id", cap=5)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_quantile_band_drops_both_tails(spark, docs):
+    kept = quantile_band(docs, "n_chars", 0.10, 0.90)
+    lo, hi = kept.agg(F.min("n_chars"), F.max("n_chars")).first()
+    full_lo, full_hi = docs.agg(F.min("n_chars"), F.max("n_chars")).first()
+    assert full_lo < lo and hi < full_hi  # both tails actually trimmed
+    assert 0 < kept.count() < docs.count()
+
+
+def test_length_buckets_cumulative_invariants(spark, docs):
+    rows = length_buckets(docs, "n_chars", 64).orderBy("bucket").collect()
+    assert [r.bucket for r in rows] == sorted({r.bucket for r in rows})
+    running = 0
+    for r in rows:
+        running += r.bucket_volume
+        assert r.cum_volume == running  # exact integer cumulative
+    assert running == docs.agg(F.sum("n_chars")).first()[0]
+
+
+def test_contamination_finds_planted_cross_source_dups(spark, docs):
+    """Only true overlaps fire: the synthetic corpus has a handful of
+    planted duplicate docs across sources — random word soup must NOT
+    produce spurious 5-gram hits corpus-wide."""
+    from etl_marketeye_airflow_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    src = docs.filter(F.col("source") == "src1")
+    rest = docs.filter(F.col("source") != "src1")
+    hits = cross_corpus_contamination(rest, src, shingle_k=5)
+    n_hits = hits.count()
+    assert n_hits < rest.count() * 0.1  # not everything
+    assert (hits.agg(F.min("n_shared_grams")).first()[0] or 1) >= 1
