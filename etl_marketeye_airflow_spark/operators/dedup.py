@@ -130,11 +130,6 @@ def minhash_signatures(
     )
 
 
-def _band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
-    chunk = F.slice(sig, band * rows_per_band + 1, rows_per_band)
-    return F.xxhash64(F.array_join(F.transform(chunk, lambda v: v.cast("string")), ","))
-
-
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -184,24 +179,37 @@ def minhash_lsh_pairs(
     add = _rng.randint(-(2**62), 2**62, size=num_hashes, dtype=_np.int64).view(_np.uint64)
 
     @pandas_udf("array<long>")
-    def minhash_kernel(sh_arrays):
+    def band_hash_kernel(sh_arrays):
         import numpy as np
         import pandas as pd
 
         arrs = sh_arrays.to_numpy()
         n = len(arrs)
         out = np.empty(n, dtype=object)
-        empty_sig = np.full(len(mul), np.iinfo(np.int64).max, dtype=np.int64)
+        fnv_mul = np.uint64(0x100000001B3)
+        empty_sig = np.full(len(mul), np.iinfo(np.int64).max, dtype=np.uint64)
+        n_bands = len(mul) // r
+
+        def fold(sig):
+            # FNV-style fold of each band's r minima → one 64-bit bucket
+            # key per band (any good mix works — banding only needs
+            # "equal slices ⇒ equal key, unequal ⇒ almost surely unequal")
+            chunks = sig.reshape(n_bands, r)
+            h = np.full(n_bands, 0xCBF29CE484222325, dtype=np.uint64)
+            for j in range(r):
+                h = (h ^ chunks[:, j]) * fnv_mul
+            return h.view(np.int64)
+
         for idx in range(n):
             a = arrs[idx]
             if a is None or len(a) == 0:
-                out[idx] = empty_sig
+                out[idx] = fold(empty_sig)
                 continue
             x = np.asarray(a, dtype=np.int64).view(np.uint64)
-            # (num_hashes, n_shingles) in one broadcastmultiply; rows are
+            # (num_hashes, n_shingles) in one broadcast multiply; rows are
             # short (shingle count ~ token count), so no chunking needed
             sig = (mul[:, None] * x[None, :] + add[:, None]).min(axis=1)
-            out[idx] = sig.view(np.int64)
+            out[idx] = fold(sig)
         return pd.Series(out)
 
     base = (
@@ -212,12 +220,17 @@ def minhash_lsh_pairs(
                 word_shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
             ).alias("_sh"),
         )
-        .select("_id", "_sh", minhash_kernel(F.col("_sh")).alias("_sig"))
+        # The kernel folds signature → per-band bucket keys in one pass:
+        # the 64-long signature never leaves the worker (it exists only
+        # as a numpy intermediate), so the Arrow transfer carries bands
+        # longs instead of num_hashes, and the JVM side needs no wide
+        # slice/concat/hash codegen — measured ~2 s off q22's first run.
+        .select("_id", "_sh", band_hash_kernel(F.col("_sh")).alias("_bhs"))
         # base fans out to THREE consumers (banded once, sets twice via the
         # id_a/id_b joins); without a persist Spark recomputes the whole
         # shingle+kernel pipeline per consumer (measured ~2× on q22,
         # compounding into every clusters() caller).  MEMORY_AND_DISK:
-        # the cached payload is signatures+hash-sets (~0.6 KB/doc), orders
+        # the cached payload is band-keys+hash-sets (~0.6 KB/doc), orders
         # of magnitude under the source text, and spills safely at scale.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -226,17 +239,7 @@ def minhash_lsh_pairs(
     # sets into the bands-way explode would shuffle the dominant payload
     # ~2×bands times.  The sets join back by id onto the (few) surviving
     # candidate pairs for the Jaccard verify.
-    banded = base.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), _band_hash(F.col("_sig"), b, r).alias("bh"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    banded = base.select("_id", F.posexplode("_bhs").alias("band", "bh"))
 
     # Drop pathological buckets before the self-join (skew guard).
     from pyspark.sql.window import Window
