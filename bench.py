@@ -46,6 +46,28 @@ def main() -> None:
     spark.range(1_000_000).repartition(cpus).select(_warm("id")).agg(
         {"_warm(id)": "sum"}
     ).collect()
+
+    # JIT-warm the interpreted higher-order-function + regex eval paths
+    # (array filter/transform/aggregate run outside wholestage codegen;
+    # their first ~10^6 interpreted ops pay C2 compilation, a JVM-level
+    # one-time cost, not any query's data work)
+    from pyspark.sql import functions as _F
+
+    spark.range(200_000).repartition(cpus).select(
+        _F.sum(
+            _F.size(
+                _F.filter(
+                    _F.split(_F.regexp_replace(_F.concat(_F.lit("a b c d "), "id"), r"\s+", " "), " "),
+                    lambda t: _F.array_contains(_F.array(_F.lit("a"), _F.lit("b")), t),
+                )
+            )
+            + _F.aggregate(
+                _F.transform(_F.sequence(_F.lit(1), _F.lit(8)), lambda i: i * 2),
+                _F.lit(0),
+                lambda acc, v: acc + v,
+            )
+        )
+    ).collect()
     from etl_marketeye_airflow_spark.sources.tables import TABLES
 
     for t in TABLES:

@@ -408,7 +408,9 @@ def cross_corpus_contamination(
     after the join is the distinct-overlap size.
     """
     def gram_hashes(df: DataFrame) -> DataFrame:
-        return df.select(
+        # spread: gram building dominates — don't let a single-file scan
+        # serialize it onto one core (no-op on well-partitioned input)
+        return spread(df).select(
             F.col(id_col),
             F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_g"),
         ).select(id_col, F.xxhash64("_g").alias("_gh"))

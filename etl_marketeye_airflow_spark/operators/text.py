@@ -50,19 +50,44 @@ def stopword_ratio(c: Column, lang: str = "en") -> Column:
     return _marker_hits(tokens, LANG_MARKERS[lang]).cast("double") / F.size(tokens).cast("double")
 
 
-def language_id(c: Column) -> Column:
-    """Marker-hit-count argmax over the 4 built-in languages; 'und' when
-    no marker hits at all.  Ties break by language-code order (en < fr
-    < es < de scan order — first max wins)."""
+def language_hits(c: Column) -> Column:
+    """Per-language marker-hit counts as one struct — STAGE this with
+    ``withColumn`` before deriving the argmax, so each count (and the
+    tokenize) is computed once per row."""
     tokens = word_tokens(c)
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for code, markers in LANG_MARKERS.items():
-        hits = _marker_hits(tokens, markers)
-        better = hits > best_hits
-        best_lang = F.when(better, F.lit(code)).otherwise(best_lang)
-        best_hits = F.when(better, hits).otherwise(best_hits)
-    return best_lang
+    return F.struct(
+        *[_marker_hits(tokens, m).alias(f"h_{code}") for code, m in LANG_MARKERS.items()]
+    )
+
+
+def language_from_hits(h: Column) -> Column:
+    """First-max-wins argmax over a (staged) ``language_hits`` struct;
+    'und' when no marker hits at all.  Ties break by language-code scan
+    order (en < fr < es < de).
+
+    Flat CASE chain, not a running-best fold: branch i fires iff
+    h_i > 0 and h_i >= every LATER h_j.  Earlier languages need no
+    back-comparison — if h_i were beaten by an earlier h_j, that j's
+    branch would already have fired (h_j > h_i >= all later ⇒ j's
+    condition held).  A when/otherwise accumulator instead embeds
+    itself per round — 2^n copies of the hit subtrees, the exact plan
+    blowup tests/test_plans.py guards against."""
+    codes = list(LANG_MARKERS)
+    expr = None
+    for i, code in enumerate(codes):
+        hi = h[f"h_{code}"]
+        cond = hi > 0
+        for later in codes[i + 1 :]:
+            cond = cond & (hi >= h[f"h_{later}"])
+        expr = F.when(cond, F.lit(code)) if expr is None else expr.when(cond, F.lit(code))
+    return expr.otherwise(F.lit("und"))
+
+
+def language_id(c: Column) -> Column:
+    """One-Column convenience form of language_hits→language_from_hits
+    (struct subtree repeats per field access — fine per-row / small
+    scans; for corpus scans stage ``language_hits`` first)."""
+    return language_from_hits(language_hits(c))
 
 
 def quality_score(c: Column, target_len: int = 500) -> Column:

@@ -1031,14 +1031,20 @@ def q27_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic vs the labeled lang column."""
-    from .operators.text import language_id
+    """Marker-word language-ID heuristic vs the labeled lang column.
+    Hit counts staged as one struct column (computed once per row), the
+    argmax CASE runs over the staged attributes — convention #2."""
+    from .operators.dedup import spread
+    from .operators.text import language_from_hits, language_hits
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        language_id(F.col("text")).alias("predicted_lang"),
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn("_h", language_hits(F.col("text")))
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            language_from_hits(F.col("_h")).alias("predicted_lang"),
+        )
     )
 
 
@@ -1058,9 +1064,12 @@ def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (md5-derived
     word ints, polynomial fold mod p — engine-portable, overflow-free)."""
+    from .operators.dedup import spread
     from .operators.text import doc_fingerprint
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread: the per-word interpreted fold is the cost here — a single
+    # parquet file must not serialize it onto one core (no-op at scale)
+    docs = spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -1845,10 +1854,13 @@ def q48_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics are exact-integer ratios → bit-reproducible in SQL."""
     from .operators import text as tx
 
+    from .operators.dedup import spread
+
     # Tokenize ONCE (staged attribute) — inlining word_tokens into both
     # gram expressions and the explode would re-run the regexp split ~5×
-    # per row (measured ~2× query cost).
-    base = _t(spark, sf_dir, "documents").select(
+    # per row (measured ~2× query cost).  spread: gram building is the
+    # cost — don't serialize it onto a single-file scan's one core.
+    base = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", tx.word_tokens(F.col("text")).alias("_w")
     )
     toks = base.select("doc_id", F.explode("_w").alias("tok"))
