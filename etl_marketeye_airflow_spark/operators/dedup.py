@@ -459,13 +459,29 @@ def simhash(c: Column, bits: int = 64) -> Column:
     return key
 
 
+def portable_token_hash(t: Column) -> Column:
+    """Engine-portable 60-bit token hash: first 15 md5 hex chars as an
+    integer.  Any SQL engine recomputes it (DuckDB:
+    ``('0x' || substr(md5(w),1,15))::BIGINT`` — verified equal), which
+    makes simhash signatures — and therefore the exact hamming-verified
+    pair set — fully oracle-checkable.  ~5× the hashing cost of
+    xxhash64; the scale default stays xxhash64."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """Corpus-scale simhash: JVM tokenizes + xxhash64's each token, then
-    ONE Arrow-batched numpy kernel turns each row's token-hash array into
-    the packed 64-bit signature (bit matrix → segment-sum votes → sign
-    bits, MSB-first like the Column form).
+    """Corpus-scale simhash: JVM tokenizes + hashes each token
+    (xxhash64 by default; pass ``token_hash=portable_token_hash`` with
+    ``bits<=60`` for an oracle-reproducible variant), then ONE
+    Arrow-batched numpy kernel turns each row's token-hash array into
+    the packed ``bits``-wide signature (bit matrix → segment-sum votes →
+    sign bits, MSB-first like the Column form).
 
     Integer-exact — bitwise equal to the Column-form ``simhash`` and the
     explode/agg form ``simhash_signatures_agg`` (parity pinned in tests).
@@ -476,8 +492,8 @@ def simhash_signatures(
     memory stays bounded regardless of document length, and it avoids
     the multi-second Janino compile of a 64-buffer hash aggregate.
     """
-    if bits != 64:
-        return simhash_signatures_agg(docs, text_col, id_col, bits)
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -491,10 +507,10 @@ def simhash_signatures(
         lens = np.fromiter(
             (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=n
         )
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(bits, dtype=np.uint64)
         # packing weight for bit j: the Column form emits vote_0 at the
-        # MSB (key = key<<1 | sign), so bit j lands at position 63-j
-        weights = np.uint64(1) << (np.uint64(63) - shifts)
+        # MSB (key = key<<1 | sign), so bit j lands at position bits-1-j
+        weights = np.uint64(1) << (np.uint64(bits - 1) - shifts)
         chunk_tokens = 1 << 20
         i = 0
         while i < n:
@@ -517,16 +533,19 @@ def simhash_signatures(
             i = j
         return pd.Series(out.view(np.int64))
 
+    th = token_hash if token_hash is not None else (lambda t: F.xxhash64(t))
     return spread(docs).select(
         F.col(id_col).alias("_id"),
-        sig_kernel(
-            F.transform(words(F.col(text_col)), lambda t: F.xxhash64(t))
-        ).alias("_sig"),
+        sig_kernel(F.transform(words(F.col(text_col)), th)).alias("_sig"),
     )
 
 
 def simhash_signatures_agg(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """Explode/agg simhash: token hashes explode → hash-agg with `bits`
     codegen'd ±1-vote sums → sign bits packed into a long.
@@ -536,9 +555,10 @@ def simhash_signatures_agg(
     workers and as the parity baseline).  Costs one shuffle of the
     exploded token stream plus a large one-time codegen compile.
     """
+    th = token_hash if token_hash is not None else (lambda t: F.xxhash64(t))
     ex = spread(docs).select(
         F.col(id_col).alias("_id"),
-        F.explode(F.transform(words(F.col(text_col)), lambda t: F.xxhash64(t))).alias("_h"),
+        F.explode(F.transform(words(F.col(text_col)), th)).alias("_h"),
     )
     votes = [
         F.sum(
@@ -560,19 +580,27 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_distance: int = 3,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """Hamming-≤d pairs via 4×16-bit pigeonhole banding.
+    """Hamming-≤d pairs via 4-chunk pigeonhole banding.
 
     Any two signatures within hamming distance 3 share at least one of
-    the 4 16-bit chunks exactly (pigeonhole) → bucket-join on (chunk_idx,
-    chunk_value), verify with bit_count(xor) — no all-pairs scan.
+    the 4 (bits/4)-bit chunks exactly (pigeonhole) → bucket-join on
+    (chunk_idx, chunk_value), verify with bit_count(xor) — no all-pairs
+    scan.  Recall is COMPLETE for d ≤ 3 (a theorem, not a probability),
+    so with ``token_hash=portable_token_hash`` the exact pair set is
+    SQL-reproducible end-to-end.
 
     Signatures are persisted before the self-join: both join sides
     consume them, and without the persist Spark re-runs the whole
     scan → tokenize → kernel pipeline per side (same fan-out rule as
     minhash_lsh_pairs).  16 bytes/doc — trivially memory-resident.
     """
-    base = simhash_signatures(docs, text_col, id_col).persist(
+    if bits % 4:
+        raise ValueError("bits must divide into 4 pigeonhole chunks")
+    cw = bits // 4
+    base = simhash_signatures(docs, text_col, id_col, bits, token_hash).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     chunks = base.select(
@@ -583,8 +611,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        F.shiftrightunsigned(F.col("_sig"), 16 * j)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("_sig"), cw * j)
+                        .bitwiseAND(F.lit((1 << cw) - 1))
                         .alias("chunk"),
                     )
                     for j in range(4)

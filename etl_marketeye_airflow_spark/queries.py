@@ -887,15 +887,59 @@ def q22_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("q23_simhash_dedup", oracle=None)  # signature pipeline: not SQL-expressible
-def q23_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs within hamming distance 6 via 4×16-bit
-    pigeonhole banding (recall-complete for d≤3; d≤6 partial by design)."""
-    from .operators.dedup import simhash_pairs
-
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_distance=6).orderBy(
-        "id_a", "id_b"
+@query(
+    "q23_simhash_dedup",
+    # Fully SQL-reproducible: tokens hash to md5-derived 60-bit ints on
+    # both sides, votes/sign-packing are exact integer ops, d≤3 banding
+    # recall is COMPLETE (pigeonhole theorem) so Spark's bucket-join pair
+    # set equals the oracle's all-pairs scan.  The oracle brute-forces
+    # all pairs (fine at sf0.01); Spark's banding IS the scale path.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS th FROM t
+    ),
+    v AS (
+      SELECT doc_id, r.range AS bit,
+             sum(CASE WHEN (th >> r.range) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN range(60) r
+      GROUP BY doc_id, r.range
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0
+                           THEN 1::BIGINT << (59 - CAST(bit AS INT))
+                           ELSE 0::BIGINT END) AS BIGINT) AS sig
+      FROM v GROUP BY doc_id
     )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
+def q23_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance 3 via 4-chunk
+    pigeonhole banding (recall-complete at d≤3), using the engine-
+    portable 60-bit md5 token hash so the signature pipeline — not just
+    the row count — is oracle-verified.  The xxhash64/64-bit scale
+    default and the partial-recall d>3 regime are pinned by pytest
+    (`test_trainingdata.py`)."""
+    from .operators.dedup import portable_token_hash, simhash_pairs
+
+    pairs = simhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        max_distance=3,
+        bits=60,
+        token_hash=portable_token_hash,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 @query(
