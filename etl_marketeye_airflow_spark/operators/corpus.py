@@ -1,0 +1,97 @@
+"""Corpus-level text aggregations: heavy hitters and vocabulary coverage.
+
+Unlike operators/text.py (per-row Column algebra), these aggregate over
+the whole corpus.  Scale shape for both: the token stream collapses in
+a (group, token) hash aggregation FIRST — partial map-side combine
+bounds the shuffle at the distinct-token count per partition — and every
+window/rank afterwards runs over the aggregated VOCABULARY table
+(10^5-ish rows), never over corpus rows.  That ordering is the whole
+trick: at 100 TB the exploded token stream is ~10^13 rows, the vocab
+table fits on one executor.
+
+Reference scope: the MarketEye reference computes brand frequency
+tables (dags/marketeye_etl_dag.py analytics tasks) — same shape, per
+scraped offer corpus; these generalize it to token statistics for
+training-data curation (vocab building, boilerplate spotting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import spread, words
+
+
+def token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """(group?, token, cnt) hash-aggregated token frequencies.  The
+    explode is map-side; the single shuffle carries partial counts."""
+    keys = ([F.col(group_col)] if group_col else []) + [
+        F.explode(words(F.col(text_col))).alias("token")
+    ]
+    ex = spread(docs).select(*keys).filter(F.col("token") != "")
+    group_keys = ([group_col] if group_col else []) + ["token"]
+    return ex.groupBy(*group_keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 10,
+) -> DataFrame:
+    """Exact per-group top-k tokens by frequency (rank ties broken by
+    token asc — fully deterministic).  The row_number window partitions
+    by group over the aggregated vocab table, so its sort is per-group
+    vocab-sized."""
+    counts = token_counts(docs, text_col, group_col)
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "token", "cnt", "rank")
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    coverage: float = 0.5,
+) -> DataFrame:
+    """Minimal frequency-ordered vocabulary covering ``coverage`` of the
+    corpus token mass: tokens ordered by (cnt desc, token asc), kept
+    while the mass BEFORE them is under the target.
+
+    The threshold test is exact-integer (2*cum_before < 2*coverage_num *
+    total avoided — instead cnt accumulates as BIGINT and the comparison
+    multiplies through by the coverage denominator), so engines agree
+    bit-for-bit with no float accumulation.  The global window runs over
+    the vocab table only; its single-partition sort is the documented
+    cost (vocab ≪ corpus; for >10^7-token vocabularies switch to a
+    two-pass bucketed variant).
+    """
+    num = int(round(coverage * 1000))  # coverage as an exact rational
+    counts = token_counts(docs, text_col, None)
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    ranked = (
+        counts.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))))
+        .crossJoin(F.broadcast(total))
+    )
+    # keep token iff mass before it < coverage * total  ⇔
+    # 1000*(cum - cnt) < num*total   (all BIGINT, exact)
+    return (
+        ranked.filter(
+            (F.col("cum") - F.col("cnt")) * F.lit(1000) < F.col("_total") * F.lit(num)
+        )
+        .select("token", "cnt", "rank", "cum")
+    )

@@ -155,3 +155,31 @@ def duplicate_ngram_fraction(c: Column, n: int = 3) -> Column:
     → 1 for looping boilerplate.  Exact integer ratio → one double
     division, bit-reproducible in oracle SQL."""
     return dup_fraction_from_grams(word_ngrams_all(c, n))
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# Patterns kept to the regex subset Java (Spark) and RE2 (DuckDB, most
+# engines) treat identically: character classes + bounded repetition, no
+# backrefs/lookaround.  Email before ID: the local-part may contain digit
+# runs that the ID pass would otherwise mangle first.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+ID_PATTERN = r"[0-9]{8,}"
+
+
+def count_pii(c: Column) -> Column:
+    """Struct of per-kind PII match counts (emails, long digit-run ids) —
+    the audit signal; compute BEFORE redacting."""
+    return F.struct(
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(ID_PATTERN), 0)).alias("n_ids"),
+    )
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace emails with <EMAIL> then long digit runs with <ID> —
+    scan-speed regexp_replace, zero shuffle, order fixed so both passes
+    are reproducible in any engine."""
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"), ID_PATTERN, "<ID>"
+    )

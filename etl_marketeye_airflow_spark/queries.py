@@ -2163,6 +2163,259 @@ def q55_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII redaction, corpus token statistics, and classic multi-join OLAP
+# (TPC-H Q3/Q5 shapes) — breadth beyond the reference's single-table
+# analytics; all exact-deterministic, all oracle-backed.
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENIZE = (
+    "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+)
+
+
+@query(
+    "q56_pii_redaction",
+    # the corpus has no natural PII, so both engines plant the SAME
+    # deterministic email + 8-digit id (derived from doc_id) and the
+    # oracle proves the redaction strips exactly those
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com id '
+                  || CAST(10000000 + (doc_id * 7919) % 90000000 AS VARCHAR) AS aug
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '[0-9]{8,}')) AS INT) AS n_ids,
+           regexp_replace(
+             regexp_replace(aug,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{8,}', '<ID>', 'g') AS redacted
+    FROM a
+    """,
+)
+def q56_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count then redact emails and long digit-run ids —
+    scan-speed regexp work, zero shuffle.  The corpus text is synthetic
+    word soup, so the query plants one deterministic email + id per doc
+    (same derivation in the oracle) and the gate proves the scrub
+    catches exactly those."""
+    from .operators.text import count_pii, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com id "),
+        (F.lit(10000000) + (F.col("doc_id") * 7919) % 90000000).cast("string"),
+    )
+    return (
+        docs.withColumn("_aug", aug)
+        .withColumn("_pii", count_pii(F.col("_aug")))
+        .select(
+            "doc_id",
+            F.col("_pii.n_emails").alias("n_emails"),
+            F.col("_pii.n_ids").alias("n_ids"),
+            redact_pii(F.col("_aug")).alias("redacted"),
+        )
+    )
+
+
+@query(
+    "q57_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_SQL_TOKENIZE}) AS token FROM documents
+    ),
+    c AS (
+      SELECT source, token, count(*) AS cnt
+      FROM tok WHERE token <> '' GROUP BY source, token
+    )
+    SELECT source, token, cnt, rank FROM (
+      SELECT source, token, cnt,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY cnt DESC, token ASC) AS INT) AS rank
+      FROM c
+    ) WHERE rank <= 10
+    """,
+)
+def q57_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source top-10 tokens: boilerplate spotting / domain
+    vocabulary audit.  Token stream collapses in a hash agg FIRST
+    (map-side partial combine bounds the shuffle); the rank window sorts
+    the per-group VOCAB table, never corpus rows."""
+    from .operators.corpus import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), group_col="source", k=10)
+
+
+@query(
+    "q58_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKENIZE}) AS token FROM documents
+    ),
+    c AS (
+      SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY token
+    ),
+    t AS (SELECT sum(cnt) AS total FROM c),
+    r AS (
+      SELECT token, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank,
+             CAST(sum(cnt) OVER (
+               ORDER BY cnt DESC, token ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM c
+    )
+    SELECT token, cnt, rank, cum FROM r, t
+    WHERE (cum - cnt) * 1000 < total * 500
+    """,
+)
+def q58_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal frequency-ordered vocabulary covering 50% of corpus token
+    mass (tokenizer/vocab building).  Exact-integer threshold (multiplied
+    through by the coverage denominator — no float accumulation); the
+    global window runs over the aggregated vocab table only."""
+    from .operators.corpus import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), coverage=0.5)
+
+
+# Exact-decimal discounted revenue: operands sized so every engine's
+# decimal arithmetic stays exact — price fits DECIMAL(12,4), (1-disc)
+# fits DECIMAL(7,4); their product and its sum never round, and the
+# final double cast of the same exact rational is bit-identical.
+_REV_SPARK = None  # built inline; SQL twin below
+_SQL_REV = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * "
+    "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)"
+)
+
+
+def _rev_spark() -> F.Column:
+    return F.sum(
+        F.col("l_extendedprice").cast("decimal(12,4)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    ).cast("double")
+
+
+@query(
+    "q59_tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, {_SQL_REV} AS revenue, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15'
+      AND l_shipdate  > TIMESTAMP '1998-06-15'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q59_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers x date-filtered orders
+    x lineitem, top-10 orders by discounted revenue.
+
+    Plan notes: both filters are pushed to the parquet scans; the
+    customer side reduces to a projected keyset (AQE broadcasts it when
+    it fits, as at any sane segment selectivity); orders-lineitem is the
+    one big equi-join; orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-10 + driver merge, never a global sort).  Ties
+    are impossible in the output ordering (l_orderkey is unique per
+    group), so the top-10 SET is deterministic for the multiset hash."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1998-06-15")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1998-06-15")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(cust, ords["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(_rev_spark().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderpriority")
+    )
+
+
+@query(
+    "q60_tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {_SQL_REV} AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def q60_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-way star join (region->nation->customer->
+    orders->lineitem->supplier with the local-supplier co-nation
+    condition), revenue per nation.
+
+    Plan notes: region/nation are broadcast explicitly (they are tiny at
+    ANY scale); customer and supplier joins stay equi-joins for AQE to
+    size (supplier is ~1e7 rows at 100 TB — too big to force broadcast);
+    the orders date filter is pushed to the scan and prunes before the
+    big lineitem join."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nations = F.broadcast(
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        c.join(nations, c["c_nationkey"] == nations["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(_rev_spark().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -94,3 +94,35 @@ def test_decontamination_broadcasts_benchmark_grams(spark):
     plan = executed_plan(df)
     assert has_broadcast_join(df)
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q3_top10_never_global_sorts(spark):
+    """q59's orderBy+limit must compile to TakeOrderedAndProject
+    (per-partition top-k + driver merge), and the date/segment filters
+    must reach the parquet scans."""
+    df = reg.QUERIES["q59_tpch_q3_shipping_priority"](spark, SF)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
+    assert "c_mktsegment" in pushed
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    df = reg.QUERIES["q60_tpch_q5_local_supplier_volume"](spark, SF)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_aggregates_before_window(spark):
+    """q57's rank window must consume the aggregated vocab table: the
+    plan's Window sorts AFTER a HashAggregate, never the raw token
+    stream, and no global (partition-less) window appears."""
+    plan = executed_plan(reg.QUERIES["q57_heavy_hitters"](spark, SF))
+    # plans print top-down: upstream operators appear LATER in the text,
+    # so the aggregate must come after (= below) the window
+    assert plan.index("HashAggregate") > plan.index("Window")
+    # partial per-partition top-k before the shuffle (WindowGroupLimit)
+    assert "WindowGroupLimit" in plan

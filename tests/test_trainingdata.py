@@ -527,3 +527,49 @@ def test_simhash_portable_60bit_parity_and_partial_recall(spark):
     }
     assert d3 <= d6
     assert d3  # planted dups keep this non-vacuous
+
+
+def test_redact_pii_only_touches_pii(spark):
+    from etl_marketeye_airflow_spark.operators.text import count_pii, redact_pii
+
+    rows = spark.createDataFrame(
+        [
+            ("reach me at jo.doe+spam@mail-host.co.uk thanks", 1, 0),
+            ("account 123456789012 and card 99887766", 0, 2),
+            ("short digits 1234567 stay; clean prose stays", 0, 0),
+            ("mixed: a@b.io then 111222333444", 1, 1),
+        ],
+        "text string, want_emails int, want_ids int",
+    ).withColumn("_p", count_pii(F.col("text")))
+    got = rows.select(
+        "text", "want_emails", "want_ids",
+        F.col("_p.n_emails").alias("e"), F.col("_p.n_ids").alias("i"),
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    for r in got:
+        assert (r.e, r.i) == (r.want_emails, r.want_ids), r.text
+        if r.want_emails == 0 and r.want_ids == 0:
+            assert r.red == r.text  # clean text passes through untouched
+        else:
+            assert "@" not in r.red or "<EMAIL>" in r.red
+
+
+def test_vocab_coverage_is_minimal_prefix(spark):
+    """The kept vocabulary is exactly the minimal frequency-ordered
+    prefix reaching 50% mass: its mass-before-last < 50% <= mass."""
+    from etl_marketeye_airflow_spark.operators.corpus import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(
+        vocab_coverage(docs, coverage=0.5).collect(), key=lambda r: r.rank
+    )
+    assert rows and [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    total = docs.select(
+        F.sum(F.size(F.filter(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+            lambda t: t != "",
+        )))
+    ).first()[0]
+    last = rows[-1]
+    assert (last.cum - last.cnt) * 2 < total  # before last: under 50%
+    assert last.cum * 2 >= total  # with last: at least 50%
