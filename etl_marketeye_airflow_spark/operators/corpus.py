@@ -95,3 +95,58 @@ def vocab_coverage(
         )
         .select("token", "cnt", "rank", "cum")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping token windows —
+    the context-window chunking step between "clean corpus" and
+    "training sequences".  Chunk k covers tokens [k*stride+1,
+    k*stride+chunk_size]; the last chunk may run short but every token
+    is covered, and a doc shorter than chunk_size yields exactly one
+    chunk.
+
+    Scale shape: a per-row map + explode (output rows ≈ n_tokens/stride
+    per doc) — zero shuffle; the token array is STAGED once per row so
+    the per-chunk slice/join never re-tokenizes.  All integer index
+    arithmetic → byte-identical chunks in any engine.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    w = F.col("_w")
+    n = F.size(w)
+    # ceil(max(n - chunk_size, 0) / stride) — FLOOR of a correctly-
+    # rounded IEEE division of exact ints < 2^53 is exact; floor (not a
+    # bare long cast) keeps the intent explicit
+    kmax = F.floor(
+        (F.greatest(n - chunk_size, F.lit(0)) + (stride - 1)) / stride
+    ).cast("long")
+    chunk = lambda k: F.slice(w, k * stride + 1, chunk_size)  # noqa: E731
+    return (
+        spread(docs)
+        .select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), kmax),
+                    lambda k: F.struct(
+                        k.alias("chunk_id"),
+                        F.concat_ws(" ", chunk(k)).alias("chunk_text"),
+                        F.size(chunk(k)).alias("n_chunk_tokens"),
+                    ),
+                )
+            ).alias("_c"),
+        )
+        .select(
+            id_col,
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+    )

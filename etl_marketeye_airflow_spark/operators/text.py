@@ -183,3 +183,23 @@ def redact_pii(c: Column) -> Column:
     return F.regexp_replace(
         F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"), ID_PATTERN, "<ID>"
     )
+
+
+# --- Unicode / whitespace canonicalization ----------------------------------
+
+# 1:1 typographic-to-ASCII map (translate is per-codepoint, so the
+# multi-char ellipsis maps to '.' — a lossy-but-standard choice).
+_FANCY = "“”‘’–—…"
+_PLAIN = "\"\"''--."
+
+
+def normalize_unicode(c: Column) -> Column:
+    """Pretraining text hygiene: smart quotes/dashes/ellipsis → ASCII,
+    control chars → space, whitespace runs collapsed, trimmed.  Fixed
+    pass order (translate → control-strip → collapse → trim) so any
+    engine reproduces the output byte-for-byte; patterns stay in the
+    Java∩RE2 regex subset (explicit \\x ranges, no property classes).
+    """
+    t = F.translate(c, _FANCY, _PLAIN)
+    t = F.regexp_replace(t, r"[\x00-\x1F\x7F]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

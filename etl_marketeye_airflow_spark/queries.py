@@ -1173,6 +1173,10 @@ def q31_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.ingest import windowed_event_counts
 
+    # nano-parquet read conf is captured when the stream DataFrame is
+    # created — save/restore so it can't leak into later queries
+    # (convention #5; q34 does the same)
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # window_start strings render in the SESSION timezone; pin UTC so a
     # driver session running under any system TZ matches the oracle
@@ -1203,6 +1207,10 @@ def q31_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
 
 
 # ---------------------------------------------------------------------------
@@ -2414,6 +2422,167 @@ def q60_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataF
         .agg(_rev_spark().alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@query(
+    "q61_document_chunking",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_TOKENIZE} AS ws FROM documents
+    ),
+    k AS (
+      SELECT doc_id, ws, (greatest(len(ws) - 32, 0) + 23) // 24 AS kmax FROM w
+    ),
+    e AS (
+      SELECT doc_id, ws, unnest(range(0, kmax + 1)) AS chunk_id FROM k
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(ws, chunk_id*24 + 1, chunk_id*24 + 32), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(ws, chunk_id*24 + 1, chunk_id*24 + 32)) AS INT)
+             AS n_chunk_tokens
+    FROM e
+    """,
+)
+def q61_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows, stride 24 (8-token
+    overlap) — the corpus→training-sequence step.  Per-row map + explode,
+    zero shuffle; token array staged once per row; exact integer index
+    math makes every chunk byte-identical across engines."""
+    from .operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )
+
+
+@query(
+    "q62_text_normalization",
+    # the corpus is already-clean synthetic text, so both engines plant
+    # the SAME mess (tab, smart quotes, em-dash, ellipsis, control char,
+    # run of spaces) and the oracle proves the scrub canonicalizes it
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             text || chr(9) || chr(8220) || 'smart' || chr(8221) || '  '
+                  || chr(8212) || ' dash ' || chr(8230) || chr(7) AS aug
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               translate(aug,
+                 chr(8220) || chr(8221) || chr(8216) || chr(8217)
+                   || chr(8211) || chr(8212) || chr(8230),
+                 '""''''--.'),
+               '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS cleaned
+    FROM a
+    """,
+)
+def q62_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace canonicalization (pretraining text hygiene):
+    smart quotes/dashes/ellipsis → ASCII (1:1 translate), control chars
+    → space, whitespace runs collapsed, trimmed.  Scan-speed, zero
+    shuffle.  The synthetic corpus is already clean, so the query plants
+    a deterministic mess (same construction in the oracle) and the gate
+    proves the scrub canonicalizes exactly it."""
+    from .operators.text import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit("\t“smart”  — dash …\x07"),
+    )
+    return docs.select(
+        "doc_id", normalize_unicode(aug).alias("cleaned")
+    )
+
+
+@query(
+    "q63_stream_stream_join",
+    # drained stream-stream inner join == the batch interval self-join;
+    # integer-µs time comparisons on both sides (no TZ surface)
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us, epoch_us(c.ts) AS click_ts_us
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+    """,
+)
+def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click→purchase
+    attribution within 1 hour), drained with AvailableNow — per-key
+    state bounded by watermark+lookback, never stream history; the
+    drained pair set equals the batch interval self-join (oracle)."""
+    import uuid
+
+    from .streaming.joins import stream_interval_join
+
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        def read_events():
+            return (
+                spark.readStream.schema(
+                    "event_id long, ts long, user_id long, event_type string,"
+                    " value double, props string"
+                )
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            )
+
+        purchases = (
+            read_events()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        clicks = (
+            read_events()
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        joined = stream_interval_join(
+            purchases, clicks, key="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback="1 hour", watermark="2 hours",
+        ).select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.unix_micros(F.col("p_ts")).alias("purchase_ts_us"),
+            F.unix_micros(F.col("c_ts")).alias("click_ts_us"),
+        )
+        name = f"q63_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

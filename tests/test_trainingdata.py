@@ -573,3 +573,64 @@ def test_vocab_coverage_is_minimal_prefix(spark):
     last = rows[-1]
     assert (last.cum - last.cnt) * 2 < total  # before last: under 50%
     assert last.cum * 2 >= total  # with last: at least 50%
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    """Chunk invariants on real docs: concatenating stride-prefixes of
+    all chunks plus the last chunk's tail reconstructs the token stream;
+    consecutive chunks overlap by chunk_size - stride tokens; short docs
+    yield exactly one chunk."""
+    from etl_marketeye_airflow_spark.operators.corpus import chunk_documents
+    from etl_marketeye_airflow_spark.operators.text import word_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(docs, chunk_size=32, stride=24).collect()
+    toks = {
+        r.doc_id: r.t
+        for r in docs.select("doc_id", word_tokens(F.col("text")).alias("t")).collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        full = toks[doc_id]
+        rebuilt = []
+        for r in rows[:-1]:
+            rebuilt.extend(r.chunk_text.split(" ")[:24])
+        rebuilt.extend(rows[-1].chunk_text.split(" "))
+        assert rebuilt == full, doc_id
+        if len(full) <= 32:
+            assert len(rows) == 1
+        for a, b in zip(rows, rows[1:]):
+            assert a.chunk_text.split(" ")[24:] == b.chunk_text.split(" ")[: len(a.chunk_text.split(" ")) - 24]
+
+
+def test_normalize_unicode_cases(spark):
+    from etl_marketeye_airflow_spark.operators.text import normalize_unicode
+
+    rows = spark.createDataFrame(
+        [
+            ("“quoted” — yes…", '"quoted" - yes.'),
+            ("tab\there\x00and\x1fthere", "tab here and there"),
+            ("  already   clean  ", "already clean"),
+            ("untouched ascii-text.", "untouched ascii-text."),
+        ],
+        "raw string, want string",
+    )
+    for r in rows.select(normalize_unicode(F.col("raw")).alias("got"), "want").collect():
+        assert r.got == r.want
+
+
+def test_stream_interval_join_rejects_colliding_columns(spark):
+    from etl_marketeye_airflow_spark.streaming.joins import stream_interval_join
+
+    s = (
+        spark.readStream.schema("event_id long, ts long, user_id long,"
+                                " event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001")
+    )
+    with pytest.raises(ValueError, match="rename overlapping"):
+        stream_interval_join(s, s, key="user_id", left_ts="ts", right_ts="ts")
