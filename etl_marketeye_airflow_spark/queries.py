@@ -2585,6 +2585,34 @@ def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
 
 
+@query(
+    "q64_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           {_SQL_SUM.format(c='o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q64_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (detail / per-status / grand total in ONE
+    pass) with grouping_id disambiguating the null-vs-rollup levels —
+    completes the cube/rollup family (q14).  One shuffle; Spark expands
+    the sets map-side and partial-aggregates before it."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

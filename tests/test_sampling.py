@@ -83,3 +83,18 @@ def test_contamination_finds_planted_cross_source_dups(spark, docs):
     n_hits = hits.count()
     assert n_hits < rest.count() * 0.1  # not everything
     assert (hits.agg(F.min("n_shared_grams")).first()[0] or 1) >= 1
+
+
+def test_hash_split_drives_partitioned_write_with_pruning(spark, docs, tmp_path):
+    """The split column partitions a write; reading one split back scans
+    only that directory (PartitionFilters, zero data filters) — the
+    zero-shuffle split-then-write path hash_split's docstring promises."""
+    out = str(tmp_path / "by_split")
+    hash_split(docs, "doc_id").write.partitionBy("split").parquet(out)
+    val = spark.read.parquet(out).filter(F.col("split") == "val")
+    plan = val._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
+    assert "PushedFilters: []" in plan  # nothing left to push -- pruning did it
+    expect = {r.doc_id for r in hash_split(docs, "doc_id")
+              .filter(F.col("split") == "val").select("doc_id").collect()}
+    assert {r.doc_id for r in val.select("doc_id").collect()} == expect
