@@ -76,7 +76,9 @@ def vocab_coverage(
     two-pass bucketed variant).
     """
     num = int(round(coverage * 1000))  # coverage as an exact rational
-    counts = token_counts(docs, text_col, None)
+    # two consumers (total agg + ranked) — persist the vocab-sized count
+    # table or the corpus tokenize/explode/agg pipeline runs twice
+    counts = token_counts(docs, text_col, None).persist()
     w = (
         Window.orderBy(F.desc("cnt"), F.asc("token"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -118,6 +120,13 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
+    if stride > chunk_size:
+        # a gapped configuration silently violates the coverage invariant
+        # (tokens between chunk ends and the next stride start vanish)
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_size ({chunk_size}): "
+            "every token must land in at least one chunk"
+        )
     w = F.col("_w")
     n = F.size(w)
     # ceil(max(n - chunk_size, 0) / stride) — FLOOR of a correctly-

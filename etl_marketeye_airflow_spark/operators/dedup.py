@@ -13,14 +13,16 @@ document-level dedup family a 100 TB text pipeline needs:
 - embedding near-dup: random-hyperplane LSH buckets + cosine verify
   (see similarity.py for the primitives).
 
-Token hashing stays JVM-side (xxhash64); dense integer kernels (simhash
-bit votes) run as Arrow-batched numpy — bitwise-identical to the JVM
-forms, zero shuffle, and no multi-second Janino compile of wide
-aggregates.  MinHash keeps the explode + codegen'd min-agg form (64
-min-buffers compile fast).  The Column higher-order-function forms exist
-for per-row use but are interpreted per element and ~10× slower at
-scale.  The clustering endgame (connected components) is min-label
-propagation + pointer jumping, O(log diameter) rounds.
+Token/shingle hashing stays JVM-side (xxhash64, or the md5-derived
+portable hash when oracle reproducibility matters); the dense integer
+kernels — simhash bit votes, minhash multiply-shift minima folded to
+band keys — run as Arrow-batched numpy: zero shuffle, no multi-second
+Janino compile of wide aggregates, and bitwise-identical to the JVM
+parity forms where one exists (simhash keeps Column + explode/agg
+baselines; minhash's kernel IS the only signature family — don't mix
+other minhash implementations with its band keys).  The clustering
+endgame (connected components) is min-label propagation + pointer
+jumping, O(log diameter) rounds.
 """
 
 from __future__ import annotations
@@ -51,14 +53,36 @@ def words(c: Column) -> Column:
     return F.split(normalize_text(c), " ")
 
 
+def shingles_from_tokens(w: Column, k: int = 3) -> Column:
+    """Distinct word k-grams from a token-array column; token arrays
+    shorter than k yield one (partial) shingle.
+
+    Built with nested ``zip_with`` over shifted slices — higher-order-
+    function ARGUMENTS evaluate once, so the token expression is
+    computed k+1 times per row TOTAL.  The obvious form (``transform``
+    over a position sequence with ``slice(w, i, k)`` in the lambda)
+    re-evaluates the captured ``w`` tree PER ELEMENT: with an inline
+    ``split()`` that is O(n²) in document length — measured 17 s for a
+    single 10k-token document, hours for 1M tokens.
+    """
+    acc = w
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))),
+            # null right side (past the end) → concat_ws skips it,
+            # leaving the partial gram — trimmed below
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    full = F.slice(acc, 1, F.greatest(F.size(w) - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(full)
+
+
 def word_shingles(c: Column, k: int = 3) -> Column:
-    """Distinct word k-grams; texts shorter than k words yield one shingle."""
-    w = words(c)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-    )
-    return F.array_distinct(grams)
+    """Distinct word k-grams; texts shorter than k words yield one
+    shingle.  Linear in text length for any caller (see
+    shingles_from_tokens)."""
+    return shingles_from_tokens(words(c), k)
 
 
 # --- exact ------------------------------------------------------------------
@@ -92,42 +116,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 # --- MinHash + LSH ----------------------------------------------------------
-
-
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """num_hashes independent min-hashes; hash_i(s) = xxhash64(i, s).
-
-    Column form for small/per-row use.  Higher-order-function lambdas are
-    INTERPRETED per element (num_hashes × |shingles| interpreted ops per
-    row) — for corpus-scale signatures use ``minhash_signatures`` below,
-    which is whole-stage-codegen'd (measured ~4× faster at 5k docs).
-    """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
-    )
-
-
-def minhash_signatures(
-    shingled: DataFrame, num_hashes: int = 64, id_col: str = "_id", shingle_col: str = "_sh"
-) -> DataFrame:
-    """Corpus-scale signature computation: explode shingles → hash-agg
-    with num_hashes codegen'd min() columns → packed signature array.
-
-    One shuffle on the doc id; every hash/min stays inside whole-stage
-    codegen (vs interpreted lambda folds in the Column form).
-    """
-    ex = shingled.select(id_col, F.explode(shingle_col).alias("_s"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}") for i in range(num_hashes)
-    ]
-    return (
-        ex.groupBy(id_col)
-        .agg(*aggs)
-        .select(id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"))
-    )
 
 
 def minhash_lsh_pairs(
@@ -200,15 +188,26 @@ def minhash_lsh_pairs(
                 h = (h ^ chunks[:, j]) * fnv_mul
             return h.view(np.int64)
 
+        # slice the (num_hashes, n_shingles) broadcast multiply so one
+        # pathological mega-document can't materialize an unbounded bit
+        # matrix: 64 x 2^16 x 8B = 32 MB per slice, min-combined across
+        # slices (min is associative — result is identical)
+        slice_tokens = 1 << 16
+        umax = np.iinfo(np.uint64).max
         for idx in range(n):
             a = arrs[idx]
             if a is None or len(a) == 0:
                 out[idx] = fold(empty_sig)
                 continue
             x = np.asarray(a, dtype=np.int64).view(np.uint64)
-            # (num_hashes, n_shingles) in one broadcast multiply; rows are
-            # short (shingle count ~ token count), so no chunking needed
-            sig = (mul[:, None] * x[None, :] + add[:, None]).min(axis=1)
+            sig = np.full(len(mul), umax, dtype=np.uint64)
+            for s in range(0, len(x), slice_tokens):
+                xs = x[s : s + slice_tokens]
+                np.minimum(
+                    sig,
+                    (mul[:, None] * xs[None, :] + add[:, None]).min(axis=1),
+                    out=sig,
+                )
             out[idx] = fold(sig)
         return pd.Series(out)
 
@@ -512,10 +511,31 @@ def simhash_signatures(
         # MSB (key = key<<1 | sign), so bit j lands at position bits-1-j
         weights = np.uint64(1) << (np.uint64(bits - 1) - shifts)
         chunk_tokens = 1 << 20
+
+        def big_row_sig(a, ln):
+            # a single document larger than the chunk budget: accumulate
+            # per-bit set-counts over slices (sum is associative) so the
+            # bit matrix stays <= chunk_tokens x bits regardless of
+            # document length
+            setcnt = np.zeros(len(shifts), dtype=np.int64)
+            for s in range(0, ln, chunk_tokens):
+                flat = np.asarray(a[s : s + chunk_tokens], dtype=np.int64).view(
+                    np.uint64
+                )
+                setcnt += ((flat[:, None] >> shifts) & np.uint64(1)).sum(
+                    axis=0, dtype=np.int64
+                )
+            votes = 2 * setcnt - ln
+            return ((votes > 0) * weights).sum(dtype=np.uint64)
+
         i = 0
         while i < n:
+            if lens[i] > chunk_tokens:
+                out[i] = big_row_sig(arrs[i], int(lens[i]))
+                i += 1
+                continue
             j, tok = i, 0
-            while j < n and (tok == 0 or tok + lens[j] <= chunk_tokens):
+            while j < n and lens[j] <= chunk_tokens and (tok == 0 or tok + lens[j] <= chunk_tokens):
                 tok += lens[j]
                 j += 1
             seg_lens = lens[i:j]

@@ -172,13 +172,29 @@ def enrich_with_http_resumable(
     join before any HTTP happens.  Results join back from the
     checkpoint, so the returned DataFrame is also reproducible offline.
     """
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
+
+    def read_checkpoint():
+        """None ⇔ the checkpoint doesn't exist yet.  ONLY missing-path
+        counts as first-run: a corrupted or unreadable checkpoint must
+        raise, not silently trigger a full refetch (days of rate-limited
+        HTTP) that appends duplicates onto a bad directory."""
+        try:
+            return spark.read.parquet(checkpoint_dir)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+                return None
+            raise
+
+    done_df = read_checkpoint()
     keys = df.select(F.col(key_col).alias("_key")).dropDuplicates()
-    try:
-        done = spark.read.parquet(checkpoint_dir).select("_key").dropDuplicates()
-    except Exception:  # first run: no checkpoint yet
-        done = None
-    todo = keys if done is None else keys.join(done, "_key", "left_anti")
+    todo = (
+        keys
+        if done_df is None
+        else keys.join(done_df.select("_key").dropDuplicates(), "_key", "left_anti")
+    )
     grouped = todo.withColumn(
         "_grp", F.pmod(F.xxhash64(F.col("_key")), F.lit(n_batch_groups))
     )
@@ -198,11 +214,16 @@ def enrich_with_http_resumable(
             n_partitions=n_partitions,
         )
         fetched.write.mode("append").parquet(checkpoint_dir)
-    enriched = (
-        spark.read.parquet(checkpoint_dir)
-        .dropDuplicates(["_key"])
-        .withColumnRenamed("_key", key_col)
-    )
+    final = read_checkpoint()
+    if final is None:
+        # zero keys AND no prior checkpoint: nothing was ever written —
+        # return the input with the enrichment columns present-but-null
+        # instead of crashing on a missing path
+        return (
+            df.withColumn("enriched_payload", F.lit(None).cast("string"))
+            .withColumn("enrich_status", F.lit(None).cast("string"))
+        )
+    enriched = final.dropDuplicates(["_key"]).withColumnRenamed("_key", key_col)
     return df.join(enriched, key_col, "left")
 
 

@@ -125,15 +125,17 @@ def lsh_topk(
     corpus by bucket once (write partitioned parquet) and each query
     reads only the probed partitions (partition pruning does the rest).
     """
+    from itertools import combinations
+
     planes = hyperplanes(n_planes, len(query_vec), seed)
     q_bucket = _py_bucket(query_vec, planes)
-    probe = {q_bucket}
-    if hamming_radius >= 1:
-        probe.update(q_bucket ^ (1 << i) for i in range(n_planes))
-    if hamming_radius >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probe.add(q_bucket ^ (1 << i) ^ (1 << j))
+    # full probe set for ANY radius: all C(n_planes, r') bit-flip masks,
+    # r' = 0..radius (driver-side over n_planes bits — tiny)
+    probe = {
+        q_bucket ^ sum(1 << i for i in bits)
+        for r in range(min(hamming_radius, n_planes) + 1)
+        for bits in combinations(range(n_planes), r)
+    }
     bucketed = embeddings.withColumn("_bucket", lsh_bucket(F.col(emb_col), planes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

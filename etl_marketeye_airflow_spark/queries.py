@@ -2177,9 +2177,7 @@ def q55_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # analytics; all exact-deterministic, all oracle-backed.
 # ---------------------------------------------------------------------------
 
-_SQL_TOKENIZE = (
-    "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
-)
+_SQL_TOKENIZE = _SQL_WORDS  # one oracle-side tokenizer — never let two copies drift
 
 
 @query(

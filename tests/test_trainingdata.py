@@ -634,3 +634,83 @@ def test_stream_interval_join_rejects_colliding_columns(spark):
     )
     with pytest.raises(ValueError, match="rename overlapping"):
         stream_interval_join(s, s, key="user_id", left_ts="ts", right_ts="ts")
+
+
+def test_chunking_rejects_gapped_configuration(spark, docs):
+    from etl_marketeye_airflow_spark.operators.corpus import chunk_documents
+
+    with pytest.raises(ValueError, match="stride.*must be <= chunk_size"):
+        chunk_documents(docs, chunk_size=16, stride=24)
+
+
+def test_lsh_topk_radius3_probes_full_combination_set(spark):
+    """Radius-3 multi-probe must actually widen the probe set (the old
+    implementation silently capped at radius 2)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    r2 = {r.vec_id for r in lsh_topk(emb, qv, k=50, hamming_radius=2).collect()}
+    r3 = {r.vec_id for r in lsh_topk(emb, qv, k=50, hamming_radius=3).collect()}
+    assert r2 <= r3 or len(r3) == 50  # superset unless both saturate k
+    assert len(r3) >= len(r2)
+
+
+def test_signature_kernels_bounded_on_mega_document(spark):
+    """A single document far over the kernels' slice budgets must still
+    produce correct signatures (sliced min/sum accumulation), not an
+    unbounded bit matrix.  Simhash is checked against the explode/agg
+    parity baseline; minhash by pairing two copies of the mega-doc."""
+    import random
+
+    from etl_marketeye_airflow_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_signatures,
+        simhash_signatures_agg,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    # > 2^16 distinct shingles (minhash slice budget); two identical docs
+    mega = " ".join(rng.choice(vocab) for _ in range(80_000))
+    docs = spark.createDataFrame(
+        [(1, mega), (2, mega), (3, "tiny unrelated doc")], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 1.0
+
+    # > 2^20 tokens triggers the simhash big-row sliced path
+    big = " ".join(rng.choice(vocab) for _ in range((1 << 20) + 4096))
+    one = spark.createDataFrame([(9, big)], "doc_id long, text string")
+    kern = simhash_signatures(one).first()._sig
+    agg = simhash_signatures_agg(one).first()._sig
+    assert kern == agg
+
+
+def test_enrich_resumable_empty_keys_and_corrupt_checkpoint(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+
+    from etl_marketeye_airflow_spark.operators.enrich import (
+        enrich_with_http_resumable,
+    )
+
+    def fake_client(url, timeout_sec=10.0):
+        return 200, '{"ok": true}'
+
+    # zero input keys + fresh checkpoint dir: null enrichment, no crash
+    empty = spark.createDataFrame([], "k string")
+    out = enrich_with_http_resumable(
+        empty, "k", "http://x/{key}", str(tmp_path / "cp_fresh"), client=fake_client
+    )
+    assert {"enriched_payload", "enrich_status"} <= set(out.columns)
+    assert out.count() == 0
+
+    # corrupted checkpoint must RAISE, not silently refetch everything
+    bad = tmp_path / "cp_bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(Exception) as ei:
+        enrich_with_http_resumable(
+            df, "k", "http://x/{key}", str(bad), client=fake_client
+        ).count()
+    assert not isinstance(ei.value, AnalysisException) or "PATH_NOT_FOUND" not in str(ei.value)
