@@ -127,15 +127,23 @@ def doc_fingerprint(c: Column) -> Column:
 
 
 def ngrams_from_tokens(w: Column, n: int) -> Column:
-    """ALL word n-grams from a (preferably STAGED) token-array column,
-    duplicates kept — the denominator of repetition metrics.  Texts
-    shorter than n words yield one gram.  Pass a staged attribute, not
-    a fresh ``word_tokens(text)`` tree, when computing several gram
-    sizes: each inlined copy re-tokenizes the text."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
+    """ALL word n-grams from a token-array column, duplicates kept —
+    the denominator of repetition metrics.  Texts shorter than n words
+    yield one gram.  Still prefer a staged attribute when computing
+    several gram sizes (each inlined copy re-tokenizes n+1 times).
+
+    Nested ``zip_with`` over shifted slices, NOT ``transform`` over a
+    position sequence: HOF arguments evaluate once, while a lambda that
+    captures the token tree re-evaluates it per element — O(n²) per
+    document with an inline split (see dedup.shingles_from_tokens)."""
+    acc = w
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.slice(acc, 1, F.greatest(F.size(w) - F.lit(n - 1), F.lit(1)))
 
 
 def word_ngrams_all(c: Column, n: int) -> Column:
