@@ -2611,6 +2611,115 @@ def q64_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q65_session_windows",
+    # Spark's session_window == gaps-and-islands in SQL: a session ends
+    # 30 min after its LAST event (exclusive end).  Integer-µs bounds,
+    # exact-decimal value sums — no TZ or float surface.
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT *, CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) + 1800000000 AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(19,4))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q65_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window grouping (30-min inactivity gap): per-user
+    sessions with integer-µs bounds and exact-decimal value totals —
+    the engine-native form of q16's manual gaps-and-islands.  One
+    shuffle on (user_id); Spark merges windows in the aggregation."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "_t", F.timestamp_micros(F.col("ts_us"))
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("_t", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q66_multimodal_features",
+    # the float32 feature vector itself is hash-fragile across engines;
+    # the checked outputs (argmax bin, nonzero bins) are fully determined
+    # by the INTEGER byte histogram, which SQL recomputes from the hex
+    # high-nibbles of the same utf-8 bytes (hex char at odd positions)
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+             octet_length(encode(coalesce(text, ''))) AS n FROM documents
+    ),
+    nib AS (
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1),
+                            i -> substr(hx, 2*CAST(i AS INT) - 1, 1)) AS highs
+      FROM h
+    ),
+    c AS (
+      SELECT doc_id, n,
+             list_transform(range(0, 16),
+               b -> len(list_filter(highs,
+                      ch -> ch = substr('0123456789ABCDEF', CAST(b AS INT) + 1, 1)))) AS cnt
+      FROM nib
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           16 AS feature_dim,
+           CAST(list_position(cnt, list_max(cnt)) - 1 AS INT) AS argmax_bin,
+           CAST(len(list_filter(cnt, x -> x > 0)) AS INT) AS n_nonzero_bins
+    FROM c
+    """,
+)
+def q66_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction stage (q30 covers decode): attach
+    binary content, run the Arrow-batched byte-histogram featurizer
+    (mapInPandas — the exact plumbing a learned-embedding UDF uses),
+    then derive integer facts (argmax bin, nonzero bins) from the
+    float32 vector.  argmax/nonzero are normalization-invariant, so the
+    oracle checks the full featurize pipeline through integer outputs."""
+    from .operators.multimodal import attach_binary_content, extract_features
+
+    media = attach_binary_content(_t(spark, sf_dir, "documents"), kind="image")
+    feats = extract_features(media)
+    first_max = F.array_position(F.col("feature"), F.array_max(F.col("feature")))
+    return (
+        media.select("media_id", F.length(F.col("content")).cast("long").alias("n_bytes"))
+        .join(feats, "media_id")
+        .select(
+            "media_id",
+            "n_bytes",
+            F.col("feature_dim").cast("int").alias("feature_dim"),
+            (first_max - 1).cast("int").alias("argmax_bin"),
+            F.size(F.filter(F.col("feature"), lambda x: x > 0)).alias("n_nonzero_bins"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
