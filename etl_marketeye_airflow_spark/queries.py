@@ -2720,6 +2720,70 @@ def q66_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q67_tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {_SQL_REV} AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q67_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bi-directional trade volume between two nations
+    per ship year — a 5-way join whose nation-PAIR filter is
+    disjunctive.  The OR collapses each nation dim to 2 rows BEFORE the
+    fact joins (broadcast both), so the disjunction never reaches the
+    big join as a residual condition; year() runs under an explicitly
+    pinned UTC session so timestamp→year is engine-identical."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        pair = ("NATION_1", "NATION_2")
+        n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+        s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1998-01-01")
+            )
+            .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                    F.year("l_shipdate").alias("l_year"))
+        )
+        n1 = F.broadcast(n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")))
+        n2 = F.broadcast(n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")))
+        out = (
+            li.join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(n1, s["s_nationkey"] == F.col("nk1"))
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(n2, c["c_nationkey"] == F.col("nk2"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(_rev_spark().alias("revenue"))
+        )
+        # ResolveTimeZone bakes the session TZ into year()/comparisons at
+        # ANALYSIS, which is lazy — touch the schema while UTC is pinned
+        # so restoring the conf can't retroactively change semantics
+        out.schema
+        return out
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -245,3 +245,35 @@ def test_near_dup_clusters_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in parent}
     assert got == want
+
+
+chunk_configs = st.tuples(
+    st.integers(min_value=1, max_value=12),   # stride
+    st.integers(min_value=0, max_value=20),   # chunk_size - stride (>= 0)
+    st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=60),
+)
+
+
+@SET
+@given(chunk_configs)
+def test_chunking_coverage_property(spark, cfg):
+    """For ANY stride <= chunk_size and any doc: every token position is
+    covered by >= 1 chunk, chunk k starts at k*stride+1, and chunk
+    count == ceil(max(n-size,0)/stride)+1."""
+    from etl_marketeye_airflow_spark.operators.corpus import chunk_documents
+
+    stride, extra, word_ids = cfg
+    size = stride + extra
+    text = " ".join(f"t{w}" for w in word_ids)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_documents(docs, chunk_size=size, stride=stride).collect(),
+                  key=lambda r: r.chunk_id)
+    # tokenizer semantics: empty text still yields [''] (one token)
+    n = max(len(word_ids), 1)
+    expected_chunks = -(-max(n - size, 0) // stride) + 1
+    assert len(rows) == expected_chunks
+    covered = set()
+    for r in rows:
+        start = r.chunk_id * stride
+        covered.update(range(start, start + r.n_chunk_tokens))
+    assert covered == set(range(n))
