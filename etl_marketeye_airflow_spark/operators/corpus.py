@@ -144,10 +144,15 @@ def chunk_documents(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0).cast("long"), kmax),
+                    # n_chunk_tokens is pure integer arithmetic — a
+                    # second chunk(k) slice per element would double the
+                    # array work in the hot explode
                     lambda k: F.struct(
                         k.alias("chunk_id"),
                         F.concat_ws(" ", chunk(k)).alias("chunk_text"),
-                        F.size(chunk(k)).alias("n_chunk_tokens"),
+                        F.least(F.lit(chunk_size), n - k * stride)
+                        .cast("int")
+                        .alias("n_chunk_tokens"),
                     ),
                 )
             ).alias("_c"),

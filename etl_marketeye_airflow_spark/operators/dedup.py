@@ -75,6 +75,9 @@ def shingles_from_tokens(w: Column, k: int = 3) -> Column:
             lambda a, b: F.concat_ws(" ", a, b),
         )
     full = F.slice(acc, 1, F.greatest(F.size(w) - F.lit(k - 1), F.lit(1)))
+    # contract: an EMPTY token array still yields one (empty) shingle,
+    # matching the transform-over-positions form this replaced
+    full = F.when(F.size(w) == 0, F.array(F.lit(""))).otherwise(full)
     return F.array_distinct(full)
 
 

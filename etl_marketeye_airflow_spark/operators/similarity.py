@@ -127,6 +127,8 @@ def lsh_topk(
     """
     from itertools import combinations
 
+    if hamming_radius < 0:
+        raise ValueError(f"hamming_radius must be >= 0, got {hamming_radius}")
     planes = hyperplanes(n_planes, len(query_vec), seed)
     q_bucket = _py_bucket(query_vec, planes)
     # full probe set for ANY radius: all C(n_planes, r') bit-flip masks,

@@ -143,7 +143,10 @@ def ngrams_from_tokens(w: Column, n: int) -> Column:
             F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-    return F.slice(acc, 1, F.greatest(F.size(w) - F.lit(n - 1), F.lit(1)))
+    full = F.slice(acc, 1, F.greatest(F.size(w) - F.lit(n - 1), F.lit(1)))
+    # contract: an EMPTY token array still yields one (empty) gram,
+    # matching the transform-over-positions form this replaced
+    return F.when(F.size(w) == 0, F.array(F.lit(""))).otherwise(full)
 
 
 def word_ngrams_all(c: Column, n: int) -> Column:

@@ -1171,25 +1171,18 @@ def q31_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     state equals the batch date_trunc aggregation (the oracle)."""
     import uuid
 
+    from .sources.tables import load_events_stream
     from .streaming.ingest import windowed_event_counts
 
-    # nano-parquet read conf is captured when the stream DataFrame is
-    # created — save/restore so it can't leak into later queries
-    # (convention #5; q34 does the same)
-    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # window_start strings render in the SESSION timezone; pin UTC so a
     # driver session running under any system TZ matches the oracle
+    # (load_events_stream handles the nanosAsLong save/restore itself)
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         stream = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")  # file source needs a DIR
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            load_events_stream(spark, sf_dir)
+            .withColumn("ts", F.col("_t"))
             .withColumn("value", F.col("value").cast("decimal(19,4)"))
         )
         out = windowed_event_counts(stream, "1 hour", "10 minutes").withColumn(
@@ -1207,10 +1200,6 @@ def q31_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
-        if prev_nanos is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
 
 
 # ---------------------------------------------------------------------------
@@ -2519,40 +2508,28 @@ def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained pair set equals the batch interval self-join (oracle)."""
     import uuid
 
+    from .sources.tables import load_events_stream
     from .streaming.joins import stream_interval_join
 
-    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        def read_events():
-            return (
-                spark.readStream.schema(
-                    "event_id long, ts long, user_id long, event_type string,"
-                    " value double, props string"
-                )
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            )
-
         purchases = (
-            read_events()
+            load_events_stream(spark, sf_dir)
             .filter(F.col("event_type") == "purchase")
             .select(
                 F.col("event_id").alias("purchase_id"),
                 "user_id",
-                F.col("ts").alias("p_ts"),
+                F.col("_t").alias("p_ts"),
             )
         )
         clicks = (
-            read_events()
+            load_events_stream(spark, sf_dir)
             .filter(F.col("event_type") == "click")
             .select(
                 F.col("event_id").alias("click_id"),
                 "user_id",
-                F.col("ts").alias("c_ts"),
+                F.col("_t").alias("c_ts"),
             )
         )
         joined = stream_interval_join(
@@ -2577,10 +2554,6 @@ def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        if prev_nanos is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
 
 
 @query(
@@ -2617,13 +2590,19 @@ def q64_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 30 min after its LAST event (exclusive end).  Integer-µs bounds,
     # exact-decimal value sums — no TZ or float surface.
     oracle="""
-    WITH g AS (
-      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    WITH e AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+    ),
+    g AS (
+      -- BOTH windows order by (ts_us, event_id): Spark only ever sees
+      -- microseconds, so nanosecond-resolution ordering here could
+      -- disagree on same-microsecond ties
+      SELECT user_id, event_id, value, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+                  OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM e
     ),
     s AS (
       SELECT *, CAST(sum(new_session) OVER (

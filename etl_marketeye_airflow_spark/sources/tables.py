@@ -57,6 +57,41 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts_us", F.expr("ts div 1000"))
 
 
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of load_events: the nano-timestamp events table as
+    a file stream, with ``_t`` (TIMESTAMP, µs precision) ready for
+    watermarks/windows and ``ts_us`` (integer µs) for exact arithmetic.
+
+    One definition for the schema string and the nanosAsLong
+    save/restore dance — q31/q63/q65-style streaming queries must not
+    each carry their own copy that can drift.
+    """
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")  # file source needs a DIR
+            .parquet(sf_dir)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "_t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 

@@ -704,13 +704,22 @@ def test_enrich_resumable_empty_keys_and_corrupt_checkpoint(spark, tmp_path):
     assert {"enriched_payload", "enrich_status"} <= set(out.columns)
     assert out.count() == 0
 
-    # corrupted checkpoint must RAISE, not silently refetch everything
+    # corrupted checkpoint must RAISE, not silently refetch everything:
+    # the catastrophic failure mode is a full refetch appended onto the
+    # bad directory, so count HTTP calls — there must be NONE
+    calls = []
+
+    def counting_client(url, timeout_sec=10.0):
+        calls.append(url)
+        return 200, '{"ok": true}'
+
     bad = tmp_path / "cp_bad"
     bad.mkdir()
     (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(Exception) as ei:
         enrich_with_http_resumable(
-            df, "k", "http://x/{key}", str(bad), client=fake_client
+            df, "k", "http://x/{key}", str(bad), client=counting_client
         ).count()
     assert not isinstance(ei.value, AnalysisException) or "PATH_NOT_FOUND" not in str(ei.value)
+    assert calls == []  # no refetch happened before the raise

@@ -81,6 +81,10 @@ def main() -> int:
             sdf = qs[name](spark, args.sf_dir)
             s_cols = sdf.columns
             s_rows = sdf.collect()
+            # operators persist intra-query fan-out bases with no
+            # unpersist path — clear between queries (same as bench.py)
+            # so a 67-query session doesn't accumulate dead cache entries
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
