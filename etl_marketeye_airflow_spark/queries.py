@@ -2763,6 +2763,65 @@ def q67_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+@query(
+    "q68_udtf_token_offsets",
+    # char_offset recomputed in SQL as the joined length of preceding
+    # tokens (+1 separator) — exact integer math; the O(len²) slice-sum
+    # is oracle-side only (Spark carries a running sum per row)
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS token_idx,
+           ws[CAST(i AS INT)] AS token,
+           CAST(CASE WHEN i = 1 THEN 0
+                ELSE len(array_to_string(list_slice(ws, 1, CAST(i AS INT) - 1), ' ')) + 1
+                END AS INT) AS char_offset
+    FROM e
+    """,
+)
+def q68_udtf_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (the one Python-integration class the rest of
+    the registry doesn't cover — scalar pandas_udf / mapInPandas /
+    applyInPandas(+WithState) all appear elsewhere): a table function
+    exploding each doc into (token_idx, token, char_offset) rows, where
+    the offset is a running sum the UDTF carries per input row.  Lateral
+    join in SQL; per-row Python generator — the UDTF tax is the point
+    of the demo, and the oracle documents the set-based equivalent.
+    Closure hygiene: the class body is stdlib-only (convention #3)."""
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token_idx int, token string, char_offset int")
+    class TokenOffsets:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            off = 0
+            for i, t in enumerate(toks, start=1):
+                yield i, t, off
+                off += len(t) + 1
+
+    fn = f"token_offsets_{uuid.uuid4().hex[:8]}"
+    view = f"docs_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fn, TokenOffsets)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("_norm"),
+    )
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT d.doc_id, t.token_idx, t.token, t.char_offset "
+        f"FROM {view} d, LATERAL {fn}(d._norm) t"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
