@@ -982,33 +982,118 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q25_ann_lsh_topk", oracle=None)  # approximate: recall pinned in pytest
+def _planes_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """±1 hyperplanes as a DuckDB VALUES list — (p_idx, p) rows.
+
+    The planes are a pure function of (n_planes, dim, seed), so the same
+    literals the Spark kernel folds over can be embedded verbatim in the
+    oracle: the APPROXIMATE algorithm itself becomes SQL-reproducible.
+    dim=64 matches the testdata embeddings (pinned in test_trainingdata).
+    """
+    from .operators.similarity import hyperplanes
+
+    rows = ", ".join(
+        f"({i}, {p})" for i, p in enumerate(hyperplanes(n_planes, dim, seed))
+    )
+    return f"(VALUES {rows})"
+
+
+# DuckDB cosine fragment, q24 op order: left-fold dot / (sqrt·sqrt norms).
+_SQL_COS = """
+    list_reduce(list_transform(list_zip({a}, {b}),
+                               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(list_zip({a}, {a}),
+                                       z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                        (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(list_zip({b}, {b}),
+                                         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                          (x, y) -> x + y)))
+"""
+
+
+@query(
+    "q25_ann_lsh_topk",
+    # The approximate ALGORITHM is itself SQL-reproducible: the ±1 planes
+    # are deterministic literals (seed 42), bucket bits are signs of
+    # plane projections (min |projection| ≈ 1e-3 on this corpus — far
+    # above fold-order ulp noise, pinned in test_trainingdata), and the
+    # hamming≤1 multi-probe is bit_count(xor(key, qkey)) <= 1.  Rank-10
+    # boundary margin ≈ 5e-3 and 6-dp rounding margins ≈ 6e-8 are pinned
+    # too, so the top-10 set and rounded cosines match bit-for-bit.
+    oracle=f"""
+    WITH keys AS (
+      SELECT e.vec_id, any_value(e.embedding) AS embedding,
+             sum(CASE WHEN list_reduce(
+                            list_transform(list_zip(e.embedding, pl.p),
+                                           z -> CAST(z[1] AS DOUBLE) * z[2]),
+                            (x, y) -> x + y) > 0
+                      THEN 1::BIGINT << (7 - pl.p_idx) ELSE 0 END) AS key
+      FROM embeddings e CROSS JOIN {_planes_sql(8)} AS pl(p_idx, p)
+      GROUP BY e.vec_id
+    ),
+    qk AS (SELECT key AS qkey, embedding AS qv FROM keys WHERE vec_id = 0),
+    scored AS (
+      SELECT k.vec_id, {_SQL_COS.format(a="k.embedding", b="qk.qv")} AS c
+      FROM keys k, qk
+      WHERE bit_count(xor(k.key, qk.qkey)) <= 1
+    )
+    SELECT vec_id, round(c, 6) AS cosine FROM scored
+    ORDER BY c DESC, vec_id LIMIT 10
+    """,
+)
 def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN top-10 for the vec_id=0 query — the
     scale path: multi-probes the query bucket + its 8 hamming-1
-    neighbors (9/2^8 ≈ 3.5% of the corpus).  Recall floor vs the q24
-    exact baseline asserted in test_trainingdata (sign-LSH is the right
-    index for clustered corpora; the synthetic isotropic embeddings are
-    its worst case — IVF/q36 is the strong index there)."""
+    neighbors (9/2^8 ≈ 3.5% of the corpus).  The oracle replays the
+    same deterministic planes/probe in SQL (sign + rank margins pinned
+    in test_trainingdata); recall floor vs the q24 exact baseline is
+    asserted there too (sign-LSH is the right index for clustered
+    corpora; the synthetic isotropic embeddings are its worst case —
+    IVF/q36 is the strong index there)."""
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return lsh_topk(emb, list(qv), k=10, n_planes=8, hamming_radius=1)
+    out = lsh_topk(emb, list(qv), k=10, n_planes=8, hamming_radius=1)
+    return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
-@query("q26_embedding_near_dup", oracle=None)  # approximate: recall pinned in pytest
+@query(
+    "q26_embedding_near_dup",
+    # Banding machinery aside, the VERIFIED pair set is exact whenever
+    # multi-table recall is complete on the corpus — and at (3 planes,
+    # 8 tables, seed 42) it is, at sf0.001 AND sf0.01 (pinned in
+    # test_trainingdata, q22/q23 precedent).  The oracle recomputes
+    # all-pairs cosine the slow exact way; threshold margin ≈ 5.5e-4
+    # and 6-dp rounding margins ≈ 1.6e-8 dwarf engine ulp differences.
+    oracle=f"""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_SQL_COS.format(a="a.embedding", b="b.embedding")} AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.45
+    """,
+)
 def q26_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.45) via MULTI-TABLE LSH
-    bucket-join (4 independent tables — the recall knob; precision is
-    exact by construction, cosine-verified).  Synthetic embeddings are
-    near-orthogonal — max pairwise cosine ≈ 0.51 at sf0.01 — so the
-    threshold sits where real candidates exist; recall floor + exact
-    precision asserted in test_trainingdata."""
+    bucket-join (8 independent 3-plane tables; precision is exact by
+    construction, cosine-verified).  Synthetic embeddings are
+    near-orthogonal — max pairwise cosine ≈ 0.51 at sf0.01 — so 3
+    planes/8 tables is the recall-complete operating point for θ≈63°
+    (pinned in test_trainingdata); a real near-dup corpus (cosine ≥0.9,
+    θ≤26°) would run 8+ planes for far smaller buckets at the same
+    recall.  Candidates stay a bucket-join either way — never all-pairs
+    (the ORACLE brute-forces all pairs; Spark's banding is the scale
+    path)."""
     from .operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=6, n_tables=4
+    pairs = embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=3, n_tables=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
     ).orderBy("id_a", "id_b")
 
 
@@ -1366,17 +1451,68 @@ def q35_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q36_ivf_topk", oracle=None)  # approximate: recall>=0.8 pinned in pytest
+@query(
+    "q36_ivf_topk",
+    # The deterministic-sample quantizer (centroids = first 16 vectors
+    # by id, a standard IVF init) makes the whole approximate pipeline
+    # SQL-reproducible: assignment argmin of d2 = ‖c‖² − 2·x·c (the
+    # kernel's exact formula; min per-row argmin margin ≈ 2e-4 on this
+    # corpus), probe = 4 nearest centroids to the query by full squared
+    # distance (4th/5th margin ≈ 2.3e-3), exact cosine within probed
+    # cells.  All margins + rank-10 boundary pinned in
+    # test_trainingdata; ulp noise is ~1e-15.
+    oracle=f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, embedding AS c
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, e.embedding, c.cell_idx,
+             list_reduce(list_transform(c.c,
+                                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                         (x, y) -> x + y)
+             - 2.0 * list_reduce(list_transform(list_zip(e.embedding, c.c),
+                                                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                                 (x, y) -> x + y) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_idx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_idx) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cell_idx FROM cents, qv
+      ORDER BY list_reduce(list_transform(list_zip(c, q),
+                                          z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+                                               * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+                           (x, y) -> x + y), cell_idx
+      LIMIT 4
+    ),
+    scored AS (
+      SELECT a.vec_id, {_SQL_COS.format(a="a.embedding", b="qv.q")} AS c
+      FROM assigned a JOIN probe p ON a.cell_idx = p.cell_idx, qv
+    )
+    SELECT vec_id, round(c, 6) AS cosine FROM scored
+    ORDER BY c DESC, vec_id LIMIT 10
+    """,
+)
 def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN top-10 (nprobe=4 of 16 k-means-trained cells) — the
-    partition-pruned scale path; 3 Lloyd iterations in DataFrame algebra
-    (recall@10 vs q24 exact ≥ 0.8, asserted in test_trainingdata);
-    materialized-index variant tested there too."""
+    """IVF-Flat ANN top-10 (nprobe=4 of 16 cells) — the partition-pruned
+    scale path.  The oracled config uses the deterministic-sample
+    quantizer (train_iters=0) so assignment/probe/scoring are fully
+    SQL-replayed; the k-means-trained variant (3 Lloyd iterations in
+    DataFrame algebra, recall@10 vs q24 exact ≥ 0.8) and the
+    materialized partitionBy(_centroid) index stay pinned in
+    test_trainingdata."""
     from .operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_topk(emb, list(qv), k=10, n_centroids=16, nprobe=4, train_iters=3)
+    out = ivf_topk(emb, list(qv), k=10, n_centroids=16, nprobe=4, train_iters=0)
+    return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
 # ---------------------------------------------------------------------------

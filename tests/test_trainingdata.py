@@ -723,3 +723,144 @@ def test_enrich_resumable_empty_keys_and_corrupt_checkpoint(spark, tmp_path):
         ).count()
     assert not isinstance(ei.value, AnalysisException) or "PATH_NOT_FOUND" not in str(ei.value)
     assert calls == []  # no refetch happened before the raise
+
+
+# ---------------------------------------------------------------------------
+# Oracle-precondition pins for the ANN family (q25/q26/q36).  Each oracle
+# either replays the approximate algorithm in SQL (q25/q36) or relies on
+# recall-complete banding (q26); both are sound ONLY while the numerical
+# margins on the fixed corpus dwarf cross-engine ulp noise (~1e-15) and,
+# for q26, while multi-table recall is complete.  These tests recompute
+# everything in numpy at the gate SF (sf0.01) and fail loudly if the
+# testdata ever shifts under the oracles.
+# ---------------------------------------------------------------------------
+
+_GATE_SF = "/root/testdata/sf0.01"
+
+
+def _emb_matrix(spark, sf_dir=_GATE_SF):
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    return ids[order], X[order]
+
+
+def test_q26_oracle_recall_complete_and_margins(spark):
+    """q26's oracle is all-pairs exact cosine, so the banded pair set must
+    EQUAL the exact set at the oracled config (3 planes x 8 tables)."""
+    import numpy as np
+
+    from etl_marketeye_airflow_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    ids, X = _emb_matrix(spark)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = U @ U.T
+    iu = np.triu_indices(len(ids), 1)
+    cs = C[iu]
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[0][cs >= 0.45], iu[1][cs >= 0.45])
+    }
+    assert exact  # non-vacuous
+    # threshold margin: no cosine within 1e-6 of 0.45 (engines can't flip it)
+    assert float(np.abs(cs - 0.45).min()) > 1e-6
+    # 6-dp rounding margin for emitted pairs
+    sel = cs[cs >= 0.45]
+    assert float(np.abs(((sel * 1e6) % 1) - 0.5).min() / 1e6) > 1e-9
+
+    emb = spark.read.parquet(f"{_GATE_SF}/embeddings.parquet")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.45, n_planes=3, n_tables=8
+        ).collect()
+    }
+    assert got == exact  # recall complete AND precision exact
+
+
+def test_q25_oracle_sign_and_rank_margins(spark):
+    """q25's oracle replays the planes in SQL: every sign decision and the
+    rank-10 cut must be stable under fold-order ulp differences."""
+    import numpy as np
+
+    from etl_marketeye_airflow_spark.operators.similarity import hyperplanes
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    ids, X = _emb_matrix(spark)
+    assert X.shape[1] == 64  # _planes_sql hard-codes the testdata dim
+    planes = np.asarray(hyperplanes(8, X.shape[1], 42), dtype=np.float64)
+    proj = X @ planes.T
+    assert float(np.abs(proj).min()) > 1e-6  # no flippable sign
+
+    key = np.zeros(len(ids), dtype=np.int64)
+    for p in planes:
+        key = (key << 1) | ((X * p).sum(axis=1) > 0).astype(np.int64)
+    qpos = int(np.where(ids == 0)[0][0])
+    qkey = int(key[qpos])
+    in_probe = np.array([bin(int(k) ^ qkey).count("1") <= 1 for k in key])
+    q = X[qpos]
+    cos = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ (q / np.linalg.norm(q))
+    c_in, ids_in = cos[in_probe], ids[in_probe]
+    order = np.lexsort((ids_in, -c_in))
+    cs = c_in[order]
+    assert len(cs) > 10 and float(cs[9] - cs[10]) > 1e-6  # rank-10 cut stable
+    assert float(np.abs(((cs[:10] * 1e6) % 1) - 0.5).min() / 1e6) > 1e-9
+
+    got = [
+        (r.vec_id, r.cosine)
+        for r in QUERIES["q25_ann_lsh_topk"](spark, _GATE_SF).collect()
+    ]
+    want = [
+        (int(ids_in[i]), float(np.round(c_in[i] * 1e6) / 1e6)) for i in order[:10]
+    ]
+    assert [v for v, _ in got] == [v for v, _ in want]
+    assert got == pytest.approx(want)
+
+
+def test_q36_oracle_argmin_probe_and_rank_margins(spark):
+    """q36's oracle replays the sample-quantizer IVF in SQL: assignment
+    argmin, probe cut, and rank-10 cut must all be margin-stable."""
+    import numpy as np
+
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    ids, X = _emb_matrix(spark)
+    cents = X[:16]  # ids are sorted; first 16 by vec_id
+    c_sq = (cents * cents).sum(axis=1)
+    d2 = c_sq[None, :] - 2.0 * (X @ cents.T)
+    best = np.sort(d2, axis=1)
+    assert float((best[:, 1] - best[:, 0]).min()) > 1e-6  # assignment stable
+    assign = d2.argmin(axis=1)
+
+    qpos = int(np.where(ids == 0)[0][0])
+    q = X[qpos]
+    dq = ((cents - q) ** 2).sum(axis=1)
+    o = np.argsort(dq, kind="stable")
+    assert float(dq[o[4]] - dq[o[3]]) > 1e-6  # probe cut stable
+    probed = np.isin(assign, o[:4])
+
+    cos = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ (q / np.linalg.norm(q))
+    c_in, ids_in = cos[probed], ids[probed]
+    order = np.lexsort((ids_in, -c_in))
+    cs = c_in[order]
+    assert len(cs) > 10 and float(cs[9] - cs[10]) > 1e-6
+    assert float(np.abs(((cs[:10] * 1e6) % 1) - 0.5).min() / 1e6) > 1e-9
+
+    got = [
+        (r.vec_id, r.cosine)
+        for r in QUERIES["q36_ivf_topk"](spark, _GATE_SF).collect()
+    ]
+    want = [
+        (int(ids_in[i]), float(np.round(c_in[i] * 1e6) / 1e6)) for i in order[:10]
+    ]
+    assert [v for v, _ in got] == [v for v, _ in want]
+    assert got == pytest.approx(want)
