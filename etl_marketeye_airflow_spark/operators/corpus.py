@@ -62,41 +62,92 @@ def vocab_coverage(
     docs: DataFrame,
     text_col: str = "text",
     coverage: float = 0.5,
+    num_partitions: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Minimal frequency-ordered vocabulary covering ``coverage`` of the
     corpus token mass: tokens ordered by (cnt desc, token asc), kept
     while the mass BEFORE them is under the target.
 
-    The threshold test is exact-integer (2*cum_before < 2*coverage_num *
-    total avoided — instead cnt accumulates as BIGINT and the comparison
-    multiplies through by the coverage denominator), so engines agree
-    bit-for-bit with no float accumulation.  The global window runs over
-    the vocab table only; its single-partition sort is the documented
-    cost (vocab ≪ corpus; for >10^7-token vocabularies switch to a
-    two-pass bucketed variant).
+    The threshold test is exact-integer (cnt accumulates as BIGINT and
+    the comparison multiplies through by the coverage denominator), so
+    engines agree bit-for-bit with no float accumulation.
+
+    Two-pass distributed prefix sum — no global single-partition window
+    (a web-scale vocab is 10^8+ distinct tokens; one sorted partition
+    would be the scale-killer):
+
+    1. ``repartitionByRange`` on the sort key (cnt desc, token asc) —
+       the range sampler splits the Zipf tail of count-1 tokens across
+       partitions (ties break on token), so no partition exceeds
+       ~vocab/N rows.  The partitioned table is PERSISTED and
+       materialized once: partition ids must be frozen before fan-out,
+       because each re-execution of a range exchange re-samples its
+       boundaries (`spark_partition_id` over two exchange instances is
+       not consistent).
+    2. per-partition totals (≤N rows) collect to the driver — a
+       BOUNDED collect, numPartitions rows regardless of data volume —
+       where the prefix offsets and grand total are a trivial loop.
+       global cum/rank = broadcast-joined offset + per-partition-window
+       local cum/row_number.
+
+    Eager by design (two-pass algorithms are multi-job): the small
+    result is materialized via ``localCheckpoint`` and the partitioned
+    base is unpersisted before returning — no cache entry outlives the
+    call.  ``eager=False`` returns the lazy plan (for plan inspection /
+    tests) and leaves the persisted base to the caller to release.
     """
+    spark = docs.sparkSession
     num = int(round(coverage * 1000))  # coverage as an exact rational
-    # two consumers (total agg + ranked) — persist the vocab-sized count
-    # table or the corpus tokenize/explode/agg pipeline runs twice
-    counts = token_counts(docs, text_col, None).persist()
-    w = (
-        Window.orderBy(F.desc("cnt"), F.asc("token"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts = token_counts(docs, text_col, None)
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
     )
-    total = counts.agg(F.sum("cnt").alias("_total"))
+    with_pid = (
+        counts.repartitionByRange(n_parts, F.col("cnt").desc(), F.col("token").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    per_pid = [
+        (r["_pid"], r["_psum"], r["_pn"])
+        for r in with_pid.groupBy("_pid")
+        .agg(F.sum("cnt").alias("_psum"), F.count(F.lit(1)).alias("_pn"))
+        .collect()  # ≤ n_parts rows — bounded by config, not data
+    ]
+    per_pid.sort()
+    offsets, cnt_off, rank_off = [], 0, 0
+    for pid, psum, pn in per_pid:
+        offsets.append((pid, cnt_off, rank_off))
+        cnt_off += psum
+        rank_off += pn
+    total = cnt_off
+    offsets_df = spark.createDataFrame(
+        offsets, "_pid int, _cnt_off long, _rank_off long"
+    )
+
+    wl = Window.partitionBy("_pid").orderBy(F.desc("cnt"), F.asc("token"))
     ranked = (
-        counts.withColumn("cum", F.sum("cnt").over(w))
-        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))))
-        .crossJoin(F.broadcast(total))
+        with_pid.withColumn(
+            "_lcum",
+            F.sum("cnt").over(
+                wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("_lrn", F.row_number().over(wl))
+        .join(F.broadcast(offsets_df), "_pid")
+        .withColumn("cum", F.col("_cnt_off") + F.col("_lcum"))
+        .withColumn("rank", (F.col("_rank_off") + F.col("_lrn")).cast("int"))
     )
     # keep token iff mass before it < coverage * total  ⇔
     # 1000*(cum - cnt) < num*total   (all BIGINT, exact)
-    return (
-        ranked.filter(
-            (F.col("cum") - F.col("cnt")) * F.lit(1000) < F.col("_total") * F.lit(num)
-        )
-        .select("token", "cnt", "rank", "cum")
-    )
+    out = ranked.filter(
+        (F.col("cum") - F.col("cnt")) * F.lit(1000) < F.lit(total) * F.lit(num)
+    ).select("token", "cnt", "rank", "cum")
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    with_pid.unpersist()
+    return out
 
 
 def chunk_documents(

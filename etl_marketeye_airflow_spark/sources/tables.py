@@ -29,66 +29,98 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with its TIMESTAMP(NANOS) column made usable.
-
-    Spark 4 rejects parquet nano timestamps outright; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) the
-    column reads as nanos-since-epoch LONG.  We expose ``ts_us``
-    (integer microseconds, exact) — event-time queries should compare
-    integers, matching DuckDB's ``epoch_us(ts)`` bit-for-bit; float
-    epochs differ from DuckDB in sub-microsecond rounding.
-    """
-    from pyspark.sql import functions as F
-
-    # The conf is captured at DataFrame-CREATION time (verified: actions
-    # on the returned df succeed after restore), so restore immediately —
-    # leaking it would silently change nano-timestamp parquet reads for
-    # every later query on the shared driver session (convention #5).
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return df.withColumn("ts_us", F.expr("ts div 1000"))
-
-
 EVENTS_STREAM_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string,"
     " value double, props string"
 )
 
 
-def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of load_events: the nano-timestamp events table as
-    a file stream, with ``_t`` (TIMESTAMP, µs precision) ready for
-    watermarks/windows and ``ts_us`` (integer µs) for exact arithmetic.
+def events_ts_divisor(sf_dir: str) -> int:
+    """ts-to-microseconds divisor for the events table at ``sf_dir``.
 
-    One definition for the schema string and the nanosAsLong
-    save/restore dance — q31/q63/q65-style streaming queries must not
-    each carry their own copy that can drift.
+    The driver has shipped events.parquet with BOTH parquet
+    TIMESTAMP(NANOS) (earlier rounds) and TIMESTAMP(MICROS) (round 3+).
+    Read with an explicit ``ts long`` schema, the column yields the RAW
+    stored integer either way — nanos (divide by 1000) or micros
+    (divide by 1).  Detecting the unit from the file footer keeps every
+    event-time query exact against DuckDB's ``epoch_us(ts)`` no matter
+    which flavor the current testdata uses.
     """
-    from pyspark.sql import functions as F
+    try:
+        import pyarrow.parquet as pq
 
+        t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+        unit = getattr(t, "unit", "us")
+    except Exception:
+        unit = "us"
+    return 1000 if unit == "ns" else 1
+
+
+def _with_nanos_conf(spark: SparkSession, read):
+    """Run ``read()`` with nanosAsLong set, restoring the conf after.
+
+    Needed only when the file is TIMESTAMP(NANOS) (Spark 4 otherwise
+    rejects the footer even under an explicit long schema); harmless for
+    micros files.  The conf is captured at DataFrame-CREATION time
+    (verified: actions on the returned df succeed after restore), so
+    restore immediately — leaking it would silently change
+    nano-timestamp parquet reads for every later query on the shared
+    driver session (convention #5).
+    """
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
-        df = (
-            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")  # file source needs a DIR
-            .parquet(sf_dir)
-        )
+        return read()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-        "_t", F.timestamp_micros(F.expr("ts div 1000"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with its timestamp column made usable at integer precision.
+
+    ``ts`` is the raw stored integer (nanos or micros depending on the
+    testdata round — see ``events_ts_divisor``); ``ts_us`` is exact
+    integer microseconds, matching DuckDB's ``epoch_us(ts)``
+    bit-for-bit.  Event-time queries should compare ``ts_us`` integers;
+    float epochs differ from DuckDB in sub-microsecond rounding.
+    """
+    from pyspark.sql import functions as F
+
+    div = events_ts_divisor(sf_dir)
+    df = _with_nanos_conf(
+        spark,
+        lambda: spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+            f"{sf_dir}/events.parquet"
+        ),
+    )
+    return df.withColumn("ts_us", F.expr(f"ts div {div}"))
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of load_events: the events table as a file stream,
+    with ``_t`` (TIMESTAMP, µs precision) ready for watermarks/windows
+    and ``ts_us`` (integer µs) for exact arithmetic.
+
+    One definition for the schema string, the unit detection, and the
+    nanosAsLong save/restore dance — q31/q63/q65-style streaming queries
+    must not each carry their own copy that can drift.
+    """
+    from pyspark.sql import functions as F
+
+    div = events_ts_divisor(sf_dir)
+    df = _with_nanos_conf(
+        spark,
+        lambda: (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")  # file source needs a DIR
+            .parquet(sf_dir)
+        ),
+    )
+    return df.withColumn("ts_us", F.expr(f"ts div {div}")).withColumn(
+        "_t", F.timestamp_micros(F.expr(f"ts div {div}"))
     )
 
 

@@ -116,6 +116,29 @@ def test_tpch_q5_broadcasts_dims(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_vocab_coverage_has_no_global_window(spark):
+    """q58's prefix sums must run as per-partition windows over the
+    range-partitioned vocab (partition spec = _pid) with the base cached
+    once — a partition-less window over the vocab is the 100 TB
+    scale-killer the two-pass design exists to avoid."""
+    import re
+
+    from etl_marketeye_airflow_spark.operators.corpus import vocab_coverage
+    from etl_marketeye_airflow_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    df = vocab_coverage(docs, eager=False)
+    try:
+        plan = executed_plan(df)
+        specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+        assert specs and set(specs) == {"_pid"}, specs
+        # the range-partitioned base must come from the single persisted
+        # materialization (pids are frozen there — see corpus.py)
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_heavy_hitters_aggregates_before_window(spark):
     """q57's rank window must consume the aggregated vocab table: the
     plan's Window sorts AFTER a HashAggregate, never the raw token

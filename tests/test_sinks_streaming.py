@@ -439,43 +439,29 @@ def test_session_window_streaming_matches_batch(spark):
     sf = "/root/testdata/sf0.001"
     batch = {tuple(r) for r in reg.QUERIES["q65_session_windows"](spark, sf).collect()}
 
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string,"
-                " value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf)
-            .withColumn("_t", F.timestamp_micros(F.expr("ts div 1000")))
+    from etl_marketeye_airflow_spark.sources.tables import load_events_stream
+
+    stream = load_events_stream(spark, sf)  # unit-aware _t (convention #4)
+    out = (
+        stream.withWatermark("_t", "1 hour")
+        .groupBy("user_id", F.session_window("_t", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(19,4)")).cast("double").alias("total_value"),
         )
-        out = (
-            stream.withWatermark("_t", "1 hour")
-            .groupBy("user_id", F.session_window("_t", "30 minutes").alias("sw"))
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(19,4)")).cast("double").alias("total_value"),
-            )
-            .select(
-                "user_id",
-                F.unix_micros(F.col("sw.start")).alias("session_start_us"),
-                F.unix_micros(F.col("sw.end")).alias("session_end_us"),
-                "n_events",
-                "total_value",
-            )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
         )
-        name = f"sess_{uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.format("memory").queryName(name)
-            .outputMode("complete").trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
-        got = {tuple(r) for r in spark.table(name).collect()}
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect()}
     assert got == batch
