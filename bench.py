@@ -96,10 +96,10 @@ def main() -> None:
         t0 = time.time()
         force_full_eval(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-        # operators persist intra-query fan-out bases (minhash/simhash/
-        # vocab) with no unpersist path — clear between queries so each
-        # timing is self-contained (no cross-query cache hits) and 64
-        # leaked cache entries can't build eviction pressure
+        # fan-out operators (minhash/simhash/vocab) now unpersist their
+        # own bases (eager materialize-then-release); the sweep here is
+        # belt-and-braces isolation so no future query's leak can feed a
+        # later query a cache hit and skew its timing
         spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -130,6 +130,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact shingle-set Jaccard ≥ threshold.
@@ -139,6 +140,13 @@ def minhash_lsh_pairs(
     degenerate buckets (e.g. boilerplate shingles) that would otherwise
     produce quadratic pair blowup — dropped buckets are a recall trade
     documented to the caller, not a silent cap: use ``log`` stats in jobs.
+
+    Cache lifecycle: the signature base fans out to three consumers and
+    must be persisted; with ``eager=True`` (default) the small verified
+    pair set is materialized via ``localCheckpoint`` and the base
+    unpersisted before returning, so no cache entry outlives the call
+    (VERDICT r2 item 3).  ``eager=False`` returns the lazy plan and
+    leaves the persisted base to the caller (plan tests).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -267,11 +275,16 @@ def minhash_lsh_pairs(
         .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         pairs.withColumn("jaccard", jaccard.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -605,6 +618,7 @@ def simhash_pairs(
     max_distance: int = 3,
     bits: int = 64,
     token_hash=None,
+    eager: bool = True,
 ) -> DataFrame:
     """Hamming-≤d pairs via 4-chunk pigeonhole banding.
 
@@ -619,6 +633,9 @@ def simhash_pairs(
     consume them, and without the persist Spark re-runs the whole
     scan → tokenize → kernel pipeline per side (same fan-out rule as
     minhash_lsh_pairs).  16 bytes/doc — trivially memory-resident.
+    ``eager=True`` (default) materializes the small pair set and
+    unpersists the signature base before returning (no cache entry
+    outlives the call); ``eager=False`` returns the lazy plan for tests.
     """
     if bits % 4:
         raise ValueError("bits must divide into 4 pigeonhole chunks")
@@ -646,7 +663,7 @@ def simhash_pairs(
 
     a, b = chunks.alias("a"), chunks.alias("b")
     dist = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.j") == F.col("b.j"))
@@ -661,3 +678,8 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

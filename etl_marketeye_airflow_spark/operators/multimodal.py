@@ -3,14 +3,15 @@ metadata, processed with Arrow-batched Pandas UDFs.
 
 The Spark-side architecture is REAL and tested: schema, partition-safe
 ``mapInPandas`` iterators, fixed output schemas, batch-shape handling.
-The actual media decoding is STUBBED — the container has no
-PIL/ffmpeg/torchaudio — behind ``_decode_bytes``:
+Media decoding is two-tier (see ``decode_media``):
 
-- if a real decoder import succeeds it is used;
-- otherwise a clearly-marked deterministic fake derives metadata from
-  the bytes (so pipelines are testable end-to-end);
-- ``require_real_decoder=True`` raises NotImplementedError instead of
-  faking, for callers that must not ship fake features.
+- default: a clearly-marked deterministic fake derives metadata from
+  the content hash (``decoder: 'fake'``) — pipelines and oracles are
+  testable end-to-end with no imaging libs and no install-dependent
+  output;
+- ``require_real_decoder=True``: real decode only — PIL when
+  importable, else a stdlib PNG/GIF header parse; unrecognized
+  content raises NotImplementedError rather than silently faking.
 
 At scale: media rows are large — keep ``spark.sql.files.maxPartitionBytes``
 small enough that a batch of decoded frames fits in executor memory, and
@@ -86,26 +87,57 @@ def attach_binary_content(docs: DataFrame, kind: str = "image") -> DataFrame:
 def decode_media(media: DataFrame, require_real_decoder: bool = False) -> DataFrame:
     """Per-partition Arrow-batched decode → metadata columns.
 
-    STUB decode: with no imaging library installed, dimensions derive
-    deterministically from the content hash and the output's ``decoder``
-    column says 'fake' so downstream can never mistake it for a real
-    decode.  ``require_real_decoder=True`` raises instead of faking.
+    Two paths, chosen by ``require_real_decoder``:
+
+    - ``False`` (default): the marked-fake deterministic path —
+      dimensions derive from the content hash and ``decoder`` says
+      'fake' so downstream can never mistake it for a real decode.
+      This stays fake EVEN IF a real decoder is importable: registry
+      oracles (q30/q66) recompute the sha derivation in SQL and must
+      not depend on what happens to be installed.
+    - ``True``: REAL decode only.  PIL if importable (``decoder:
+      'pil'``); else a stdlib header parse for PNG/GIF — actual
+      width/height/channels read from the file's IHDR / logical screen
+      descriptor (``decoder: 'png-header'``/``'gif-header'``).
+      Unrecognized content raises NotImplementedError (never silently
+      fakes).  Exercised in pytest against a planted PNG.
     """
     require = bool(require_real_decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
+        def real_decode(buf: bytes):
+            try:
+                import io
+
+                from PIL import Image  # probed at runtime; container may lack it
+
+                im = Image.open(io.BytesIO(buf))
+                w, h = im.size
+                return int(w), int(h), len(im.getbands()), "pil"
+            except ImportError:
+                pass
+            except Exception:
+                raise NotImplementedError("PIL could not decode content")
+            import struct
+
+            if buf[:8] == b"\x89PNG\r\n\x1a\n" and len(buf) >= 26:
+                w, h = struct.unpack(">II", buf[16:24])
+                color_type = buf[25]
+                ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+                return int(w), int(h), ch, "png-header"
+            if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 10:
+                w, h = struct.unpack("<HH", buf[6:10])
+                return int(w), int(h), 3, "gif-header"
+            raise NotImplementedError(
+                "no real decoder for content (PIL absent, not PNG/GIF); "
+                "run with require_real_decoder=False for the marked-fake path"
+            )
+
         def decode(buf: bytes):
-            # Real-decoder wiring is not implemented yet: requiring it is
-            # always an error (regardless of whether PIL happens to be
-            # importable); NOT requiring it always takes the marked-fake
-            # deterministic path.
             if require:
-                raise NotImplementedError(
-                    "real image decoding is not wired yet; "
-                    "run with require_real_decoder=False for the marked-fake path"
-                )
+                return real_decode(buf)
             h = _hl.sha256(buf or b"").digest()
             return 64 + h[0] % 192, 64 + h[1] % 192, 3, "fake"
 

@@ -2958,6 +2958,165 @@ def q68_udtf_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q69_tpch_q8_market_share",
+    oracle=f"""
+    WITH vols AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,4)) *
+               (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '2000-01-01'
+    )
+    SELECT CAST(o_year AS INT) AS o_year,
+           CAST(COALESCE(sum(volume) FILTER (WHERE supp_nation = 'NATION_3'),
+                         0) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE)              AS mkt_share,
+           CAST(sum(volume) AS DOUBLE)                  AS total_volume
+    FROM vols
+    GROUP BY o_year
+    """,
+)
+def q69_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of the AMERICA-region
+    ECONOMY-part market per order year — an 8-way join with a
+    conditional-aggregate ratio.
+
+    Plan notes: region→nation (customer side) collapses to a broadcast
+    nationkey set; the supplier-side nation name map is broadcast too
+    (nation is 25 rows at ANY scale).  The part join stays an equi-join
+    for AQE to size — p_type selects ~1/6 of a table that is ~2×10^10
+    rows at 100 TB, far past broadcast.  Both date bounds and p_type
+    are pushed to scans.  Float discipline: volumes sum EXACTLY as
+    decimals on both engines; the ONLY float ops are the final
+    double casts and one division, identical IEEE ops either side —
+    never a float accumulation (convention #1).  year() runs under a
+    pinned UTC session (q67 precedent)."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        vol = F.col("l_extendedprice").cast("decimal(12,4)") * (
+            F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+        )
+        amer_keys = F.broadcast(
+            _t(spark, sf_dir, "nation")
+            .join(
+                F.broadcast(
+                    _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select(F.col("n_nationkey").alias("cnk"))
+        )
+        supp_nations = F.broadcast(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+            )
+        )
+        p = (
+            _t(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "ECONOMY")
+            .select("p_partkey")
+        )
+        o = (
+            _t(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "2000-01-01")
+            )
+            .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+        )
+        c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        num = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol))
+        den = F.sum(vol)
+        return (
+            li.join(p, li["l_partkey"] == p["p_partkey"])
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(amer_keys, c["c_nationkey"] == F.col("cnk"))
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(supp_nations, s["s_nationkey"] == F.col("snk"))
+            .groupBy("o_year")
+            .agg(
+                (
+                    F.coalesce(num, F.lit(0).cast("decimal(6,4)")).cast("double")
+                    / den.cast("double")
+                ).alias("mkt_share"),
+                den.cast("double").alias("total_volume"),
+            )
+            .select("o_year", "mkt_share", "total_volume")
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+@query(
+    "q70_tpch_q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(19,4))) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q70_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity
+    exceeds a threshold (large-volume semi-join on an aggregate), top
+    100 by order value.
+
+    Plan notes: lineitem collapses FIRST in a (l_orderkey) hash
+    aggregation with map-side partial combine — the HAVING filter then
+    shrinks the fact side to the rare big orders BEFORE any join, which
+    is the whole scale story (the aggregate-then-filter side is ~10^2
+    smaller than lineitem; AQE broadcasts it into orders).  orderBy +
+    limit compiles to TakeOrderedAndProject; o_orderkey (unique per
+    row) breaks o_totalprice ties, so the top-100 SET is deterministic.
+    Quantity sums as DECIMAL(19,4) — exact on both engines; the HAVING
+    compares the exact decimal, not a float (convention #1)."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(19,4)")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
 # Driver-sweep ordering: the round-2 driver recorded exactly 50 correctness
 # rows (q01–q50) against a 68-entry registry, i.e. the sweep looks
 # entry-capped.  Emit the least externally-proven queries FIRST — anything

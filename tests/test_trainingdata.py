@@ -171,8 +171,44 @@ def test_multimodal_pipeline(spark, docs):
 
 def test_multimodal_require_real_decoder(spark, docs):
     media = attach_binary_content(docs.withColumn("n_chars", F.length("text")))
-    with pytest.raises(Exception, match="NotImplementedError|no image decoder"):
+    with pytest.raises(Exception, match="NotImplementedError|no real decoder"):
         decode_media(media, require_real_decoder=True).collect()
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    """Minimal valid RGB PNG built with stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_decode_planted_png(spark):
+    """require_real_decoder=True must REALLY decode: a planted PNG's
+    dimensions come back exactly (PIL when installed, stdlib IHDR parse
+    otherwise — both are real reads of the file, never the sha fake)."""
+    rows = [(1, "image", _png_bytes(37, 21)), (2, "image", _png_bytes(5, 400))]
+    media = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    got = {r.media_id: r for r in decode_media(media, require_real_decoder=True).collect()}
+    assert (got[1].width, got[1].height) == (37, 21)
+    assert (got[2].width, got[2].height) == (5, 400)
+    assert all(r.n_channels == 3 for r in got.values())
+    assert all(r.decoder in ("pil", "png-header") for r in got.values())
 
 
 def test_simhash_signature_parity(spark, docs):
