@@ -84,6 +84,66 @@ def stratified_cap(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    alpha: float = 0.5,
+    scale: float = 2.0,
+) -> DataFrame:
+    """Temperature-weighted source mixing — the multi-source sampling
+    step of LLM dataset assembly: low-resource sources are UP-weighted
+    relative to their raw share by flattening the source-size
+    distribution with exponent ``alpha`` (alpha=1 keeps natural
+    proportions; alpha→0 approaches uniform-over-sources).
+
+    Each row of group s is accepted iff its 40-bit md5 coin falls under
+    ``min(1, scale · W_s^alpha / n_s)`` where W_s = total weight (e.g.
+    token/char mass) and n_s = rows of the group — i.e. expected picks
+    per source ∝ W_s^alpha, capped at keeping everything.
+
+    Determinism (convention #1): no cross-group float accumulation
+    anywhere — W_s and n_s are exact integers; the per-group rate is a
+    FIXED IEEE op sequence (sqrt — correctly rounded by the standard —
+    one multiply, one divide), and the acceptance test compares integer
+    ``coin < floor(rate · 2^40)``.  alpha=0.5 (the common choice) uses
+    sqrt; other alphas go through pow(), which is NOT guaranteed
+    correctly rounded and may flip last-ulp rows across engines — pin
+    only sqrt-alpha configurations with an oracle.
+
+    Scale shape: one hash-agg over group_col (map-side combined), the
+    tiny per-group factor table broadcast back, then a pure map filter.
+    Zero windows, zero sorts.
+    """
+    if alpha == 0.5:
+        flat = F.sqrt(F.col("_w").cast("double"))
+    else:
+        flat = F.pow(F.col("_w").cast("double"), F.lit(float(alpha)))
+    factors = (
+        df.groupBy(group_col)
+        .agg(F.sum(weight_col).alias("_w"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            group_col,
+            F.floor(
+                F.least(
+                    F.lit(1.0), F.lit(float(scale)) * flat / F.col("_n").cast("double")
+                )
+                * F.lit(float(1 << 40))
+            ).alias("_thresh"),
+        )
+    )
+    coin = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(factors), group_col)
+        .withColumn("_coin", coin)
+        .filter(F.col("_coin") < F.col("_thresh"))
+        .drop("_thresh", "_coin")
+    )
+
+
 def quantile_band(
     df: DataFrame,
     metric_col: str,

@@ -350,11 +350,13 @@ def query_ann_index(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 42,
     n_tables: int = 1,
+    max_bucket: int | None = None,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, candidate-limited to
     same-LSH-bucket pairs (bucket-join, not all-pairs).
@@ -364,13 +366,34 @@ def embedding_near_dup_pairs(
     per-table collision probability is p = (1−θ/π)^n_planes survives
     with 1−(1−p)^L.  Precision is always exact (cosine verify).  Cost
     scales linearly in L — bucket columns are one projection, and the
-    self-join runs per (table, bucket) key, still never all-pairs."""
+    self-join runs per (table, bucket) key, still never all-pairs.
+
+    SCALE knobs (the 10× probe caught a 67× blowup on a fixed 3-plane
+    config — buckets hold n/2^planes rows, so a plane count tuned for
+    recall on a small corpus goes quadratic as n grows):
+
+    - ``n_planes=None`` auto-sizes to keep the EXPECTED bucket near
+      ``target_bucket_rows``: p = max(4, ceil(log2(n/target))).  True
+      near-dups (cosine ≥0.9, θ ≤ 26°) survive many planes, so deeper
+      bucketing costs little recall at real operating points; a
+      wide-angle threshold on isotropic data (q26's oracle regime) is
+      inherently ~all-pairs and NO bucketing can save it — pin such
+      configs explicitly and only at bounded corpus sizes.
+    - ``max_bucket`` drops pathological buckets (dead-center hubs,
+      degenerate vectors) before the self-join — a documented recall
+      trade, same discipline as minhash_lsh_pairs.
+    """
     # dim inferred lazily is awkward; peek one row (driver-side, O(1)).
     head = embeddings.select(emb_col).first()
     if head is None:  # empty corpus → empty pair set, not a crash
         spark = embeddings.sparkSession
         return spark.createDataFrame([], "id_a long, id_b long, cosine double")
     dim = len(head[0])
+    if n_planes is None:
+        import math
+
+        n = embeddings.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows + 1)))
     all_planes = _np.asarray(
         [hyperplanes(n_planes, dim, seed + t) for t in range(max(1, n_tables))],
         dtype=_np.float64,
@@ -407,6 +430,11 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("_id"),
         F.posexplode(multi_bucket_kernel(F.col(emb_col))).alias("_t", "_bucket"),
     )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        bn = F.count(F.lit(1)).over(Window.partitionBy("_t", "_bucket"))
+        buckets = buckets.withColumn("_bn", bn).filter(F.col("_bn") <= max_bucket).drop("_bn")
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (
         x.join(

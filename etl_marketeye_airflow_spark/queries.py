@@ -3117,6 +3117,41 @@ def q70_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+@query(
+    "q71_temperature_mix",
+    # identical fixed IEEE op sequence on both engines: exact-integer
+    # W_s/n_s, sqrt (correctly rounded per IEEE-754), one multiply, one
+    # divide, floor to an integer threshold; the coin is 40 bits of md5
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             CAST(floor(LEAST(1.0,
+                   (0.25 * sqrt(CAST(sum(n_chars) AS DOUBLE)))
+                     / CAST(count(*) AS DOUBLE)) * 1099511627776.0) AS BIGINT)
+               AS thresh
+      FROM documents GROUP BY source
+    )
+    SELECT doc_id, source, n_chars
+    FROM documents JOIN f USING (source)
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
+          < thresh
+    """,
+)
+def q71_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (alpha=0.5): the multi-source
+    sampling step of dataset assembly — expected picks per source scale
+    with sqrt of its char mass, flattening the source-size distribution.
+    One map-side-combined hash agg, broadcast factor table, pure map
+    filter; acceptance is a deterministic md5 coin against an integer
+    threshold (no RNG state, no cross-group float accumulation)."""
+    from .operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return temperature_mix(
+        d, "source", "doc_id", "n_chars", alpha=0.5, scale=0.25
+    ).select("doc_id", "source", "n_chars")
+
+
 # Driver-sweep ordering: the round-2 driver recorded exactly 50 correctness
 # rows (q01–q50) against a 68-entry registry, i.e. the sweep looks
 # entry-capped.  Emit the least externally-proven queries FIRST — anything

@@ -98,3 +98,30 @@ def test_hash_split_drives_partitioned_write_with_pruning(spark, docs, tmp_path)
     expect = {r.doc_id for r in hash_split(docs, "doc_id")
               .filter(F.col("split") == "val").select("doc_id").collect()}
     assert {r.doc_id for r in val.select("doc_id").collect()} == expect
+
+
+def test_temperature_mix_flattens_and_is_deterministic(spark):
+    """alpha=0.5 mixing must (a) be a pure function of content — two
+    runs identical; (b) up-weight the small source: its KEPT FRACTION
+    exceeds the big source's (expected picks ∝ sqrt(mass), so rate ∝
+    sqrt(W)/n falls with source size); (c) keep everything when scale
+    pushes every rate past 1."""
+    from etl_marketeye_airflow_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big", 100) for i in range(400)] + [
+        (1000 + i, "small", 100) for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    kept1 = {r.doc_id for r in temperature_mix(df, "source", "doc_id", "n_chars").collect()}
+    kept2 = {r.doc_id for r in temperature_mix(df, "source", "doc_id", "n_chars").collect()}
+    assert kept1 == kept2
+
+    # with scale=0.5: big rate = 0.5*sqrt(40000)/400 = 0.25, small =
+    # 0.5*sqrt(2500)/25 = 1.0 — the small source keeps a larger fraction
+    kept_s = temperature_mix(df, "source", "doc_id", "n_chars", scale=0.5)
+    got = {r[0]: r[1] for r in kept_s.groupBy("source").count().collect()}
+    assert got.get("small", 0) / 25 > got.get("big", 0) / 400
+
+    all_kept = temperature_mix(df, "source", "doc_id", "n_chars", scale=100.0)
+    assert all_kept.count() == 425

@@ -900,3 +900,41 @@ def test_q36_oracle_argmin_probe_and_rank_margins(spark):
     ]
     assert [v for v, _ in got] == [v for v, _ in want]
     assert got == pytest.approx(want)
+
+
+def test_embedding_near_dup_scale_knobs(spark):
+    """The 10x probe's lesson pinned: (a) n_planes=None auto-sizes from
+    corpus count toward target_bucket_rows, and true near-dups (tight
+    angle) still surface; (b) max_bucket drops degenerate hub buckets
+    before the self-join instead of going quadratic."""
+    import numpy as np
+
+    from etl_marketeye_airflow_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(50, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        w = v + rng.normal(scale=0.02, size=16)  # cosine ~0.999 twin
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.95, n_planes=None, n_tables=4, target_bucket_rows=8
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(2 * i, 2 * i + 1) for i in range(50)}
+    assert len(found & planted) >= 45  # high recall on tight-angle twins
+    assert all(r.cosine >= 0.95 for r in pairs)  # precision exact
+
+    hub = spark.createDataFrame(
+        [(i, [1.0] * 16) for i in range(100)], "vec_id long, embedding array<float>"
+    )
+    none_kept = embedding_near_dup_pairs(
+        hub, threshold=0.5, n_planes=4, n_tables=2, max_bucket=10
+    )
+    assert none_kept.count() == 0  # hub bucket dropped, not exploded
