@@ -1063,7 +1063,7 @@ def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_embedding_near_dup",
     # Banding machinery aside, the VERIFIED pair set is exact whenever
     # multi-table recall is complete on the corpus — and at (3 planes,
-    # 8 tables, seed 42) it is, at sf0.001 AND sf0.01 (pinned in
+    # 16 tables, seed 42) it is, at sf0.001, sf0.01 AND sf0.1 (pinned in
     # test_trainingdata, q22/q23 precedent).  The oracle recomputes
     # all-pairs cosine the slow exact way; threshold margin ≈ 5.5e-4
     # and 6-dp rounding margins ≈ 1.6e-8 dwarf engine ulp differences.
@@ -1078,11 +1078,12 @@ def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.45) via MULTI-TABLE LSH
-    bucket-join (8 independent 3-plane tables; precision is exact by
+    bucket-join (16 independent 3-plane tables; precision is exact by
     construction, cosine-verified).  Synthetic embeddings are
     near-orthogonal — max pairwise cosine ≈ 0.51 at sf0.01 — so 3
-    planes/8 tables is the recall-complete operating point for θ≈63°
-    (pinned in test_trainingdata); a real near-dup corpus (cosine ≥0.9,
+    planes/16 tables is the recall-complete operating point for θ≈63°
+    (pinned in test_trainingdata at sf0.01; measured complete at
+    sf0.001/0.01/0.1 in round 3); a real near-dup corpus (cosine ≥0.9,
     θ≤26°) would run 8+ planes for far smaller buckets at the same
     recall.  Candidates stay a bucket-join either way — never all-pairs
     (the ORACLE brute-forces all pairs; Spark's banding is the scale
@@ -1090,7 +1091,7 @@ def q26_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dup_pairs
 
     pairs = embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=3, n_tables=8
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=3, n_tables=16
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")

@@ -817,7 +817,7 @@ def test_q26_oracle_recall_complete_and_margins(spark):
     got = {
         (r.id_a, r.id_b)
         for r in embedding_near_dup_pairs(
-            emb, threshold=0.45, n_planes=3, n_tables=8
+            emb, threshold=0.45, n_planes=3, n_tables=16
         ).collect()
     }
     assert got == exact  # recall complete AND precision exact
