@@ -197,3 +197,47 @@ def test_heavy_hitters_aggregates_before_window(spark):
     assert plan.index("HashAggregate") > plan.index("Window")
     # partial per-partition top-k before the shuffle (WindowGroupLimit)
     assert "WindowGroupLimit" in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """SCALE.md's skew story has two layers: explicit salting (q33) and
+    AQE's runtime skew-join split.  Pin the second: a join with one hot
+    key must execute with skew=true on the sort-merge join once AQE's
+    thresholds see the imbalance — this is the no-code-change fallback
+    for skew the salting operator doesn't cover."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(0))
+            .otherwise(F.col("id") % 999 + 1)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("payload"),
+        )
+        right = spark.range(1_000).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+        out = left.join(right, "k")
+        # execute THIS DataFrame's plan (count() would run a different
+        # query execution and leave out's adaptive plan unfinalized)
+        assert len(out.collect()) == 200_000  # hot key 0 carries 150k rows
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -938,3 +938,46 @@ def test_embedding_near_dup_scale_knobs(spark):
         hub, threshold=0.5, n_planes=4, n_tables=2, max_bucket=10
     )
     assert none_kept.count() == 0  # hub bucket dropped, not exploded
+
+
+def test_q72_twin_corpus_margins_and_recall(spark):
+    """q72's planted twin corpus: the exact pair set is precisely the
+    500 (orig, orig+1e6) twins; the threshold sits in a wide dead zone
+    (twins ≈ 0.987+, everything else ≤ ~0.55) and the auto-plane config
+    finds every twin — recall complete at the scalable operating point."""
+    import numpy as np
+
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    ids, X = _emb_matrix(spark)
+    n, dim = X.shape
+    K = np.array(
+        [[((int(v) * 31 + i) % 7) - 3 for i in range(dim)] for v in ids],
+        dtype=np.float64,
+    )
+    W = X + 0.01 * K
+    C = np.vstack([X, W])
+    cid = np.concatenate([ids, ids + 1000000])
+    U = C / np.linalg.norm(C, axis=1, keepdims=True)
+    S = U @ U.T
+    iu = np.triu_indices(len(cid), 1)
+    cs = S[iu]
+    hits = cs >= 0.95
+    exact = {
+        (int(min(cid[i], cid[j])), int(max(cid[i], cid[j])))
+        for i, j in zip(iu[0][hits], iu[1][hits])
+    }
+    assert exact == {(int(v), int(v) + 1000000) for v in ids}
+    # dead zone: nothing within 1e-4 of the threshold (engines can't flip)
+    assert float(np.abs(cs - 0.95).min()) > 1e-4
+    # 6-dp rounding margin for emitted pairs: engine fold-order ulp
+    # differences on 64-dim unit dots are bounded by ~dim·eps ≈ 1.4e-14;
+    # the tightest observed boundary distance is ~7.5e-10 — two orders
+    # looser than q26's corpus but still >10^4 × the ulp bound
+    sel = cs[hits]
+    assert float(np.abs(((sel * 1e6) % 1) - 0.5).min() / 1e6) > 1e-12
+
+    got = {
+        (r.id_a, r.id_b) for r in QUERIES["q72_near_dup_scalable"](spark, _GATE_SF).collect()
+    }
+    assert got == exact  # recall complete with n_planes=None auto-sizing
