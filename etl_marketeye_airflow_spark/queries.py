@@ -3219,6 +3219,70 @@ def q72_near_dup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q73_dataset_assembly",
+    # end-to-end composition of four individually-oracled stages; every
+    # stage is hash-deterministic so the WHOLE pipeline replays in SQL
+    oracle=f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ),
+    d AS (SELECT documents.* FROM documents JOIN keep USING (doc_id)),
+    q AS (SELECT * FROM d WHERE n_chars BETWEEN 100 AND 500),
+    f AS (
+      SELECT source,
+             CAST(floor(LEAST(1.0,
+                   (0.5 * sqrt(CAST(sum(n_chars) AS DOUBLE)))
+                     / CAST(count(*) AS DOUBLE)) * 1099511627776.0) AS BIGINT)
+               AS thresh
+      FROM q GROUP BY source
+    ),
+    m AS (
+      SELECT q.* FROM q JOIN f USING (source)
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
+            < thresh
+    ),
+    tr AS (
+      SELECT * FROM m
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 < 80
+    ),
+    w AS (SELECT doc_id, {_SQL_TOKENIZE} AS ws FROM tr),
+    k AS (SELECT doc_id, ws, (greatest(len(ws) - 32, 0) + 23) // 24 AS kmax FROM w),
+    e AS (SELECT doc_id, ws, unnest(range(0, kmax + 1)) AS chunk_id FROM k)
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(ws, chunk_id*24 + 1, chunk_id*24 + 32), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(ws, chunk_id*24 + 1, chunk_id*24 + 32)) AS INT)
+             AS n_chunk_tokens
+    FROM e
+    """,
+)
+def q73_dataset_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END dataset-assembly pipeline a training-data user
+    actually runs, as ONE lazy plan: exact dedup (digest groupBy, min-id
+    keeper) → quality band on length → temperature-weighted source
+    mixing (alpha=0.5) → deterministic train split (md5 bucket < 80) →
+    32/24 context-window chunking.  Every stage is hash-deterministic,
+    so the full composition — not just the stages — is oracle-verified.
+
+    Scale shape: digest shuffle (32 bytes/doc) + one factor agg +
+    broadcast joins + a pure map+explode; the text column is carried
+    once, never shuffled by the mix/split/chunk stages."""
+    from .operators.corpus import chunk_documents
+    from .operators.dedup import exact_dedup
+    from .operators.sampling import hash_split, temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    d = exact_dedup(docs)
+    q = d.filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 500))
+    m = temperature_mix(q, "source", "doc_id", "n_chars", alpha=0.5, scale=0.5)
+    tr = hash_split(m, "doc_id").filter(F.col("split") == "train")
+    return chunk_documents(tr.select("doc_id", "text"), chunk_size=32, stride=24)
+
+
 # Driver-sweep ordering: the round-2 driver recorded exactly 50 correctness
 # rows (q01–q50) against a 68-entry registry, i.e. the sweep looks
 # entry-capped.  Emit the least externally-proven queries FIRST — anything
