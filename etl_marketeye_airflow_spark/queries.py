@@ -3283,6 +3283,194 @@ def q73_dataset_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(tr.select("doc_id", "text"), chunk_size=32, stride=24)
 
 
+@query(
+    "q74_tpch_q21_sole_late_supplier",
+    # the oracle keeps the textbook EXISTS / NOT EXISTS correlation so
+    # the gate proves the Spark aggregate decorrelation is equivalent
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 365 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sup_order AS (
+      SELECT l_orderkey, l_suppkey, max(late) AS late
+      FROM li GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM sup_order t
+    JOIN supplier ON s_suppkey = t.l_suppkey
+    WHERE t.late
+      AND EXISTS (SELECT 1 FROM sup_order u
+                  WHERE u.l_orderkey = t.l_orderkey
+                    AND u.l_suppkey <> t.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM sup_order v
+                      WHERE v.l_orderkey = t.l_orderkey
+                        AND v.l_suppkey <> t.l_suppkey
+                        AND v.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q74_tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order — the EXISTS / NOT-EXISTS double correlation,
+    decorrelated into aggregates.
+
+    Instead of two correlated subqueries per row (which Spark would
+    rewrite into two extra joins against the same fact), the per-order
+    facts collapse ONCE: (order, supplier) → any-late, then order →
+    (n_suppliers, n_late_suppliers); the predicate becomes
+    late ∧ n_suppliers > 1 ∧ n_late = 1 — one extra hash agg instead of
+    two semi/anti joins over lineitem, and the whole thing stays two
+    shuffles (orderkey, then suppkey).  The oracle keeps the textbook
+    correlated form, so the gate PROVES the decorrelation equivalent.
+    Top-20 by (numwait desc, s_name) — s_name unique, set deterministic."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+            ).alias("late"),
+        )
+    )
+    sup_order = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late")).alias("late")
+    )
+    order_stats = sup_order.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_sup"),
+        F.sum(F.col("late").cast("int")).alias("_n_late"),
+    )
+    sole_late = (
+        sup_order.filter(F.col("late"))
+        .join(
+            order_stats.filter((F.col("_n_sup") > 1) & (F.col("_n_late") == 1)),
+            "l_orderkey",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(s, sole_late["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q75_tpch_q16_supplier_count",
+    # NOT IN kept literal in the oracle; Spark decorrelates to an
+    # anti-join (safe here: s_suppkey is never NULL — with nullable
+    # columns NOT IN needs the null-aware anti-join Spark also has)
+    oracle="""
+    SELECT p_brand, p_type,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+)
+def q75_tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type),
+    excluding one brand and a NOT-IN supplier set.
+
+    The NOT IN subquery becomes a LEFT ANTI join against the (tiny,
+    broadcast) excluded-supplier keyset — the decorrelation Spark's
+    optimizer would pick, made explicit; count(DISTINCT) expands to the
+    standard two-level aggregate (partial distinct per partition, then
+    merge) — no row ever carries more than (brand, type, suppkey)."""
+    excluded = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#1")
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(excluded, li["l_suppkey"] == excluded["s_suppkey"], "left_anti")
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+@query(
+    "q76_tpch_q17_small_quantity_revenue",
+    # correlated scalar subquery kept literal in the oracle; both
+    # engines compute the same IEEE double 0.2*(sum/count) per part, and
+    # the final sum is exact decimal with ONE double division at the end
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l1
+    JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_type = 'ECONOMY'
+      AND l1.l_quantity < (
+        SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(19,4))) AS DOUBLE)
+                      / CAST(count(l2.l_quantity) AS DOUBLE))
+        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q76_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity line items, where
+    "small" is a correlated per-part scalar average.
+
+    Decorrelated: per-part (sum, count) aggregate ONCE over lineitem,
+    joined back — the quantity filter then runs as a map predicate.
+    Float discipline: the threshold is the same fixed IEEE sequence on
+    both engines (exact-integer sum and count → one divide, one multiply
+    by the 0.2 literal); the revenue sums as exact DECIMAL with a single
+    final double division by 7.0 (convention #1 — no float
+    accumulation anywhere)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(19,4)")).cast("double")
+                / F.count("l_quantity").cast("double")
+            )
+        ).alias("_threshold")
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(per_part.withColumnRenamed("l_partkey", "_pk"), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,4)")).cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
 # Driver-sweep ordering: the round-2 driver recorded exactly 50 correctness
 # rows (q01–q50) against a 68-entry registry, i.e. the sweep looks
 # entry-capped.  Emit the least externally-proven queries FIRST — anything

@@ -157,3 +157,33 @@ def streaming_exact_dedup(
     return docs_stream.select(
         F.md5(normalize_text(F.col(text_col))).alias("content_hash")
     ).dropDuplicates(["content_hash"])
+
+
+def streaming_dedup_within_watermark(
+    docs_stream: DataFrame,
+    event_time_col: str,
+    delay: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """TTL'd streaming dedup: like ``streaming_exact_dedup`` but state is
+    BOUNDED BY THE WATERMARK, not by distinct-content count —
+    ``dropDuplicatesWithinWatermark`` evicts a digest once the watermark
+    passes its event time + delay.
+
+    This is the 100 TB shape for re-crawl pipelines: a page fetched
+    again within ``delay`` is suppressed as a duplicate; a re-fetch
+    after the window re-emits (by design — content may have changed and
+    the downstream exact dedup still collapses true repeats).  The
+    unbounded-state variant stays correct for bounded-unique-content
+    corpora; this one is correct for unbounded streams.
+    """
+    from ..operators.dedup import normalize_text as _normalize_text
+
+    return (
+        docs_stream.select(
+            F.md5(_normalize_text(F.col(text_col))).alias("content_hash"),
+            F.col(event_time_col).alias("_event_time"),
+        )
+        .withWatermark("_event_time", delay)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

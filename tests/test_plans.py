@@ -241,3 +241,20 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_subquery_shapes_decorrelate_cleanly(spark):
+    """q74 (EXISTS/NOT EXISTS), q75 (NOT IN), q76 (correlated scalar avg)
+    must decorrelate to hash joins + aggregates — never a nested loop or
+    cartesian over the fact table; q75's excluded-supplier keyset must
+    broadcast into a left-anti."""
+    for name in (
+        "q74_tpch_q21_sole_late_supplier",
+        "q75_tpch_q16_supplier_count",
+        "q76_tpch_q17_small_quantity_revenue",
+    ):
+        plan = executed_plan(reg.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    q75 = executed_plan(reg.QUERIES["q75_tpch_q16_supplier_count"](spark, SF))
+    assert "LeftAnti" in q75 and "BroadcastHashJoin" in q75

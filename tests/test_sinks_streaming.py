@@ -465,3 +465,49 @@ def test_session_window_streaming_matches_batch(spark):
     q.awaitTermination()
     got = {tuple(r) for r in spark.table(name).collect()}
     assert got == batch
+
+
+def test_streaming_dedup_within_watermark_bounds_state(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark variant: duplicates inside the
+    delay window are suppressed across batches, and (the reason this
+    variant exists) per-key state carries an eviction deadline so an
+    unbounded stream cannot accumulate unbounded digests.  With
+    AvailableNow over two files, the in-window dup is dropped and both
+    distinct contents emit exactly once."""
+    import json
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_marketeye_airflow_spark.streaming.ingest import (
+        streaming_dedup_within_watermark,
+    )
+
+    d = tmp_path_factory.mktemp("wdedup")
+    batch1 = [
+        {"doc_id": 1, "text": "alpha beta", "t": "2024-01-01T10:00:00"},
+        {"doc_id": 2, "text": "gamma", "t": "2024-01-01T10:05:00"},
+    ]
+    batch2 = [
+        {"doc_id": 3, "text": " ALPHA   beta ", "t": "2024-01-01T10:20:00"},  # dup in-window
+        {"doc_id": 4, "text": "delta", "t": "2024-01-01T10:25:00"},
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in batch2))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, t string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("t", F.to_timestamp("t"))
+    )
+    out = streaming_dedup_within_watermark(stream, "t", delay="1 hour")
+    name = f"wdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    hashes = [r.content_hash for r in spark.table(name).collect()]
+    assert len(hashes) == 3  # alpha-beta once, gamma, delta
+    assert len(set(hashes)) == 3
