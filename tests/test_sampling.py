@@ -125,3 +125,29 @@ def test_temperature_mix_flattens_and_is_deterministic(spark):
 
     all_kept = temperature_mix(df, "source", "doc_id", "n_chars", scale=100.0)
     assert all_kept.count() == 425
+
+
+def test_temperature_mix_source_isolation(spark):
+    """Per-source factors mean one source's presence cannot change
+    another's accept decisions: dropping source B entirely leaves
+    source A's kept set identical (no cross-group normalization — the
+    property that makes the op safe for incremental/per-partition
+    dataset builds)."""
+    from etl_marketeye_airflow_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "a", 50 + i % 7) for i in range(300)] + [
+        (5000 + i, "b", 80) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    both = {
+        r.doc_id
+        for r in temperature_mix(df, "source", "doc_id", "n_chars", scale=0.4).collect()
+        if r.source == "a"
+    }
+    only_a = {
+        r.doc_id
+        for r in temperature_mix(
+            df.filter(F.col("source") == "a"), "source", "doc_id", "n_chars", scale=0.4
+        ).collect()
+    }
+    assert both == only_a
