@@ -1,0 +1,75 @@
+"""Generate PLANS.md: a per-registry-query physical-plan feature table.
+
+Machine-generated evidence for the plan claims in SCALE.md/COVERAGE.md —
+for every registry query (at sf0.001, streaming/eager queries excluded
+from plan inspection where noted), count Exchange (shuffle) nodes and
+record whether the executed plan broadcasts, pushes filters to parquet,
+or drops to row-Python.
+
+Usage: python tools/plan_report.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF = "/root/testdata/sf0.001"
+
+# Queries that EXECUTE when built (streams drained / eager two-pass):
+# their returned plan is a memory-sink or RDD scan, so plan features are
+# reported as n/a with the reason.
+EXECUTES_ON_BUILD = {
+    "q31_streaming_window": "streaming (drained; plan = memory sink)",
+    "q34_stateful_running_totals": "streaming stateful (drained)",
+    "q50_streaming_dedup": "streaming (drained)",
+    "q63_stream_stream_join": "streaming join (drained)",
+    "q58_vocab_coverage": "eager two-pass (checkpointed result)",
+    "q22_minhash_lsh_dedup": "eager (checkpointed pair set)",
+    "q23_simhash_dedup": "eager (checkpointed pair set)",
+    "q47_dedup_pipeline": "eager (checkpointed stages)",
+    "q43_dedup_clusters": "iterative (checkpointed rounds)",
+}
+
+
+def main() -> None:
+    from etl_marketeye_airflow_spark import queries as reg
+    from etl_marketeye_airflow_spark.plans import executed_plan, pushed_filters
+    from etl_marketeye_airflow_spark.session import get_spark
+
+    spark = get_spark("plan-report")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("# PLANS — per-query physical-plan features (auto-generated)")
+    print()
+    print(f"`python tools/plan_report.py` over the registry at sf0.001.")
+    print("Exchanges = shuffle boundaries in the executed plan (AQE may")
+    print("coalesce at runtime); Broadcast = BroadcastHashJoin present;")
+    print("Pushed = parquet-level PushedFilters non-empty; RowPy =")
+    print("row-at-a-time Python (BatchEvalPython — allowlisted demos only).")
+    print()
+    print("| query | exchanges | broadcast | pushed filters | row-python |")
+    print("|---|---|---|---|---|")
+    for name, fn in sorted(reg.QUERIES.items()):
+        if name in EXECUTES_ON_BUILD:
+            print(f"| {name} | — | — | — | — ({EXECUTES_ON_BUILD[name]}) |")
+            continue
+        try:
+            df = fn(spark, SF)
+            plan = executed_plan(df)
+            n_ex = len(re.findall(r"\bExchange\b", plan))
+            bc = "yes" if "BroadcastHashJoin" in plan else ""
+            pushed = "yes" if pushed_filters(df) else ""
+            rowpy = "YES" if "BatchEvalPython" in plan else ""
+            print(f"| {name} | {n_ex} | {bc} | {pushed} | {rowpy} |")
+        except Exception as e:  # pragma: no cover - report, don't die
+            print(f"| {name} | ? | ? | ? | error: {str(e)[:60]} |")
+        finally:
+            spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
