@@ -3471,6 +3471,71 @@ def q76_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+@query(
+    "q77_scd2_history_merge",
+    # the oracle rebuilds the same merge set-algebraically: closed =
+    # changed-or-gone actives, unchanged = equal matches, fresh = the
+    # incoming rows not kept open.  acctbal is never NULL here so <>
+    # matches the operator's eqNullSafe-negation exactly.
+    oracle="""
+    WITH cur AS (
+      SELECT s_suppkey, s_acctbal,
+             '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      FROM supplier WHERE s_suppkey % 7 <> 0
+    ),
+    inc AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100
+                  ELSE s_acctbal END AS s_acctbal
+      FROM supplier WHERE s_suppkey % 11 <> 0
+    ),
+    closed AS (
+      SELECT c.s_suppkey, c.s_acctbal, c.valid_from,
+             '2024-06-01' AS valid_to
+      FROM cur c LEFT JOIN inc i USING (s_suppkey)
+      WHERE i.s_suppkey IS NULL OR i.s_acctbal <> c.s_acctbal
+    ),
+    unchanged AS (
+      SELECT c.* FROM cur c JOIN inc i USING (s_suppkey)
+      WHERE i.s_acctbal = c.s_acctbal
+    ),
+    fresh AS (
+      SELECT i.s_suppkey, i.s_acctbal,
+             '2024-06-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      FROM inc i LEFT JOIN unchanged u USING (s_suppkey)
+      WHERE u.s_suppkey IS NULL
+    )
+    SELECT * FROM closed
+    UNION ALL SELECT * FROM unchanged
+    UNION ALL SELECT * FROM fresh
+    """,
+)
+def q77_scd2_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history merge (Delta-MERGE semantics emulated with
+    anti-join + union): a derived update batch — some suppliers change
+    acctbal, some disappear, some are new — against an open history.
+    Changed/absent actives close at the batch timestamp; new versions
+    and new keys append open.  Promotes the pytest-only `scd2_merge`
+    operator to oracle coverage: the gate proves the anti-join/union
+    decomposition equals the set-algebraic MERGE."""
+    from .operators.profile import scd2_merge
+
+    s = _t(spark, sf_dir, "supplier")
+    current = s.filter(F.col("s_suppkey") % 7 != 0).select(
+        "s_suppkey",
+        "s_acctbal",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    incoming = s.filter(F.col("s_suppkey") % 11 != 0).select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 3 == 0, F.col("s_acctbal") + 100)
+        .otherwise(F.col("s_acctbal"))
+        .alias("s_acctbal"),
+    )
+    return scd2_merge(current, incoming, "s_suppkey", ["s_acctbal"], "2024-06-01")
+
+
 # Driver-sweep ordering: the round-2 driver recorded exactly 50 correctness
 # rows (q01–q50) against a 68-entry registry, i.e. the sweep looks
 # entry-capped.  Emit the least externally-proven queries FIRST — anything
