@@ -3536,6 +3536,124 @@ def q77_scd2_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(current, incoming, "s_suppkey", ["s_acctbal"], "2024-06-01")
 
 
+@query(
+    "q78_doc_rarity_score",
+    # exact-integer sums (corpus counts) with ONE final double division
+    # per doc; the bucket CASE compares that same double on both sides
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENIZE}) AS token FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    v AS (SELECT token, count(*) AS cnt FROM t2 GROUP BY token)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                       AS n_tokens,
+           CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                                                          AS mean_token_freq,
+           CASE WHEN CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) < 8.0
+                  THEN 'rare'
+                WHEN CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) < 20.0
+                  THEN 'mid'
+                ELSE 'common' END                         AS rarity_bucket
+    FROM t2 JOIN v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q78_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document rarity scoring: each doc's mean CORPUS frequency of its
+    tokens — the integer-exact cousin of unigram-LM perplexity scoring
+    (log-prob needs libm log, which is NOT cross-engine bit-stable;
+    mean frequency ranks documents the same way for bucketing).  Used to
+    up-weight rare/specialist text and spot boilerplate (high mean
+    frequency ⇒ stopword soup).
+
+    Scale shape: the token stream collapses into the vocab ONCE
+    (map-side combined), then joins back to the stream on token — at
+    100 TB the vocab is too big to broadcast, so this shuffles the
+    (doc_id, token) stream by token hash and re-aggregates by doc: two
+    shuffles total, both key-partitioned; nothing global."""
+    from .operators.corpus import token_counts
+    from .operators.dedup import spread, words
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        spread(docs)
+        .select("doc_id", F.explode(words(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = token_counts(docs, "text", None)
+    mean = F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")
+    return (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            mean.alias("mean_token_freq"),
+            F.when(mean < 8.0, "rare")
+            .when(mean < 20.0, "mid")
+            .otherwise("common")
+            .alias("rarity_bucket"),
+        )
+    )
+
+
+@query(
+    "q79_token_offsets_set_based",
+    # same contract as q68 — the oracle is the identical lateral
+    # expansion, so the gate proves the two forms EQUAL row-for-row
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS token_idx,
+           ws[CAST(i AS INT)] AS token,
+           CAST(CASE WHEN i = 1 THEN 0
+                ELSE len(array_to_string(list_slice(ws, 1, CAST(i AS INT) - 1), ' ')) + 1
+                END AS INT) AS char_offset
+    FROM e
+    """,
+)
+def q79_token_offsets_set_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The set-based twin of q68's UDTF: identical (token_idx, token,
+    char_offset) rows from posexplode + a per-doc running-sum window —
+    zero Python, whole-stage codegen.  Exists so the registry QUANTIFIES
+    the UDTF tax (bench q68 vs q79 at the same output) and so the fast
+    form is itself oracle-verified, not just documented in q68's
+    docstring.  The window partitions by doc_id — bounded by document
+    token count, never corpus-global."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("_norm"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("_norm"), " ")).alias("_idx0", "token"),
+    ).select(
+        "doc_id",
+        (F.col("_idx0") + 1).cast("int").alias("token_idx"),
+        "token",
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("token_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toks.select(
+        "doc_id",
+        "token_idx",
+        "token",
+        F.coalesce(F.sum(F.length("token") + 1).over(w), F.lit(0))
+        .cast("int")
+        .alias("char_offset"),
+    )
+
+
 # Driver-sweep ordering: the round-2 driver recorded exactly 50 correctness
 # rows (q01–q50) against a 68-entry registry, i.e. the sweep looks
 # entry-capped.  Emit the least externally-proven queries FIRST — anything
