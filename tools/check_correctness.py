@@ -58,13 +58,33 @@ def canon_rows(cols: list[str], rows) -> list[tuple]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--plain",
+        action="store_true",
+        help="bare SparkSession (driver-style: no UTC/AQE/memory tuning) — "
+        "catches accidental dependence on our tuned session confs",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
-    from etl_marketeye_airflow_spark.session import get_spark
 
-    spark = get_spark("check-correctness")
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-correctness-plain")
+            # driver default heap (1g) OOMs the ANN/dedup queries before
+            # any real divergence can show; memory is env capacity, not a
+            # semantic conf — everything else stays stock
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+    else:
+        from etl_marketeye_airflow_spark.session import get_spark
+
+        spark = get_spark("check-correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
