@@ -1,3 +1,4 @@
+from .bucketed import read_bucketed, write_bucketed
 from .sinks import (
     write_csv_offers,
     write_jdbc_relational,
@@ -7,6 +8,8 @@ from .sinks import (
 )
 
 __all__ = [
+    "read_bucketed",
+    "write_bucketed",
     "write_csv_offers",
     "write_jdbc_relational",
     "write_json_products",

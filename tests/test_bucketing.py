@@ -33,14 +33,15 @@ def test_bucketed_join_runs_with_zero_exchanges(spark, no_broadcast):
     o = spark.read.parquet(f"{SF}/orders.parquet").select(
         "o_orderkey", "o_totalprice"
     )
+    from etl_marketeye_airflow_spark.sinks import read_bucketed, write_bucketed
+
     try:
         for df, name, key in [(li, "t_li_bucketed", "l_orderkey"),
                               (o, "t_o_bucketed", "o_orderkey")]:
-            (df.write.bucketBy(8, key).sortBy(key)
-               .mode("overwrite").saveAsTable(name))
+            write_bucketed(df, name, key, n_buckets=8)
 
-        j = spark.table("t_li_bucketed").join(
-            spark.table("t_o_bucketed"),
+        j = read_bucketed(spark, "t_li_bucketed").join(
+            read_bucketed(spark, "t_o_bucketed"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         plan = executed_plan(j.groupBy("o_orderkey").agg(F.sum("l_quantity")))
