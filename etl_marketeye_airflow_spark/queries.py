@@ -3654,6 +3654,110 @@ def q79_token_offsets_set_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q80_SH_SQL = _Q47_SH_FULL_SQL.replace(
+    "FROM documents", "FROM documents JOIN keep0 USING (doc_id)"
+)
+
+
+@query(
+    "q80_full_pipeline_with_near_dup",
+    # q73's assembly plus the FUZZY dedup stage: every piece of this
+    # composition is an already-proven oracle (q20 digest keepers, q47
+    # exact-Jaccard pairs + recursive closure, q71 mix, q51 split, q61
+    # chunking) — composed here so the WHOLE modern pipeline, not just
+    # its stages, is hash-verified.
+    oracle=f"""
+    WITH RECURSIVE
+    keep0 AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ),
+    sh AS ({_Q80_SH_SQL}),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, x) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON r.x = e.src
+    ),
+    labels AS (
+      SELECT id, least(id, min(x)) AS cluster FROM reach GROUP BY id
+    ),
+    surv AS (
+      SELECT d.* FROM documents d JOIN keep0 USING (doc_id)
+      WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
+    ),
+    q AS (SELECT * FROM surv WHERE n_chars BETWEEN 100 AND 500),
+    f AS (
+      SELECT source,
+             CAST(floor(LEAST(1.0,
+                   (0.5 * sqrt(CAST(sum(n_chars) AS DOUBLE)))
+                     / CAST(count(*) AS DOUBLE)) * 1099511627776.0) AS BIGINT)
+               AS thresh
+      FROM q GROUP BY source
+    ),
+    m AS (
+      SELECT q.* FROM q JOIN f USING (source)
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
+            < thresh
+    ),
+    tr AS (
+      SELECT * FROM m
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 < 80
+    ),
+    w AS (SELECT doc_id, {_SQL_TOKENIZE} AS ws FROM tr),
+    k AS (SELECT doc_id, ws, (greatest(len(ws) - 32, 0) + 23) // 24 AS kmax FROM w),
+    e AS (SELECT doc_id, ws, unnest(range(0, kmax + 1)) AS chunk_id FROM k)
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(ws, chunk_id*24 + 1, chunk_id*24 + 32), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(ws, chunk_id*24 + 1, chunk_id*24 + 32)) AS INT)
+             AS n_chunk_tokens
+    FROM e
+    """,
+)
+def q80_full_pipeline_with_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q73's dataset assembly with the FUZZY dedup stage in: exact dedup
+    → MinHash+LSH near-dup clustering (keep min-id representative) →
+    length quality band → temperature mix → train split → 32/24
+    chunking.  The complete modern training-data pipeline, end-to-end
+    hash-verified against an oracle that brute-forces the near-dup
+    stage (all-pairs exact Jaccard + recursive closure) — banding
+    recall completeness carries over from q47 (the keeper subset's pair
+    set is a subset of the full corpus's, which is pinned recall-
+    complete)."""
+    from .operators.corpus import chunk_documents
+    from .operators.dedup import dedup_by_clusters, exact_dedup, minhash_lsh_pairs
+    from .operators.sampling import hash_split, temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    d1 = exact_dedup(docs)
+    pairs = minhash_lsh_pairs(d1, threshold=0.35)
+    d2 = dedup_by_clusters(d1, pairs)
+    q = d2.filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 500))
+    m = temperature_mix(q, "source", "doc_id", "n_chars", alpha=0.5, scale=0.5)
+    tr = hash_split(m, "doc_id").filter(F.col("split") == "train")
+    return chunk_documents(tr.select("doc_id", "text"), chunk_size=32, stride=24)
+
+
 # Driver-sweep ordering: the round-2 driver recorded exactly 50 correctness
 # rows (q01–q50) against a 68-entry registry, i.e. the sweep looks
 # entry-capped.  Emit the least externally-proven queries FIRST — anything
