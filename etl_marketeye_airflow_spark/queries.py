@@ -3568,10 +3568,11 @@ def q78_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency ⇒ stopword soup).
 
     Scale shape: the token stream collapses into the vocab ONCE
-    (map-side combined), then joins back to the stream on token — at
-    100 TB the vocab is too big to broadcast, so this shuffles the
-    (doc_id, token) stream by token hash and re-aggregates by doc: two
-    shuffles total, both key-partitioned; nothing global."""
+    (map-side combined), then joins back to the stream on token.  AQE
+    broadcasts the vocab while it fits (it does at test SFs — see
+    PLANS.md); past broadcast size the join degrades gracefully to a
+    token-hash shuffle of the (doc_id, token) stream plus the per-doc
+    re-aggregation: both key-partitioned, nothing global."""
     from .operators.corpus import token_counts
     from .operators.dedup import spread, words
 
