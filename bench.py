@@ -9,6 +9,14 @@ count(), which Catalyst strips projections under, this forces every
 output expression to actually evaluate, while still returning one row
 (no driver-side row-transfer noise).  A JVM warm-up query runs first so
 fixed session spin-up isn't charged to the first query.
+
+De-noising (round 4): queries run in FIXED NUMERIC ORDER — deliberately
+independent of the registry's driver-sweep ordering, which rotates
+round-to-round and was shown (r2→r3) to masquerade as 1.5-3x
+regressions on unchanged plans — and each query's reported time is the
+MIN OF 3 consecutive repeats (cache cleared before each), the standard
+noise-floor estimator.  Round-over-round deltas on unchanged queries
+should now sit within ~±20%, so a real regression is visible.
 """
 
 from __future__ import annotations
@@ -91,16 +99,23 @@ def main() -> None:
             F.sum(F.col("_h").cast("decimal(38,0)"))
         ).collect()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name, fn in registry.queries().items():
-        t0 = time.time()
-        force_full_eval(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        # fan-out operators (minhash/simhash/vocab) now unpersist their
-        # own bases (eager materialize-then-release); the sweep here is
-        # belt-and-braces isolation so no future query's leak can feed a
-        # later query a cache hit and skew its timing
-        spark.catalog.clearCache()
+    # fixed numeric order, NOT the rotating driver-sweep order — bench
+    # deltas must compare like with like across rounds
+    for name in sorted(registry.QUERIES, key=lambda n: (n[1:3], n)):
+        fn = registry.QUERIES[name]
+        best = float("inf")
+        for _ in range(max(1, runs)):
+            # fan-out operators (minhash/simhash/vocab) unpersist their
+            # own bases (eager materialize-then-release); the sweep here
+            # is belt-and-braces isolation so no leak can feed a later
+            # repeat/query a cache hit and skew its timing
+            spark.catalog.clearCache()
+            t0 = time.time()
+            force_full_eval(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -111,6 +126,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": runs,
             }
         )
     )

@@ -357,6 +357,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 1,
     max_bucket: int | None = None,
     target_bucket_rows: int = 256,
+    eager: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, candidate-limited to
     same-LSH-bucket pairs (bucket-join, not all-pairs).
@@ -382,17 +383,33 @@ def embedding_near_dup_pairs(
     - ``max_bucket`` drops pathological buckets (dead-center hubs,
       degenerate vectors) before the self-join — a documented recall
       trade, same discipline as minhash_lsh_pairs.
+    - ``eager=True`` materializes the pair set at call time
+      (``localCheckpoint``) and unpersists the input projection before
+      returning — same lifecycle as ``minhash_lsh_pairs``.  The default
+      stays LAZY (plan semantics unchanged for composing callers); pass
+      eager for fan-out call sites so the input lineage — consumed by
+      first()/count() during auto-sizing plus the bucket and verify
+      branches — executes once, not 3-4×.
     """
+    # One projection reused by every branch (auto-size probe, bucket
+    # build, cosine verify) — persisted when we'd otherwise re-execute
+    # the upstream lineage per branch.
+    base = embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_e"))
+    do_persist = eager or n_planes is None
+    if do_persist:
+        base = base.persist()
     # dim inferred lazily is awkward; peek one row (driver-side, O(1)).
-    head = embeddings.select(emb_col).first()
+    head = base.select("_e").first()
     if head is None:  # empty corpus → empty pair set, not a crash
+        if do_persist:
+            base.unpersist()
         spark = embeddings.sparkSession
         return spark.createDataFrame([], "id_a long, id_b long, cosine double")
     dim = len(head[0])
     if n_planes is None:
         import math
 
-        n = embeddings.count()
+        n = base.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows + 1)))
     all_planes = _np.asarray(
         [hyperplanes(n_planes, dim, seed + t) for t in range(max(1, n_tables))],
@@ -426,9 +443,9 @@ def embedding_near_dup_pairs(
     # staged as an attribute — inlining norm(e) in the transform lambda
     # would re-fold it per element), so the verify is one dot fold per
     # unique candidate pair.
-    buckets = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(multi_bucket_kernel(F.col(emb_col))).alias("_t", "_bucket"),
+    buckets = base.select(
+        F.col("_id"),
+        F.posexplode(multi_bucket_kernel(F.col("_e"))).alias("_t", "_bucket"),
     )
     if max_bucket is not None:
         from pyspark.sql.window import Window
@@ -446,9 +463,9 @@ def embedding_near_dup_pairs(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    unit = embeddings.withColumn("_nrm", norm(F.col(emb_col))).select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(emb_col), lambda v: v.cast("double") / F.col("_nrm")).alias("_u"),
+    unit = base.withColumn("_nrm", norm(F.col("_e"))).select(
+        F.col("_id"),
+        F.transform(F.col("_e"), lambda v: v.cast("double") / F.col("_nrm")).alias("_u"),
     )
 
     # Candidate verify = one numpy batch dot (Arrow-batched pandas UDF):
@@ -469,9 +486,19 @@ def embedding_near_dup_pairs(
         B = np.stack([np.asarray(v, dtype=np.float64) for v in ub])
         return pd.Series(np.einsum("ij,ij->i", A, B))
 
-    return (
+    out = (
         cand.join(unit.withColumnRenamed("_id", "id_a").withColumnRenamed("_u", "u_a"), "id_a")
         .join(unit.withColumnRenamed("_id", "id_b").withColumnRenamed("_u", "u_b"), "id_b")
         .select("id_a", "id_b", pair_dot(F.col("u_a"), F.col("u_b")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    if not eager:
+        # auto-size probe was served from cache; release the blocks now —
+        # the returned plan recomputes the projection once at action time.
+        if do_persist:
+            base.unpersist()
+        return out
+    out = out.localCheckpoint(eager=True)
+    if do_persist:
+        base.unpersist()
+    return out

@@ -1061,37 +1061,88 @@ def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q26_embedding_near_dup",
-    # Banding machinery aside, the VERIFIED pair set is exact whenever
-    # multi-table recall is complete on the corpus — and at (3 planes,
-    # 16 tables, seed 42) it is, at sf0.001, sf0.01 AND sf0.1 (pinned in
-    # test_trainingdata, q22/q23 precedent).  The oracle recomputes
-    # all-pairs cosine the slow exact way; threshold margin ≈ 5.5e-4
-    # and 6-dp rounding margins ≈ 1.6e-8 dwarf engine ulp differences.
+    # Re-pinned (round 4) at a SCALE-SAFE operating point: the old pin
+    # (cosine ≥ 0.45 on near-isotropic vectors, 3 fixed planes) was an
+    # inherent ~all-pairs/8 collision regime — 67× cost at 10× data,
+    # root-caused in SCALE.md; it survives only as a pytest-only
+    # negative example (test_trainingdata).  The corpus now plants
+    # CLUSTERS: every 10th vector gets 3 deterministic elementwise
+    # perturbations (ids +1M/+2M/+3M), giving 4-member groups whose
+    # intra-cluster cosines sit at ≈0.994-0.99998 while everything else
+    # stays ≤ 0.61 — the tight-angle regime where auto-sized planes
+    # lose nothing.  Threshold margin ≥ 4.4e-2 and 6-dp rounding
+    # margins ≥ 2e-10 (≈10^5 × engine ulp noise), recall completeness
+    # at (auto planes, 8 tables, seed 42) verified at sf0.001/0.01/0.1
+    # — all pinned in test_trainingdata.  The ORACLE recomputes the
+    # same corpus and brute-forces all-pairs exact cosine; Spark's
+    # banded bucket-join is the scale path.
     oracle=f"""
-    WITH p AS (
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + t.t * 1000000,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    + CAST(0.002 AS DOUBLE) * t.t
+                      * CAST(((vec_id * 31 + (i - 1) + 13 * t.t) % 7) - 3 AS DOUBLE))
+      FROM embeddings CROSS JOIN (VALUES (1), (2), (3)) AS t(t)
+      WHERE vec_id % 10 = 0
+    ),
+    p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             {_SQL_COS.format(a="a.embedding", b="b.embedding")} AS c
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             {_SQL_COS.format(a="a.e", b="b.e")} AS c2
+      FROM c a JOIN c b ON a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.45
+    SELECT id_a, id_b, round(c2, 6) AS cosine FROM p WHERE c2 >= 0.95
     """,
 )
 def q26_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ 0.45) via MULTI-TABLE LSH
-    bucket-join (16 independent 3-plane tables; precision is exact by
-    construction, cosine-verified).  Synthetic embeddings are
-    near-orthogonal — max pairwise cosine ≈ 0.51 at sf0.01 — so 3
-    planes/16 tables is the recall-complete operating point for θ≈63°
-    (pinned in test_trainingdata at sf0.01; measured complete at
-    sf0.001/0.01/0.1 in round 3); a real near-dup corpus (cosine ≥0.9,
-    θ≤26°) would run 8+ planes for far smaller buckets at the same
-    recall.  Candidates stay a bucket-join either way — never all-pairs
-    (the ORACLE brute-forces all pairs; Spark's banding is the scale
-    path)."""
+    """Embedding near-duplicate CLUSTER detection at the scale-safe
+    operating point: tight-angle groups (cosine ≥ 0.95) found with
+    ``n_planes=None`` auto-sizing and 8 independent tables — the
+    multi-member sibling of q72's twin-pair pin (clusters stress
+    transitive bucket collisions; q72 stresses 1:1 twins).  Every 10th
+    vector is planted with 3 deterministic perturbations (recomputed
+    identically in the oracle); the exact pair set is the 6 pairs per
+    4-member cluster.  Candidates remain a (table, bucket) equi-join —
+    never all-pairs; precision exact by cosine verify; recall complete
+    at this angle (asserted vs numpy brute force at 3 SFs in pytest AND
+    by the oracle hash).  eager=True: the auto-size count() probe and
+    both fan-out branches read one persisted projection, released
+    before return."""
     from .operators.similarity import embedding_near_dup_pairs
 
+    base = _t(spark, sf_dir, "embeddings")
+    orig = base.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    tens = base.filter(F.col("vec_id") % 10 == 0)
+
+    def _perturb(t: int):
+        # closure factory: a `_t=t` default arg would add a 3rd lambda
+        # parameter, which Spark rejects (transform passes exactly 2)
+        return lambda x, i: x.cast("double") + F.lit(0.002 * t) * (
+            ((F.col("vec_id") * 31 + i + 13 * t) % 7) - 3
+        ).cast("double")
+
+    twins = []
+    for t in (1, 2, 3):
+        # perturb FIRST (original vec_id in scope), shift the id in a
+        # second select — a sibling `... AS vec_id` alias would rebind
+        # the lambda's vec_id ref (lateral column aliases, conv #6c)
+        twins.append(
+            tens.select(
+                "vec_id",
+                F.transform(F.col("embedding"), _perturb(t)).alias("embedding"),
+            ).select((F.col("vec_id") + F.lit(t * 1000000)).alias("vec_id"), "embedding")
+        )
+    corpus = orig
+    for tw in twins:
+        corpus = corpus.unionByName(tw)
     pairs = embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=3, n_tables=16
+        corpus, threshold=0.95, n_planes=None, n_tables=8, eager=True
     )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")

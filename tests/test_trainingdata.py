@@ -788,39 +788,95 @@ def _emb_matrix(spark, sf_dir=_GATE_SF):
     return ids[order], X[order]
 
 
-def test_q26_oracle_recall_complete_and_margins(spark):
-    """q26's oracle is all-pairs exact cosine, so the banded pair set must
-    EQUAL the exact set at the oracled config (3 planes x 8 tables)."""
+def _q26_cluster_corpus(ids, X):
+    """Numpy twin of q26's planted-cluster construction (bit-identical
+    IEEE ops: float->double exact, (0.002*t)*d product order matches
+    both engines)."""
+    import numpy as np
+
+    sel = ids % 10 == 0
+    dim = X.shape[1]
+    i = np.arange(dim)
+    parts_ids, parts = [ids], [X]
+    for t in (1, 2, 3):
+        d = ((ids[sel][:, None] * 31 + i[None, :] + 13 * t) % 7) - 3
+        parts.append(X[sel] + (0.002 * t) * d)
+        parts_ids.append(ids[sel] + t * 1000000)
+    return np.concatenate(parts_ids), np.vstack(parts)
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", _GATE_SF, "/root/testdata/sf0.1"],
+)
+def test_q26_oracle_recall_complete_and_margins(spark, sf_dir):
+    """q26's oracle is all-pairs exact cosine over the planted-cluster
+    corpus, so the banded pair set must EQUAL the exact set at the
+    pinned config (auto planes x 8 tables, threshold 0.95) — verified
+    at ALL THREE testdata SFs, with the numerical margins that make the
+    hash comparison sound."""
     import numpy as np
 
     from etl_marketeye_airflow_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )
+    from etl_marketeye_airflow_spark.queries import QUERIES
 
-    ids, X = _emb_matrix(spark)
-    U = X / np.linalg.norm(X, axis=1, keepdims=True)
-    C = U @ U.T
-    iu = np.triu_indices(len(ids), 1)
-    cs = C[iu]
+    ids0, X0 = _emb_matrix(spark, sf_dir)
+    cids, C = _q26_cluster_corpus(ids0, X0)
+    U = C / np.linalg.norm(C, axis=1, keepdims=True)
+    G = U @ U.T
+    iu = np.triu_indices(len(cids), 1)
+    cs = G[iu]
     exact = {
-        (int(ids[i]), int(ids[j]))
-        for i, j in zip(iu[0][cs >= 0.45], iu[1][cs >= 0.45])
+        (min(int(cids[i]), int(cids[j])), max(int(cids[i]), int(cids[j])))
+        for i, j in zip(iu[0][cs >= 0.95], iu[1][cs >= 0.95])
     }
-    assert exact  # non-vacuous
-    # threshold margin: no cosine within 1e-6 of 0.45 (engines can't flip it)
-    assert float(np.abs(cs - 0.45).min()) > 1e-6
-    # 6-dp rounding margin for emitted pairs
-    sel = cs[cs >= 0.45]
-    assert float(np.abs(((sel * 1e6) % 1) - 0.5).min() / 1e6) > 1e-9
+    # non-vacuous: 6 pairs per 4-member cluster, one cluster per 10th id
+    assert len(exact) == 6 * int((ids0 % 10 == 0).sum())
+    # threshold margin: no cosine anywhere near 0.95 (engines can't flip it)
+    assert float(np.abs(cs - 0.95).min()) > 1e-2
+    # 6-dp rounding margin for emitted pairs: >= 1e-11, ~1e4 x ulp noise
+    sel = cs[cs >= 0.95]
+    assert float(np.abs(((sel * 1e6) % 1) - 0.5).min() / 1e6) > 1e-11
 
-    emb = spark.read.parquet(f"{_GATE_SF}/embeddings.parquet")
     got = {
         (r.id_a, r.id_b)
-        for r in embedding_near_dup_pairs(
-            emb, threshold=0.45, n_planes=3, n_tables=16
-        ).collect()
+        for r in QUERIES["q26_embedding_near_dup"](spark, sf_dir).collect()
     }
     assert got == exact  # recall complete AND precision exact
+
+
+def test_wide_angle_lsh_is_all_pairs_regime(spark):
+    """NEGATIVE EXAMPLE (q26's pre-round-4 pin, demoted from the registry):
+    wide-angle thresholds on near-isotropic vectors are an inherent
+    ~all-pairs collision regime — at 3 planes a random pair collides in
+    one table with p ~ 1/8, and 16 OR-ed tables push the candidate set
+    toward ALL pairs (1-(1-p)^16 ~ 0.88 even if signs were independent
+    coins).  No bucketing parameter fixes this at that angle: bucket
+    population n/2^3 grows linearly with n, so the self-join is
+    Theta(n^2) — the 67x blowup the 10x probe measured in round 3.
+    Kept as a pinned demonstration; the operator remains correct on
+    bounded corpora (precision exact by verify), just not a scale
+    config."""
+    import numpy as np
+
+    from etl_marketeye_airflow_spark.operators.similarity import hyperplanes
+
+    ids, X = _emb_matrix(spark)
+    n = len(ids)
+    collide = np.zeros((n, n), dtype=bool)
+    for t in range(16):
+        planes = np.asarray(hyperplanes(3, X.shape[1], 42 + t), dtype=np.float64)
+        key = np.zeros(n, dtype=np.int64)
+        for p in planes:
+            key = (key << 1) | ((X * p).sum(axis=1) > 0).astype(np.int64)
+        collide |= key[:, None] == key[None, :]
+    iu = np.triu_indices(n, 1)
+    frac = float(collide[iu].mean())
+    # the candidate set IS a constant fraction of all pairs — the
+    # definition of a non-scalable banding config
+    assert frac > 0.5, frac
 
 
 def test_q25_oracle_sign_and_rank_margins(spark):
