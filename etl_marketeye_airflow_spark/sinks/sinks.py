@@ -134,6 +134,116 @@ def mongo_write_options(uri: str, database: str, collection: str) -> dict[str, s
     return {"connection.uri": uri, "database": database, "collection": collection}
 
 
+# Index specs mirroring the reference's create_index calls
+# (dags/marketeye_etl_dag.py:964-967): product_id unique, brand, price.
+MONGO_INDEX_SPECS: tuple[tuple[list[tuple[str, int]], dict], ...] = (
+    ([("product_id", 1)], {"unique": True}),
+    ([("brand", 1)], {}),
+    ([("price", 1)], {}),
+)
+
+
+def mongo_document_rows(merged: DataFrame) -> DataFrame:
+    """S7 document assembly, pure and serverless-testable: one JSON string
+    per row — EXACTLY the dict ``insert_many`` receives, i.e. the
+    reference's final nested product document (ids, offers array, spec
+    map, metadata struct; dags/marketeye_etl_dag.py:938-941,960-962).
+    ``ignoreNullFields=false`` keeps nulls as explicit JSON nulls the way
+    the reference's ``json.load`` of the final file does — Spark's
+    default to_json would silently drop them and change the document
+    shape."""
+    cols = [F.col(c) for c in merged.columns]
+    return merged.select(
+        F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}).alias("doc_json")
+    )
+
+
+def _client_close(client) -> None:
+    close = getattr(client, "close", None)
+    if callable(close):
+        close()
+
+
+def write_mongo_pymongo(
+    merged: DataFrame,
+    client_factory,
+    database: str = "marketeye",
+    collection: str = "products",
+    batch_size: int = 1000,
+) -> int:
+    """S7 executable without the Spark connector jar: wipe-then-insert of
+    the assembled nested documents + the reference's 3 index DDLs
+    (dags/marketeye_etl_dag.py:929-980 parity).
+
+    ``client_factory`` is a no-arg callable returning a pymongo-style
+    client (``client[db][coll]`` → delete_many/insert_many/create_index).
+    It is shipped INSIDE the per-partition closure, so it must pickle by
+    value for tests (define fakes as closures, not module-level test
+    functions — workers can't import tests.*; see the enrichment-client
+    note in tests/test_sinks_streaming.py) and the real one must build
+    its connection lazily (one client per partition — the scale shape;
+    never a driver-side collect of the corpus).
+
+    Driver-side work is exactly the reference's: one wipe before, index
+    DDL after. Returns the inserted-document count."""
+    docs = mongo_document_rows(merged).persist()
+    try:
+        n = docs.count()
+        client = client_factory()
+        try:
+            client[database][collection].delete_many({})
+        finally:
+            _client_close(client)
+
+        def _insert_partition(rows) -> None:
+            import json as _json
+
+            cli = client_factory()
+            try:
+                coll = cli[database][collection]
+                batch = []
+                for row in rows:
+                    batch.append(_json.loads(row.doc_json))
+                    if len(batch) >= batch_size:
+                        coll.insert_many(batch)
+                        batch = []
+                if batch:
+                    coll.insert_many(batch)
+            finally:
+                close = getattr(cli, "close", None)
+                if callable(close):
+                    close()
+
+        docs.foreachPartition(_insert_partition)
+        client = client_factory()
+        try:
+            coll = client[database][collection]
+            for keys, kwargs in MONGO_INDEX_SPECS:
+                coll.create_index(keys, **kwargs)
+        finally:
+            _client_close(client)
+        return n
+    finally:
+        docs.unpersist()
+
+
+def default_mongo_client_factory(uri: str):
+    """Real pymongo factory (import deferred to call time — the package
+    isn't in this environment; inject a fake for serverless tests)."""
+
+    def _connect():
+        try:
+            from pymongo import MongoClient
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "S7 pymongo path requires the pymongo package; "
+                "pass write_mongo_pymongo a custom client_factory instead"
+            ) from e
+        return MongoClient(uri)
+
+    return _connect
+
+
 def write_mongo_documents(merged: DataFrame, uri: str, database: str, collection: str) -> None:
     """S7: nested documents to MongoDB (overwrite = wipe-and-insert parity).
 

@@ -401,6 +401,95 @@ def test_mongo_write_options_contract():
     }
 
 
+def test_mongo_pymongo_end_to_end_minus_wire(spark, etl, tmp_path_factory):
+    """S7 executed end-to-end MINUS ONLY the wire call: the fake pymongo
+    client spools every insert_many batch to disk from inside the
+    per-partition closure (workers can't report through driver globals),
+    and the driver reads back the EXACT documents — the reference's
+    nested product form (ids, offers array, spec map, metadata;
+    dags/marketeye_etl_dag.py:961-969) — plus wipe-before-insert ordering
+    and the 3 reference index DDLs."""
+    import json
+
+    from etl_marketeye_airflow_spark.sinks.sinks import write_mongo_pymongo
+
+    out = tmp_path_factory.mktemp("mongo_spool")
+    spool = str(out)
+    events_log = str(out / "driver_events.jsonl")
+
+    def make_client():
+        # closure: pickled BY VALUE into the partition closure (module-
+        # level test functions pickle by reference — workers can't
+        # import tests.*; same rule as the enrichment fakes above)
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        class FakeColl:
+            def __init__(self, db, name):
+                self.key = f"{db}.{name}"
+
+            def delete_many(self, q):
+                with open(events_log, "a") as f:
+                    f.write(_json.dumps({"op": "delete_many", "coll": self.key, "q": q}) + "\n")
+
+            def insert_many(self, docs):
+                p = _os.path.join(spool, f"batch-{_uuid.uuid4().hex}.jsonl")
+                with open(p, "w") as f:
+                    for d in docs:
+                        f.write(_json.dumps(d, sort_keys=True) + "\n")
+
+            def create_index(self, keys, **kw):
+                with open(events_log, "a") as f:
+                    f.write(
+                        _json.dumps({"op": "create_index", "coll": self.key, "keys": keys, "kw": kw}) + "\n"
+                    )
+
+        class FakeDB:
+            def __init__(self, name):
+                self.name = name
+
+            def __getitem__(self, coll):
+                return FakeColl(self.name, coll)
+
+        class FakeClient:
+            def __getitem__(self, db):
+                return FakeDB(db)
+
+            def close(self):
+                pass
+
+        return FakeClient()
+
+    n = write_mongo_pymongo(etl.merged, make_client, database="marketeye", collection="products")
+    assert n == 6
+
+    docs = []
+    for p in Path(spool).glob("batch-*.jsonl"):
+        with open(p) as f:
+            docs += [json.loads(line) for line in f]
+    assert len(docs) == 6
+    by_id = {d["product_id"]: d for d in docs}
+    assert set(by_id) == {
+        r.product_id for r in etl.merged.select("product_id").collect()
+    }
+    s24 = by_id["samsung_s24ultra"]
+    # the reference's nested document form, field for field
+    assert isinstance(s24["offers"], list) and s24["offers"]
+    assert {"source", "price", "url"} <= set(s24["offers"][0])
+    assert isinstance(s24["specifications"], dict)
+    assert {"created_at", "last_updated"} <= set(s24["metadata"])
+
+    ev = [json.loads(line) for line in open(events_log)]
+    assert ev[0] == {"op": "delete_many", "coll": "marketeye.products", "q": {}}
+    idx = [(e["keys"], e["kw"]) for e in ev if e["op"] == "create_index"]
+    assert idx == [
+        ([["product_id", 1]], {"unique": True}),
+        ([["brand", 1]], {}),
+        ([["price", 1]], {}),
+    ]
+
+
 def test_streaming_dedup_suppresses_across_batches(spark, tmp_path_factory):
     """A digest seen in batch 1 must NOT re-emit in batch 2 — the whole
     point of dedup-at-ingest state."""
