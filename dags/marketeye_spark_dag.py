@@ -25,8 +25,14 @@ try:
 except ImportError:  # library-only environments (tests, spark-submit)
     HAVE_AIRFLOW = False
 
-RAW_DIR = os.environ.get("MARKETEYE_RAW_DIR", "/opt/airflow/data/raw")
-OUT_DIR = os.environ.get("MARKETEYE_OUT_DIR", "/opt/airflow/data/processed")
+# Resolved at CALL time, not import time, so tests (and Airflow variable
+# overrides) can repoint a task without re-importing the module.
+def _raw_dir() -> str:
+    return os.environ.get("MARKETEYE_RAW_DIR", "/opt/airflow/data/raw")
+
+
+def _out_dir() -> str:
+    return os.environ.get("MARKETEYE_OUT_DIR", "/opt/airflow/data/processed")
 
 
 def _session():
@@ -36,13 +42,21 @@ def _session():
 
 
 def task_etl(**_):
+    """extract+merge+stats as ONE Spark job; materializes the final
+    nested JSON + flat offers CSV the downstream sink tasks read — the
+    reference's file-handoff contract (dags/marketeye_etl_dag.py:726-728)
+    with the per-stage re-reads collapsed into one cached plan."""
     from etl_marketeye_airflow_spark.jobs import run_etl
     from etl_marketeye_airflow_spark.sinks import write_csv_offers, write_json_products
 
-    res = run_etl(_session(), RAW_DIR)
-    write_json_products(res.merged, f"{OUT_DIR}/marketeye_final")
-    write_csv_offers(res.offers_flat, f"{OUT_DIR}/offers_csv")
+    res = run_etl(_session(), _raw_dir())
+    write_json_products(res.merged, f"{_out_dir()}/marketeye_final")
+    write_csv_offers(res.offers_flat, f"{_out_dir()}/offers_csv")
     return res.statistics.collect()[0].asDict()
+
+
+def _read_final(spark):
+    return spark.read.json(f"{_out_dir()}/marketeye_final")
 
 
 def task_report(ti=None, **_):
@@ -51,24 +65,67 @@ def task_report(ti=None, **_):
     from datetime import datetime as dt
 
     spark = _session()
-    res = run_etl(spark, RAW_DIR)
+    res = run_etl(spark, _raw_dir())
     report = render_report(
         res.statistics.collect()[0],
         res.brand_distribution.collect(),
         dt.now().strftime("%Y-%m-%d %H:%M"),
     )
-    path = f"{OUT_DIR}/report_{dt.now().strftime('%Y%m%d_%H%M%S')}.txt"
+    path = f"{_out_dir()}/report_{dt.now().strftime('%Y%m%d_%H%M%S')}.txt"
     with open(path, "w", encoding="utf-8") as f:
         f.write(report)
     return path
 
 
-def task_backup(**_):
+def task_jdbc(connection_factory=None, **_):
+    """S6 task (reference save_to_postgresql, :838-927).  Env-gated: a
+    JDBC server isn't part of this environment; unset URL → explicit
+    skip marker (the reference raises — but it assumes docker-compose
+    services; a skip keeps the DAG runnable everywhere, loudly)."""
+    url = os.environ.get("MARKETEYE_JDBC_URL")
+    if not url:
+        return "skipped: MARKETEYE_JDBC_URL not set"
     from etl_marketeye_airflow_spark.jobs import run_etl
+    from etl_marketeye_airflow_spark.sinks.sinks import write_jdbc_relational
+
+    res = run_etl(_session(), _raw_dir())
+    write_jdbc_relational(
+        res.merged,
+        res.offers_flat,
+        url,
+        {"user": os.environ.get("MARKETEYE_JDBC_USER", ""),
+         "password": os.environ.get("MARKETEYE_JDBC_PASSWORD", "")},
+        connection_factory=connection_factory,
+    )
+    return res.merged.count()
+
+
+def task_mongo(client_factory=None, **_):
+    """S7 task (reference save_to_mongodb, :928-978): reads the FINAL
+    materialized JSON — exactly the reference's json.load of
+    marketeye_final.json — and wipe-then-insert_many's the nested docs
+    plus the 3 index DDLs.  ``client_factory`` injectable for tests;
+    default needs MARKETEYE_MONGO_URI + pymongo."""
+    spark = _session()
+    if client_factory is None:
+        uri = os.environ.get("MARKETEYE_MONGO_URI")
+        if not uri:
+            return "skipped: MARKETEYE_MONGO_URI not set"
+        from etl_marketeye_airflow_spark.sinks.sinks import default_mongo_client_factory
+
+        client_factory = default_mongo_client_factory(uri)
+    from etl_marketeye_airflow_spark.sinks.sinks import write_mongo_pymongo
+
+    return write_mongo_pymongo(_read_final(spark), client_factory)
+
+
+def task_backup(**_):
+    """S8 task (reference save_to_json_backup, :980-1010): backs up the
+    FINAL materialized file — a copy of what was shipped, not a
+    recompute."""
     from etl_marketeye_airflow_spark.sinks import write_timestamped_backup
 
-    res = run_etl(_session(), RAW_DIR)
-    return write_timestamped_backup(res.merged, f"{OUT_DIR}/backups")
+    return write_timestamped_backup(_read_final(_session()), f"{_out_dir()}/backups")
 
 
 if HAVE_AIRFLOW:
@@ -88,5 +145,17 @@ if HAVE_AIRFLOW:
     ) as dag:
         etl = PythonOperator(task_id="spark_etl", python_callable=task_etl)
         report = PythonOperator(task_id="generate_report", python_callable=task_report)
+        jdbc = PythonOperator(
+            task_id="save_to_postgresql",
+            python_callable=task_jdbc,
+            execution_timeout=timedelta(minutes=10),
+        )
+        mongo = PythonOperator(
+            task_id="save_to_mongodb",
+            python_callable=task_mongo,
+            execution_timeout=timedelta(minutes=5),
+        )
         backup = PythonOperator(task_id="json_backup", python_callable=task_backup)
-        etl >> report >> backup
+        # reference orchestration (dags/marketeye_etl_dag.py:1087-1089):
+        # report fans out to the three sinks in parallel
+        etl >> report >> [jdbc, mongo, backup]

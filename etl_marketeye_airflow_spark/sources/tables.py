@@ -45,14 +45,22 @@ def events_ts_divisor(sf_dir: str) -> int:
     (divide by 1).  Detecting the unit from the file footer keeps every
     event-time query exact against DuckDB's ``epoch_us(ts)`` no matter
     which flavor the current testdata uses.
-    """
-    try:
-        import pyarrow.parquet as pq
 
-        t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
-        unit = getattr(t, "unit", "us")
-    except Exception:
-        unit = "us"
+    Fails LOUD when the unit cannot be determined — a silent default
+    here is exactly the 1000x-wrong-timestamps failure mode this
+    function exists to prevent (every event-time query would read
+    ts_us off by three orders of magnitude with no error).
+    """
+    import pyarrow.parquet as pq  # baked into the env; ImportError IS loud
+
+    t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+    unit = getattr(t, "unit", None)
+    if unit not in ("ns", "us"):
+        raise ValueError(
+            f"events.parquet ts has unsupported type {t!r} (unit={unit!r}); "
+            "expected TIMESTAMP(NANOS) or TIMESTAMP(MICROS) — the testdata "
+            "format changed again, extend events_ts_divisor deliberately"
+        )
     return 1000 if unit == "ns" else 1
 
 

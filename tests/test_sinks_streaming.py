@@ -490,6 +490,30 @@ def test_mongo_pymongo_end_to_end_minus_wire(spark, etl, tmp_path_factory):
     ]
 
 
+def test_events_ts_divisor_is_loud_not_defaulting(tmp_path):
+    """Convention #4's guard must FAIL, never silently assume micros: a
+    wrong divisor makes every event-time query 1000x off with no error."""
+    from etl_marketeye_airflow_spark.sources.tables import events_ts_divisor
+
+    # current testdata: micros (r3+) or nanos (r1-r2) — never a default
+    assert events_ts_divisor("/root/testdata/sf0.01") in (1, 1000)
+    # unreadable path → loud, not unit='us'
+    with pytest.raises(Exception):
+        events_ts_divisor(str(tmp_path / "nope"))
+    # a ts column that isn't a ns/us timestamp → loud ValueError
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2], type=pa.int64())}),
+        str(bad / "events.parquet"),
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        events_ts_divisor(str(bad))
+
+
 def test_streaming_dedup_suppresses_across_batches(spark, tmp_path_factory):
     """A digest seen in batch 1 must NOT re-emit in batch 2 — the whole
     point of dedup-at-ingest state."""

@@ -23,9 +23,12 @@ quadratic in replicas — an artifact, not a scaling fact).  Instead:
   TPC-H either).
 
 Usage:
-  python tools/scale_probe.py gen      # build /tmp/sparkgraft_sf1
-  SPARK_GRAFT_SF_DIR=/tmp/sparkgraft_sf1 python bench.py   # time at 10x
+  python tools/scale_probe.py gen      # build probes/sf1 (gitignored)
+  SPARK_GRAFT_SF_DIR=$PWD/probes/sf1 python bench.py       # time at 10x
   python tools/scale_probe.py report BENCH_sf01.json BENCH_sf1.json
+
+The generated dataset lives under the repo (probes/sf1, gitignored) —
+the project env rule is "never write outside /root/repo".
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ import sys
 from pathlib import Path
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sparkgraft_sf1"
+DST = str(Path(__file__).resolve().parent.parent / "probes" / "sf1")
 REPLICAS = 10
 
 # key columns to shift per table: {table: [cols]}
