@@ -54,6 +54,41 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None, approx: boo
     )
 
 
+def approx_numeric_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probabilities: list[float] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """APPROXIMATE quantile profile — one row per column, one pass total
+    (SURVEY §2.4 engine extension; sketch-gated by error-bound pytest,
+    never oracle-backed).
+
+    ``percentile_approx`` (Greenwald-Khanna variant sketch) has rank
+    error ≤ 1/accuracy: each returned value is a REAL data value whose
+    rank is within n/accuracy of the requested quantile — the honest
+    contract at 100 TB, where an exact per-column percentile is a full
+    sort per column.  All columns aggregate in ONE job (a per-column
+    loop would scan N×, the profile_columns anti-pattern)."""
+    probs = [float(p) for p in probabilities]
+    parr = F.array(*[F.lit(p) for p in probs])
+    aggs = [
+        F.percentile_approx(c, probs, accuracy).alias(f"_q{i}")
+        for i, c in enumerate(columns)
+    ]
+    wide = df.agg(*aggs)
+    stacked = wide.selectExpr(
+        f"stack({len(columns)}, "
+        + ", ".join(
+            f"'{c.replace(chr(39), chr(39) * 2)}', _q{i}" for i, c in enumerate(columns)
+        )
+        + ") AS (column_name, quantiles)"
+    )
+    return stacked.select(
+        "column_name", parr.alias("probabilities"), "quantiles"
+    )
+
+
 def scd2_merge(
     current: DataFrame,
     incoming: DataFrame,

@@ -27,6 +27,38 @@ def dataset_statistics(merged: DataFrame, offers_flat: DataFrame) -> DataFrame:
     return totals.crossJoin(prices).crossJoin(sources)
 
 
+def approx_market_stats(
+    offers_flat: DataFrame,
+    rsd: float = 0.05,
+    quantile_accuracy: int = 10000,
+) -> DataFrame:
+    """APPROXIMATE engine extension (SURVEY §2.4 note — beyond reference
+    parity; ``dataset_statistics`` stays the exact, oracle-backed truth).
+
+    One-pass sketch aggregate over the flat offers:
+    - HLL++ distinct counts (``approx_count_distinct``, relative error
+      ``rsd``): at 100 TB an exact COUNT(DISTINCT) shuffles the full key
+      space; the sketch is a few KB per partition merged map-side.
+    - Price quantiles p25/p50/p75/p95 via ``percentile_approx``
+      (Greenwald-Khanna variant): rank error ≤ 1/accuracy, vs an exact
+      percentile's full sort.
+
+    Sketch outputs are NOT cross-engine oracle-stable, so this is
+    pytest-error-bound-gated only (tests/test_pipeline.py), never a
+    registry/oracle query — and test_plans guards that no oracle-backed
+    query ever picks up an approximate aggregate by accident."""
+    priced = offers_flat.filter(F.col("price") > 0)
+    return priced.agg(
+        F.count(F.lit(1)).alias("n_offers"),
+        F.approx_count_distinct("product_id", rsd).alias("approx_products"),
+        F.approx_count_distinct("source", rsd).alias("approx_sources"),
+        F.approx_count_distinct("price", rsd).alias("approx_price_points"),
+        F.percentile_approx(
+            "price", [0.25, 0.5, 0.75, 0.95], quantile_accuracy
+        ).alias("price_quantiles"),
+    )
+
+
 def offers_per_source(offers_flat: DataFrame) -> DataFrame:
     """A3: offer counts per source."""
     return offers_flat.groupBy("source").agg(F.count(F.lit(1)).alias("n_offers"))

@@ -61,6 +61,22 @@ def test_no_python_in_relational_paths(spark):
         assert not has_python_eval(fn(spark, SF)), name
 
 
+def test_no_approx_aggregates_in_oracle_backed_queries(spark):
+    """Sketch aggregates (HLL++ approx_count_distinct, percentile_approx)
+    are not cross-engine hash-stable; an oracle-backed registry query
+    that picked one up would flake the DuckDB gate.  The approximate
+    operators (stats.approx_market_stats, profile.approx_numeric_
+    quantiles) are error-bound-pytest-gated ONLY — this sweep keeps the
+    exact forms the oracle-backed ones."""
+    for name in reg.ORACLES:
+        if name in STREAMING_QUERIES:
+            continue  # invoking drains a real stream; memory-sink scan plan
+        df = reg.QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().analyzed().toString() + executed_plan(df)
+        for marker in ("approx_count_distinct", "percentile_approx", "HyperLogLog"):
+            assert marker not in plan, (name, marker)
+
+
 def test_adapters_stay_codegen(spark):
     from etl_marketeye_airflow_spark.jobs import run_etl
 

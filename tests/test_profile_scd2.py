@@ -139,3 +139,82 @@ def test_asof_null_right_time_never_matches(spark):
     )
     row = asof_join(left, right, "k", "t", ["t", "v"]).collect()[0]
     assert row.asof_t is None and row.asof_v is None
+
+
+# --- approximate-aggregate extension (SURVEY §2.4): error-bound pins ------
+# Sketches can't be oracle-hash-gated (not cross-engine stable); the honest
+# gate is a statistical bound against the exact computation on real testdata.
+
+def _lineitem_offers(spark):
+    from etl_marketeye_airflow_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    from pyspark.sql import functions as F
+
+    return li.select(
+        F.col("l_partkey").alias("product_id"),
+        (F.col("l_suppkey") % 7).cast("string").alias("source"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+
+
+def test_approx_market_stats_error_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from etl_marketeye_airflow_spark.operators.stats import approx_market_stats
+
+    offers = _lineitem_offers(spark)
+    priced = offers.filter(F.col("price") > 0)
+    exact = priced.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("product_id").alias("d_prod"),
+        F.countDistinct("source").alias("d_src"),
+        F.countDistinct("price").alias("d_price"),
+    ).collect()[0]
+    got = approx_market_stats(offers, rsd=0.05).collect()[0]
+
+    assert got.n_offers == exact.n  # plain count stays exact
+    # HLL++ relative-error bound: 4 sigma of the configured rsd
+    for a, e in (
+        (got.approx_products, exact.d_prod),
+        (got.approx_sources, exact.d_src),
+        (got.approx_price_points, exact.d_price),
+    ):
+        assert abs(a - e) <= max(4 * 0.05 * e, 2), (a, e)
+
+    # percentile_approx rank-error contract: each returned value is a real
+    # data value whose rank is within n/accuracy (+ties) of the target
+    import numpy as np
+
+    vals = np.sort(np.array([r.price for r in priced.select("price").collect()]))
+    n = len(vals)
+    eps = 1.0 / 10000
+    for p, v in zip((0.25, 0.5, 0.75, 0.95), got.price_quantiles):
+        lo = np.searchsorted(vals, v, side="left") / n   # rank below v
+        hi = np.searchsorted(vals, v, side="right") / n  # rank through ties
+        assert lo - eps <= p <= hi + eps, (p, v, lo, hi)
+        assert v in vals  # GK returns REAL data values, never interpolations
+
+
+def test_approx_numeric_quantiles_bounds_and_shape(spark):
+    import numpy as np
+
+    from etl_marketeye_airflow_spark.operators.profile import approx_numeric_quantiles
+    from etl_marketeye_airflow_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    rows = {r.column_name: r for r in approx_numeric_quantiles(li, cols).collect()}
+    assert set(rows) == set(cols)
+
+    data = li.select(*cols).toPandas()
+    eps = 1.0 / 10000
+    for c in cols:
+        vals = np.sort(data[c].to_numpy(dtype=float))
+        n = len(vals)
+        r = rows[c]
+        assert list(r.probabilities) == [0.25, 0.5, 0.75, 0.95]
+        for p, v in zip(r.probabilities, r.quantiles):
+            lo = np.searchsorted(vals, v, side="left") / n
+            hi = np.searchsorted(vals, v, side="right") / n
+            assert lo - eps <= p <= hi + eps, (c, p, v, lo, hi)
