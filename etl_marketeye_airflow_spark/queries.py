@@ -3810,6 +3810,795 @@ def q80_full_pipeline_with_near_dup(spark: SparkSession, sf_dir: str) -> DataFra
     return chunk_documents(tr.select("doc_id", "text"), chunk_size=32, stride=24)
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion block (q81–q93): the 13 query patterns not yet in the
+# registry, adapted to the driver schema (no partsupp table; no
+# l_shipmode/l_commitdate/l_receiptdate/c_phone/o_comment columns — each
+# adaptation keeps the PATTERN of the original query and swaps in the
+# nearest available column, noted per query).  With q35/q59/q60/q67/q69/
+# q70/q74/q75/q76 this covers all 22 TPC-H query shapes.  Engine
+# extension beyond reference parity (the reference has no SQL-analytics
+# surface); float discipline per convention #1 throughout.
+# ---------------------------------------------------------------------------
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _utc(spark: SparkSession):
+    """Pin the session TZ to UTC for year()/timestamp-literal stability
+    (q67/q69 precedent, made reusable).  Restores the previous value —
+    convention #5."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# Shared decimal-exact "volume" fragment (both engines): price*(1-disc).
+_SQL_VOL = (
+    "CAST(l_extendedprice AS DECIMAL(12,4))"
+    " * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+)
+
+
+def _vol() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(12,4)") * (
+        F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+
+
+@query(
+    "q81_tpch_q2_min_cost_supplier",
+    # cost is ONE double division per row (identical IEEE op both
+    # engines); min() selects among identical doubles, so the cost =
+    # min_cost equality is bit-safe cross-engine.
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, min(cost) AS min_cost FROM costs GROUP BY l_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+    FROM costs
+    JOIN best USING (l_partkey)
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE cost = min_cost AND p_type = 'LARGE' AND p_size <= 25
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q81_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part (correlated-min
+    subquery, decorrelated to an aggregate + equality join).
+
+    Adaptation: no partsupp table, so supply cost per (part, supplier)
+    is the minimum unit price (l_extendedprice / l_quantity) across
+    their lineitems — same argmin-per-group pattern over a derived
+    cost table.  Plan: region→nation collapses to a broadcast keyset;
+    the part filter prunes BEFORE the output join (the min is computed
+    per part over all European suppliers first, exactly like Q2's
+    correlated subquery scoping); sort+LIMIT is a TakeOrderedAndProject
+    with a total-order tiebreak so the top-100 is deterministic."""
+    euro_keys = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("enk"))
+    )
+    s_euro = (
+        _t(spark, sf_dir, "supplier")
+        .join(euro_keys, F.col("s_nationkey") == F.col("enk"))
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    costs = (
+        li.join(s_euro.select("s_suppkey"), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit").alias("cost"))
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 25))
+        .select("p_partkey", "p_brand")
+    )
+    nat = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("nnk"), "n_name"
+        )
+    )
+    return (
+        costs.join(best, "l_partkey")
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .join(
+            s_euro.withColumnRenamed("s_suppkey", "_sk"),
+            F.col("l_suppkey") == F.col("_sk"),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("nnk"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost")
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q82_tpch_q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q82_tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts over an EXISTS semi-join.
+
+    Adaptation: "l_commitdate < l_receiptdate" (late delivery) becomes
+    "l_shipdate > o_orderdate + 30 days" (late shipment) — an EXISTS
+    whose predicate references BOTH sides, so the decorrelation is a
+    LEFT SEMI join with a compound (equi + range) condition, exactly
+    the plan Spark gives the original Q4.  The quarter bound is pushed
+    to the orders scan; lineitem ships only (l_orderkey, l_shipdate)."""
+    with _utc(spark):
+        o = (
+            _t(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderdate") >= "1996-07-01")
+                & (F.col("o_orderdate") < "1996-10-01")
+            )
+            .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        )
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+        return (
+            o.join(
+                li,
+                (o["o_orderkey"] == li["l_orderkey"])
+                & (
+                    li["l_shipdate"]
+                    > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")
+                ),
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority")
+        )
+
+
+@query(
+    "q83_tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q83_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecasting-revenue-change — the canonical scan-only
+    aggregate.  All four predicates are scan-pushable (PushedFilters);
+    no join, no shuffle beyond the single-row final aggregate.  At
+    100 TB this is the query shape that lives or dies on predicate
+    pushdown + column pruning: the scan reads 4 of 11 columns.
+    Revenue accumulates as exact DECIMAL(19,8) products."""
+    with _utc(spark):
+        li = _t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        return li.agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * F.col("l_discount").cast("decimal(6,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+
+
+@query(
+    "q84_tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(sum({_SQL_VOL}
+                    - CAST(p_retailprice AS DECIMAL(12,4))
+                      * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q84_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and order
+    year — the 5-way join with a derived profit measure.
+
+    Adaptation: no partsupp, so unit cost is p_retailprice (a real
+    part-side column) instead of ps_supplycost; profit per lineitem =
+    vol − p_retailprice·l_quantity, all exact DECIMAL until the final
+    double cast.  Plan: p_name prefix filter prunes part before the
+    join; nation (25 rows) broadcasts; part/orders stay equi-joins for
+    AQE.  year() under the pinned-UTC session."""
+    with _utc(spark):
+        p = (
+            _t(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("red%"))
+            .select("p_partkey", "p_retailprice")
+        )
+        s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        nat = F.broadcast(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("nnk"), F.col("n_name").alias("nation")
+            )
+        )
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", F.year("o_orderdate").alias("o_year")
+        )
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount", "l_quantity",
+        )
+        profit = _vol() - (
+            F.col("p_retailprice").cast("decimal(12,4)")
+            * F.col("l_quantity").cast("decimal(12,4)")
+        )
+        return (
+            li.join(p, li["l_partkey"] == p["p_partkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(nat, s["s_nationkey"] == F.col("nnk"))
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("nation", "o_year")
+            .agg(F.sum(profit).cast("double").alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year"))
+        )
+
+
+@query(
+    "q85_tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(sum({_SQL_VOL}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name, c_mktsegment
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q85_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item reporting — top-20 customers by lost
+    revenue in a quarter.  Both filters push to their scans; the
+    customer/nation dimension attributes ride through the aggregate
+    as grouping keys (not a post-agg join) exactly like the spec
+    query; TakeOrderedAndProject with c_custkey tiebreak."""
+    with _utc(spark):
+        o = (
+            _t(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01")
+            )
+            .select("o_orderkey", "o_custkey")
+        )
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+        )
+        c = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment"
+        )
+        nat = F.broadcast(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("nnk"), "n_name"
+            )
+        )
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(nat, c["c_nationkey"] == F.col("nnk"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+            .agg(F.sum(_vol()).cast("double").alias("revenue"))
+            .select(
+                "c_custkey", "c_name", "revenue",
+                "c_acctbal", "n_name", "c_mktsegment",
+            )
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20)
+        )
+
+
+@query(
+    "q86_tpch_q11_important_parts",
+    # threshold arithmetic: exact decimal sums on both sides, ONE
+    # division + ONE multiply in double, identical op order — and the
+    # 1.5×-average form is scale-free (Q11's literal fraction would
+    # invert its meaning as the part count grows).
+    oracle=f"""
+    WITH v AS (
+      SELECT l_partkey, sum({_SQL_VOL}) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey
+    ),
+    g AS (SELECT CAST(sum(val) AS DOUBLE) AS tot,
+                 CAST(count(*) AS DOUBLE) AS n FROM v)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v, g
+    WHERE CAST(val AS DOUBLE) > 1.5 * (tot / n)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q86_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value (here: traded volume
+    from ASIA-region suppliers) exceeds a global-scalar threshold —
+    the HAVING-over-global-aggregate pattern.
+
+    Adaptation: value = lineitem volume instead of partsupp
+    supplycost·availqty, and the threshold is 1.5× the per-part
+    average (scale-free) rather than Q11's SF-dependent literal
+    fraction.  Plan: the global (tot, n) is a 1-row broadcast cross
+    join — the per-part aggregate shuffles once and is reused for
+    both sides, no second pass over lineitem."""
+    asia_keys = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("ank"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(asia_keys, F.col("s_nationkey") == F.col("ank"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    v = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(_vol()).alias("val"))
+    )
+    g = F.broadcast(
+        v.agg(
+            F.sum("val").cast("double").alias("_tot"),
+            F.count("*").cast("double").alias("_n"),
+        )
+    )
+    return (
+        v.crossJoin(g)
+        .filter(
+            F.col("val").cast("double") > F.lit(1.5) * (F.col("_tot") / F.col("_n"))
+        )
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "q87_tpch_q12_late_shipment_priority",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q87_tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority counts over a late-shipment
+    join.  Adaptation: group key is l_returnflag (no l_shipmode
+    column) and "received later than committed" becomes "shipped >60
+    days after order".  The year bound pushes to the lineitem scan;
+    the +60d comparison is a post-join residual (it references both
+    sides), exactly where Q12's receipt/commit predicate lands."""
+    with _utc(spark):
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= "1997-01-01")
+                & (F.col("l_shipdate") < "1998-01-01")
+            )
+            .select("l_orderkey", "l_shipdate", "l_returnflag")
+        )
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .filter(
+                li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            )
+            .orderBy("l_returnflag")
+        )
+
+
+@query(
+    "q88_tpch_q13_customer_distribution",
+    oracle="""
+    WITH per_c AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                       AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_c
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q88_tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — the double
+    aggregate over a null-preserving outer join.  Adaptation: the
+    o_comment NOT LIKE filter becomes an o_orderpriority exclusion
+    (same position: INSIDE the join condition, so zero-order customers
+    survive with c_count = 0).  count(o_orderkey) counts non-null
+    only, preserving the outer-join zeros; the second aggregate is a
+    tiny shuffle over distinct counts."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q89_tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 AS DOUBLE)
+             * CAST(COALESCE(sum({_SQL_VOL})
+                             FILTER (WHERE p_type = 'PROMO'), 0) AS DOUBLE)
+             / CAST(sum({_SQL_VOL}) AS DOUBLE) AS promo_revenue_pct,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q89_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion-revenue percentage — conditional-sum /
+    total-sum ratio over a month of shipments.  p_type='PROMO' is a
+    real p_type value in this schema, so the query is the literal Q14
+    pattern.  Both sums are exact decimals; the ratio is two double
+    casts, one multiply, one divide — identical IEEE sequence both
+    engines.  Month bound pushes to the lineitem scan; part stays an
+    equi-join for AQE (it is the 100 TB-side table)."""
+    with _utc(spark):
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= "1997-03-01")
+                & (F.col("l_shipdate") < "1997-04-01")
+            )
+            .select("l_partkey", "l_extendedprice", "l_discount")
+        )
+        p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+        num = F.sum(F.when(F.col("p_type") == "PROMO", _vol()))
+        den = F.sum(_vol())
+        return (
+            li.join(p, li["l_partkey"] == p["p_partkey"])
+            .agg(
+                (
+                    F.lit(100.0)
+                    * F.coalesce(num, F.lit(0).cast("decimal(6,4)")).cast("double")
+                    / den.cast("double")
+                ).alias("promo_revenue_pct"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+
+@query(
+    "q90_tpch_q15_top_supplier",
+    # revenue = max(revenue) compares exact decimals of identical
+    # value — no float anywhere until the output cast.
+    oracle=f"""
+    WITH r AS (
+      SELECT l_suppkey, sum({_SQL_VOL}) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    FROM r
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rev = (SELECT max(rev) FROM r)
+    ORDER BY s_suppkey
+    """,
+)
+def q90_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue — the
+    revenue-view + max-scalar-subquery pattern, ties included (no
+    LIMIT 1: equality against the max keeps every tied supplier,
+    per the spec).  The per-supplier aggregate is computed ONCE and
+    reused for both the max and the equality filter via a 1-row
+    broadcast; revenue stays exact DECIMAL through the comparison."""
+    with _utc(spark):
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1996-04-01")
+            )
+            .select("l_suppkey", "l_extendedprice", "l_discount")
+        )
+        r = li.groupBy("l_suppkey").agg(F.sum(_vol()).alias("rev"))
+        mx = F.broadcast(r.agg(F.max("rev").alias("_mx")))
+        s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        return (
+            r.crossJoin(mx)
+            .filter(F.col("rev") == F.col("_mx"))
+            .join(s, F.col("l_suppkey") == s["s_suppkey"])
+            .select(
+                "s_suppkey", "s_name", F.col("rev").cast("double").alias("total_revenue")
+            )
+            .orderBy("s_suppkey")
+        )
+
+
+@query(
+    "q91_tpch_q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(sum({_SQL_VOL}) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q91_tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: discounted revenue under an OR-of-conjunctions
+    predicate spanning both join sides — the disjunctive-join stress
+    test.  Catalyst keeps the p_partkey equi-join and evaluates the
+    disjunction as a post-join residual, while CNF conversion lets
+    the per-side implied domains (brand/size on part, quantity on
+    lineitem) push to the scans.  Revenue sums exact-decimal."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, z = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#3") & z.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#12") & z.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#21") & z.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(disj)
+        .agg(
+            F.sum(_vol()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q92_tpch_q20_dominant_supplier",
+    # 2·q > tq is pure integer-scaled decimal arithmetic — exact on
+    # both engines, no float threshold anywhere.
+    oracle="""
+    WITH sp AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(19,4))) AS q
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey, sum(q) AS tq FROM sp GROUP BY l_partkey),
+    dom AS (SELECT DISTINCT l_suppkey
+            FROM sp JOIN tot USING (l_partkey) WHERE q * 2 > tq)
+    SELECT s_suppkey, s_name, n_name AS nation
+    FROM dom
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    ORDER BY s_suppkey
+    """,
+)
+def q92_tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a dominant share of a
+    filtered part family — nested correlated aggregates decorrelated
+    into two stacked groupBys + a threshold join.
+
+    Adaptation: no partsupp availqty, so "availqty > half of shipped
+    quantity" becomes "shipped > half of the part's total 1997
+    shipments" (a dominant-supplier predicate with the identical
+    correlated > 0.5·SUM structure).  The per-(part,supplier)
+    aggregate feeds BOTH the per-part total and the comparison —
+    one lineitem pass.  Quantity sums stay exact decimal; the
+    half-share test is 2q > total in integer-scaled decimal."""
+    with _utc(spark):
+        red = (
+            _t(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("red%"))
+            .select("p_partkey")
+        )
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= "1997-01-01")
+                & (F.col("l_shipdate") < "1998-01-01")
+            )
+            .select("l_partkey", "l_suppkey", "l_quantity")
+        )
+        sp = (
+            li.join(red, li["l_partkey"] == red["p_partkey"])
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(19,4)")).alias("q"))
+        )
+        tot = sp.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+        dom = (
+            sp.join(tot, "l_partkey")
+            .filter(F.col("q") * F.lit(2).cast("decimal(2,0)") > F.col("tq"))
+            .select("l_suppkey")
+            .distinct()
+        )
+        s = _t(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey"
+        )
+        nat = F.broadcast(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("nnk"), F.col("n_name").alias("nation")
+            )
+        )
+        return (
+            dom.join(s, dom["l_suppkey"] == s["s_suppkey"])
+            .join(nat, s["s_nationkey"] == F.col("nnk"))
+            .select("s_suppkey", "s_name", "nation")
+            .orderBy("s_suppkey")
+        )
+
+
+@query(
+    "q93_tpch_q22_inactive_balance",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(19,4))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(19,4))) AS DOUBLE) AS totacctbal
+    FROM customer, a
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q93_tpch_q22_inactive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders — global-scalar subquery + NOT EXISTS anti-join.
+
+    Adaptation: every customer has SOME order in this data, so the
+    anti-join runs against a date-windowed orders subset ("no order
+    since 1999"), and the country-code grouping becomes c_mktsegment
+    (no c_phone column).  The average is a 1-row broadcast; the
+    anti-join ships only o_custkey after its pushed date filter.
+    The avg threshold is exact-decimal-sum / count — one double
+    division, identical both engines (c_acctbal compares raw)."""
+    with _utc(spark):
+        c = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        avg1 = F.broadcast(
+            c.filter(F.col("c_acctbal") > 0).agg(
+                (
+                    F.sum(F.col("c_acctbal").cast("decimal(19,4)")).cast("double")
+                    / F.count("*").cast("double")
+                ).alias("avg_bal")
+            )
+        )
+        recent = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate") >= "1999-01-01")
+            .select("o_custkey")
+        )
+        return (
+            c.crossJoin(avg1)
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("numcust"),
+                F.sum(F.col("c_acctbal").cast("decimal(19,4)"))
+                .cast("double")
+                .alias("totacctbal"),
+            )
+            .orderBy("c_mktsegment")
+        )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
