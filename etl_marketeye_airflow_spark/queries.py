@@ -4599,6 +4599,289 @@ def q93_tpch_q22_inactive_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
 
+# ---------------------------------------------------------------------------
+# Time-series / CDC / funnel block (q94–q97): the event-analytics operators
+# a production pipeline needs that the registry didn't yet cover — rolling
+# interval windows, grid resampling with gap-fill, changelog compaction,
+# ordered funnel attribution.  All integer/exact-decimal arithmetic; event
+# time is exact integer microseconds via sources/tables.py:load_events
+# (convention #4).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q94_rolling_interval_window",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(19,4))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q94_rolling_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour interval window per user (RANGE frame over event
+    time): for every event, the count and exact-decimal sum of that
+    user's events in the trailing hour.
+
+    This is the RANGE-BETWEEN-INTERVAL shape (q42 covers the ROWS
+    cumulative frame): the frame is defined by a time distance, not a
+    row count, so ties at the same microsecond include all peers —
+    identical semantics both engines.  Time distance is exact integer
+    microseconds (ts_us).  Scale: one shuffle on user_id, per-user
+    ascending sort feeds the sliding frame in one pass; no global
+    window anywhere."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(19,4)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+@query(
+    "q95_resample_gapfill_locf",
+    # 6-hour buckets by integer floor-division of exact µs; LOCF picks
+    # an existing exact value (decimal-summed, one double cast) — no
+    # float arithmetic anywhere in the fill.
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(19,4))) AS DOUBLE) AS v
+      FROM events GROUP BY user_id, bucket
+    ),
+    b AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+          FROM hourly GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM b),
+    j AS (SELECT g.user_id, g.bucket, h.n, h.v
+          FROM grid g LEFT JOIN hourly h USING (user_id, bucket))
+    SELECT user_id, bucket,
+           COALESCE(n, 0) AS n_events,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM j
+    """,
+)
+def q95_resample_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resampling with gap-fill: bucket each user's events
+    into 6-hour intervals, materialize the FULL per-user grid between
+    their first and last bucket (empty buckets included), and forward-
+    fill the last observed value (LOCF — last observation carried
+    forward).
+
+    The missing-timestamp half of ETL that joins/windows alone don't
+    give you.  Plan: one agg to buckets, a per-user (min, max) agg,
+    sequence()+explode to generate the grid WITHOUT a cross join (grid
+    size is data-dependent per user, never |users|×|global span|), a
+    co-partitioned left join back, and a per-user ROWS window for the
+    fill — shuffles only on user_id, reused across all four stages by
+    AQE.  Empty buckets report n_events = 0 and the carried value."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.withColumn("bucket", F.expr("ts_us div 21600000000"))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(19,4)")).cast("double").alias("v"),
+        )
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
+
+
+@query(
+    "q96_cdc_changelog_compaction",
+    # the changelog is derived deterministically from orders (seq 0
+    # insert for every key; seq 1 update for even keys, +10.00 exact
+    # decimal; seq 2 delete for keys %7=0), so both engines compact
+    # the identical op stream.
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS key, 0 AS seq, 'I' AS op,
+             CAST(o_totalprice AS DECIMAL(12,4)) AS price FROM orders
+      UNION ALL
+      SELECT o_orderkey, 1, 'U',
+             CAST(o_totalprice AS DECIMAL(12,4)) + CAST(10 AS DECIMAL(6,2))
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    latest AS (
+      SELECT key, op, price,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT key, op AS last_op, CAST(price AS DOUBLE) AS price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    ORDER BY key
+    """,
+)
+def q96_cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction: given an (key, seq, op, value) change
+    stream, keep each key's highest-seq operation and drop keys whose
+    last op is a delete — the merge step of every incremental-ingest
+    pipeline (Debezium→warehouse, Hudi/Iceberg merge-on-read).
+
+    The compaction is ONE hash aggregate: max_by(struct(op, price),
+    seq) — no window, no sort, map-side partial combine (the oracle
+    keeps the textbook row_number form; seq is unique per key so both
+    pick the same row).  At 100 TB the changelog shuffles once on key;
+    a per-key sort-based window would shuffle the same data but spill
+    sort runs — max_by folds in the combiner instead."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").cast("decimal(12,4)").alias("p0"),
+    )
+    log = (
+        o.select("key", F.lit(0).alias("seq"), F.lit("I").alias("op"),
+                 F.col("p0").alias("price"))
+        .unionByName(
+            o.filter(F.col("key") % 2 == 0).select(
+                "key", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+                (F.col("p0") + F.lit(10).cast("decimal(6,2)")).alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("key") % 7 == 0).select(
+                "key", F.lit(2).alias("seq"), F.lit("D").alias("op"),
+                F.lit(None).cast("decimal(13,4)").alias("price"),
+            )
+        )
+    )
+    return (
+        log.groupBy("key")
+        .agg(F.max_by(F.struct("op", "price"), "seq").alias("last"))
+        .filter(F.col("last.op") != "D")
+        .select(
+            "key",
+            F.col("last.op").alias("last_op"),
+            F.col("last.price").cast("double").alias("price"),
+        )
+        .orderBy("key")
+    )
+
+
+@query(
+    "q97_event_funnel",
+    # pure integer µs comparisons; each stage's min() is exact, so the
+    # staged decorrelation and the correlated SQL pick identical rows.
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click'
+             AND epoch_us(e.ts) > s1.t1
+             AND epoch_us(e.ts) <= s1.t1 + 86400000000
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase'
+             AND epoch_us(e.ts) > s2.t2
+             AND epoch_us(e.ts) <= s2.t2 + 86400000000
+           GROUP BY e.user_id)
+    SELECT CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                WHEN s1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_depth,
+           count(*) AS n_users
+    FROM u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    GROUP BY funnel_depth
+    ORDER BY funnel_depth
+    """,
+)
+def q97_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel: view → click → purchase, each step within
+    24 hours of the previous, earliest-qualifying-event semantics;
+    output = user count per completed funnel depth (0–3).
+
+    The staged decorrelation: step k's candidate set joins step k-1's
+    min-timestamp per user, then takes its own min — three small
+    per-user aggregates instead of a per-user sort or any session
+    state.  Every intermediate is keyed on user_id, so AQE reuses one
+    partitioning across all joins; timestamps compare as exact integer
+    µs.  The final depth rollup is 4 rows."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    u = ev.select("user_id").distinct()
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1.withColumnRenamed("user_id", "_u1"), F.col("user_id") == F.col("_u1"))
+        .filter(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + F.lit(86_400_000_000))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.withColumnRenamed("user_id", "_u2"), F.col("user_id") == F.col("_u2"))
+        .filter(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + F.lit(86_400_000_000))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    depth = (
+        u.join(s1.select(F.col("user_id").alias("u1")), F.col("user_id") == F.col("u1"), "left")
+        .join(s2.select(F.col("user_id").alias("u2"), "t2"), F.col("user_id") == F.col("u2"), "left")
+        .join(s3.select(F.col("user_id").alias("u3"), "t3"), F.col("user_id") == F.col("u3"), "left")
+        .select(
+            F.when(F.col("u3").isNotNull(), 3)
+            .when(F.col("u2").isNotNull(), 2)
+            .when(F.col("u1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_depth")
+        )
+    )
+    return (
+        depth.groupBy("funnel_depth")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_depth")
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
