@@ -4882,6 +4882,193 @@ def q97_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup blocking completion (q98–q99): the two classic set-similarity
+# strategies the family still lacked — sorted-neighborhood (Hernández–
+# Stolfo merge/purge) and prefix-filtered similarity join (PPJoin-style).
+# With exact/minhash-LSH/simhash/banded-edit-distance/embedding-LSH this
+# closes out the standard blocking taxonomy.
+# ---------------------------------------------------------------------------
+
+# DuckDB replica of dedup.word_shingles (distinct word 3-grams over
+# lower/trim/whitespace-collapsed text; short texts yield one shingle) —
+# the exact fragment q21's oracle proved bit-compatible.
+_SQL_GRAMS = """
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 1) + 1),
+                 i -> array_to_string(
+                        list_slice(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), i, i + 2), ' ')
+               )
+             )"""
+
+
+@query(
+    "q98_sorted_neighborhood_pairs",
+    # the oracle replicates the SNM window CONTRACT exactly (same block
+    # key, same total sort order, same rank-distance w) — SNM's output
+    # is defined by its window, so the replica is the semantics, not a
+    # recall approximation.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+             {_SQL_GRAMS} AS grams
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, grams,
+             lang || '|' || substr(norm, 1, 12) AS blk,
+             row_number() OVER (
+               PARTITION BY lang || '|' || substr(norm, 1, 12)
+               ORDER BY norm, doc_id) AS rnk
+      FROM d
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+             AS jaccard
+    FROM r a JOIN r b
+      ON a.blk = b.blk AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + 5
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+            >= 0.35
+    """,
+)
+def q98_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (merge/purge blocking): sort
+    records inside a block on a normalized key, compare each record
+    only to its w=5 successors, verify candidates with exact 3-gram
+    Jaccard ≥ 0.35.
+
+    The block key is (lang, first-12-normalized-chars) so the per-block
+    window is BOUNDED — a classic single-key SNM sorts the whole
+    dataset and needs a global row_number, which is exactly the
+    global-window shape convention #2 forbids; blocked SNM keeps the
+    same compare-adjacent contract with a partitionable sort.  Pairs
+    whose sort keys diverge in the first 12 chars are out of contract
+    by design (that sort-key sensitivity is SNM's documented
+    limitation; the LSH family covers order-insensitive recall).
+    Rank-distance pairing is a j=1..w explode + equi-join on
+    (block, rank) — never a range self-join."""
+    from .operators.dedup import normalize_text, word_shingles
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        normalize_text(F.col("text")).alias("norm"),
+        word_shingles(F.col("text"), 3).alias("grams"),
+    ).withColumn("blk", F.concat_ws("|", F.col("lang"), F.substring("norm", 1, 12)))
+    w = Window.partitionBy("blk").orderBy("norm", "doc_id")
+    r = d.select("doc_id", "grams", "blk", F.row_number().over(w).alias("rnk"))
+    left = r.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("grams").alias("grams_a"),
+        "blk",
+        F.explode(F.array(*[F.col("rnk") + j for j in range(1, 6)])).alias("_probe"),
+    )
+    right = r.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("blk").alias("_rblk"),
+        F.col("rnk").alias("_rrnk"),
+    )
+    jac = F.size(F.array_intersect("grams_a", "grams_b")).cast("double") / F.size(
+        F.array_union("grams_a", "grams_b")
+    ).cast("double")
+    return (
+        left.join(
+            right,
+            (F.col("blk") == F.col("_rblk")) & (F.col("_probe") == F.col("_rrnk")),
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.35)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query(
+    "q99_prefix_filter_similarity_join",
+    # the oracle is the EXACT all-pairs answer (inverted-index form,
+    # convention #7) with zero prefix mechanics: the prefix-filtering
+    # theorem guarantees the Spark side's pruning is lossless at any
+    # data (if J(A,B) ≥ t, the first |A|−⌈t|A|⌉+1 tokens of A and B
+    # under one global frequency order must intersect), so the gate
+    # checks recall = 100% by construction.
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents),
+    n AS (SELECT doc_id, len(grams) AS n FROM sh),
+    post AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM post a JOIN post b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN n na ON na.doc_id = id_a
+    JOIN n nb ON nb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.35
+    """,
+)
+def q99_prefix_filter_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact similarity join (PPJoin-style): exact
+    3-gram Jaccard ≥ 0.35 pairs over the WHOLE corpus, without LSH and
+    without an all-pairs comparison.
+
+    Mechanics: order every shingle by global (frequency, shingle)
+    ascending; each doc keeps only its first n − ⌈t·n⌉ + 1 shingles
+    (its "prefix" — the rarest ones); two docs are candidates iff
+    their prefixes share a shingle; candidates verify with the exact
+    Jaccard.  Rare-first prefixes make the candidate buckets
+    inherently skew-resistant (the most frequent shingles never join),
+    and the per-doc sort is a bounded array_sort — no global window,
+    unlike a rank()-based implementation.  Verification joins the full
+    shingle arrays back on the (few) candidates.  The union size uses
+    |A|+|B|−|A∩B| so Spark and DuckDB compute the identical integer
+    before the one double division."""
+    from .operators.dedup import word_shingles
+
+    sh = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", word_shingles(F.col("text"), 3).alias("grams"))
+    )
+    post = sh.select("doc_id", F.explode("grams").alias("gram"))
+    freq = post.groupBy("gram").agg(F.count("*").alias("cnt"))
+    prefix = (
+        post.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("cnt", "gram")).alias("cg"))
+        .select(
+            "doc_id",
+            F.expr(
+                "slice(array_sort(cg), 1, "
+                "size(cg) - ((7 * size(cg) + 19) div 20) + 1)"
+            ).alias("pfx"),
+        )
+        .select("doc_id", F.explode("pfx.gram").alias("gram"))
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("id_a"), "gram")
+        .join(prefix.select(F.col("doc_id").alias("id_b"), "gram"), "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = sh.select(F.col("doc_id").alias("_ia"), F.col("grams").alias("grams_a"))
+    gb = sh.select(F.col("doc_id").alias("_ib"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        cand.join(ga, F.col("id_a") == F.col("_ia"))
+        .join(gb, F.col("id_b") == F.col("_ib"))
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= 0.35)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
