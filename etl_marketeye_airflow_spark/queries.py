@@ -5082,35 +5082,54 @@ def q99_prefix_filter_similarity_join(spark: SparkSession, sf_dir: str) -> DataF
 # way given the repo state.  Local tooling (bench.py, check_correctness)
 # iterates in numeric order regardless, so this affects ONLY the capped
 # external sweep's budget allocation.
-def _latest_sweep_keys() -> frozenset:
-    """Keys recorded in the newest CORRECTNESS_r*.json at the repo root."""
+def _sweep_key_sets() -> tuple[frozenset, frozenset]:
+    """(keys in the newest CORRECTNESS_r*.json, keys in ANY such file)."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    if not files:
-        return frozenset()
-    try:
-        with open(files[-1]) as f:
-            return frozenset(json.load(f))
-    except (OSError, ValueError):
-        return frozenset()
+    latest: frozenset = frozenset()
+    ever: set = set()
+    for i, path in enumerate(files):
+        try:
+            with open(path) as f:
+                keys = frozenset(json.load(f))
+        except (OSError, ValueError):
+            continue
+        ever |= keys
+        if i == len(files) - 1:
+            latest = keys
+    return latest, frozenset(ever)
 
 
-_LATEST_SWEPT = _latest_sweep_keys()
+_LATEST_SWEPT, _EVER_SWEPT = _sweep_key_sets()
 
 
 def _qnum(name: str) -> int:
-    try:
-        return int(name[1:3])
-    except ValueError:
-        return 99
+    import re
+
+    m = re.match(r"q(\d+)", name)
+    return int(m.group(1)) if m else 999
 
 
 def _sweep_order(name: str) -> tuple[int, int]:
-    return (1 if name in _LATEST_SWEPT else 0, _qnum(name))
+    # Group 0: never externally verified (no row in ANY correctness file) —
+    # these MUST land inside the next capped sweep.  Group 1: verified at
+    # some point but missing from the latest file (one round stale).
+    # Group 2: green in the latest file.  Numeric within each group.
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SWEEP_ORDER") == "numeric":
+        return (0, _qnum(name))
+    if name not in _EVER_SWEPT:
+        group = 0
+    elif name not in _LATEST_SWEPT:
+        group = 1
+    else:
+        group = 2
+    return (group, _qnum(name))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

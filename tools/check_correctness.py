@@ -95,6 +95,7 @@ def main() -> int:
     oracles = entry.oracle_sql()
     names = args.names or list(qs)
     failures = []
+    t_start = time.time()
     for name in names:
         t0 = time.time()
         try:
@@ -138,7 +139,8 @@ def main() -> int:
         else:
             print(f"PASS {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed "
+          f"({time.time()-t_start:.0f}s wall)")
     return 1 if failures else 0
 
 
