@@ -215,3 +215,134 @@ def chunk_documents(
             F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
         )
     )
+
+
+# ── Fixed-point dyadic log2 ──────────────────────────────────────────
+#
+# Unigram-LM scoring needs log2, but libm log is NOT cross-engine
+# bit-stable (Java Math.log vs glibc log2 differ in the last ulp, and
+# per-doc double sums are order-dependent on top of that — the reason
+# q78 ships mean-frequency instead).  The classic bit-hack approximation
+#   flog2(n) = b + (n − 2^b) / 2^b,   b = ⌊log2 n⌋
+# is linear interpolation between powers of two (max error 0.086 bits —
+# immaterial for quality bucketing) and, held in 2^20 fixed point, is
+# computable with INTEGER arithmetic only: exact, order-independent,
+# engine-independent.  b comes from the binary-digit count of n
+# (conv(n,10,2) here, bin(n) in DuckDB), never from libm.
+
+FLOG2_SCALE = 1 << 20
+
+
+def with_flog2_fx(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Add ``dst`` = flog2_fx(``src``) for a positive (≥1) integer column.
+
+    Fixed point at 2^20: flog2_fx(n) = b·2^20 + ((n − 2^b)·2^20 div 2^b).
+    Integer-exact for n < 2^42 (the product stays under 2^63).  Staged
+    with withColumn per plan-convention #2; helper columns are dropped.
+    """
+    b = (F.length(F.conv(F.col(src).cast("string"), 10, 2)) - 1).cast("int")
+    return (
+        df.withColumn("_flog2_b", b)
+        .withColumn("_flog2_p", F.expr("shiftleft(CAST(1 AS BIGINT), _flog2_b)"))
+        .withColumn(
+            dst,
+            F.col("_flog2_b").cast("long") * F.lit(FLOG2_SCALE)
+            + F.expr(
+                f"(({src} - _flog2_p) * {FLOG2_SCALE}) div _flog2_p"
+            ).cast("long"),
+        )
+        .drop("_flog2_b", "_flog2_p")
+    )
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style unigram language-model scoring: per-document mean
+    surprisal −(1/n)·Σ log2(cnt_t / N) in bits, under the corpus's own
+    unigram distribution.  Low bits ⇒ stopword soup / boilerplate
+    (every token common), high bits ⇒ rare or noisy text — the standard
+    cheap LM-quality filter when a real KenLM is overkill or unavailable.
+
+    Determinism: log2 is the fixed-point dyadic form (module note) —
+    per-token surprisal_fx = flog2_fx(N) − flog2_fx(cnt) is an exact
+    integer, per-doc sums are exact, and the ONLY float ops are one
+    exact power-of-two scaling plus one correctly-rounded division per
+    doc — bit-identical on any IEEE-754 engine.
+
+    Scale shape: same as q78/token_counts — the token stream collapses
+    into the vocab once (map-side combine), joins back on token (AQE
+    broadcasts the vocab while it fits, hash-shuffle past that), and the
+    per-doc re-aggregation is key-partitioned.  N rides along as a
+    1-row broadcast cross join, never a collect.
+    """
+    tok = (
+        spread(docs)
+        .select("doc_id", F.explode(words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = with_flog2_fx(
+        token_counts(docs, text_col, None), "cnt", "flog2_cnt"
+    )
+    total = with_flog2_fx(
+        vocab.agg(F.sum("cnt").cast("long").alias("_N")), "_N", "flog2_N"
+    ).select("flog2_N")
+    per_tok = tok.join(vocab.select("token", "flog2_cnt"), "token").crossJoin(
+        F.broadcast(total)
+    )
+    mean_bits = (
+        F.sum(F.col("flog2_N") - F.col("flog2_cnt")).cast("double")
+        / F.lit(float(FLOG2_SCALE))
+    ) / F.count(F.lit(1)).cast("double")
+    return per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("flog2_N") - F.col("flog2_cnt")).alias("surprisal_fx"),
+        mean_bits.alias("mean_surprisal_bits"),
+        F.when(mean_bits < 4.90, "predictable")
+        .when(mean_bits < 5.00, "typical")
+        .otherwise("surprising")
+        .alias("lm_bucket"),
+    )
+
+
+def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Exact top-k TF-IDF terms per document, integer-exact end to end:
+    score_fx = tf · (flog2_fx(D) − flog2_fx(df)) — term frequency times
+    fixed-point idf — so ranking and the oracle hash never touch a
+    float.  Ties break (score desc, token asc): fully deterministic.
+
+    Scale shape: tf is a (doc, token) hash agg over the exploded stream
+    (map-side combined); df collapses tf by token into the vocab-sized
+    df table which joins back broadcast-while-it-fits; the top-k window
+    partitions by doc_id — per-doc vocabulary sized, never global.
+    D (corpus doc count) is a 1-row broadcast cross join.
+    """
+    tf = (
+        spread(docs)
+        .select("doc_id", F.explode(words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = with_flog2_fx(
+        tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df")),
+        "df",
+        "flog2_df",
+    )
+    d_tot = with_flog2_fx(
+        docs.agg(F.count(F.lit(1)).cast("long").alias("_D")), "_D", "flog2_D"
+    ).select("flog2_D")
+    scored = (
+        tf.join(df_tbl.select("token", "flog2_df"), "token")
+        .crossJoin(F.broadcast(d_tot))
+        .withColumn(
+            "score_fx",
+            F.col("tf") * (F.col("flog2_D") - F.col("flog2_df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fx"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "score_fx", "rank")
+    )

@@ -683,3 +683,34 @@ def simhash_pairs(
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+def incremental_ingest(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admission control for appending a new batch to a deduplicated
+    corpus: drop intra-batch exact duplicates (keeper = min id per
+    content digest, same convention as exact_dedup_groups), then drop
+    anything whose digest ALREADY exists in the corpus (anti-join).
+    Returns the admitted batch rows with their digest — the incremental
+    form of exact dedup that lets a 100 TB corpus grow without ever
+    re-deduplicating history.
+
+    Scale shape: both sides reduce to 32-byte digests before any join;
+    the anti-join is digest-partitioned (at scale the corpus side is a
+    bucketed digest index, making this a zero-shuffle SMJ — see
+    sinks/bucketed.py).  Text never shuffles.
+    """
+    digest = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    admitted = (
+        batch.select(digest, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    seen = corpus.select(digest).distinct()
+    return admitted.join(seen, "content_hash", "left_anti").select(
+        id_col, "content_hash"
+    )

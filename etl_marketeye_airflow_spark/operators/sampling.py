@@ -185,3 +185,32 @@ def length_buckets(
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return agg.withColumn("cum_volume", F.sum("bucket_volume").over(w))
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 32,
+    seed: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every row gets a (shard,
+    position) from a seeded content hash — the standard web-scale
+    recipe (shard by hash, order within shard by hash) that yields a
+    reproducible pseudo-random global order WITHOUT a global sort.
+    Changing ``seed`` reshuffles; re-running never does.
+
+    Scale shape: shard assignment is a pure map; the row_number window
+    partitions by shard, so each sort is 1/n_shards of the data and
+    shards sort in parallel — no corpus-global window anywhere.  At
+    100 TB pick n_shards ≈ target file count and this is exactly a
+    repartition(n)+sortWithinPartitions write plan.
+    """
+    k = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    h = F.conv(F.substring(k, 1, 15), 16, 10).cast("long")  # 60 bits
+    w = Window.partitionBy("shard").orderBy("sort_key", key_col)
+    return (
+        df.withColumn("sort_key", k)
+        .withColumn("shard", h % n_shards)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("sort_key")
+    )

@@ -5069,6 +5069,171 @@ def q99_prefix_filter_similarity_join(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _sql_flog2_fx(x: str) -> str:
+    """DuckDB twin of operators.corpus.with_flog2_fx: fixed-point (2^20)
+    dyadic log2 of a positive integer expression, integer arithmetic
+    only (bin() digit count, shift, truncating //) — bit-identical to
+    the Spark side by construction, no libm anywhere."""
+    b = f"(length(bin({x})) - 1)"
+    p = f"(CAST(1 AS BIGINT) << {b})"
+    return f"(CAST({b} AS BIGINT) * 1048576 + (({x} - {p}) * 1048576) // {p})"
+
+
+@query(
+    "q100_unigram_surprisal",
+    # integer-exact fixed-point log2 (see _sql_flog2_fx) — the ONLY
+    # float ops are one exact 2^-20 scaling and one correctly-rounded
+    # division per doc, identical operands both engines
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENIZE}) AS token FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    v AS (SELECT token, count(*) AS cnt FROM t2 GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS N FROM v),
+    pt AS (
+      SELECT doc_id,
+             {_sql_flog2_fx('N')} - {_sql_flog2_fx('cnt')} AS s_fx
+      FROM t2 JOIN v USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(s_fx) AS BIGINT) AS surprisal_fx,
+           (CAST(sum(s_fx) AS DOUBLE) / 1048576.0) / CAST(count(*) AS DOUBLE)
+             AS mean_surprisal_bits,
+           CASE WHEN (CAST(sum(s_fx) AS DOUBLE) / 1048576.0)
+                     / CAST(count(*) AS DOUBLE) < 4.90 THEN 'predictable'
+                WHEN (CAST(sum(s_fx) AS DOUBLE) / 1048576.0)
+                     / CAST(count(*) AS DOUBLE) < 5.00 THEN 'typical'
+                ELSE 'surprising' END AS lm_bucket
+    FROM pt GROUP BY doc_id
+    """,
+)
+def q100_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality scoring: per-doc mean surprisal in
+    bits under the corpus's own unigram distribution — the cheap LM
+    filter between q78's mean-frequency and a real KenLM.  log2 is the
+    fixed-point dyadic bit-hack (operators/corpus.py module note), so
+    the score is integer-exact and cross-engine bit-stable where libm
+    log provably is not.  Scale: vocab-collapse + broadcast-back join,
+    same shape as q78 (reference analytics parity:
+    dags/marketeye_etl_dag.py brand-frequency tasks, generalized)."""
+    from .operators.corpus import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q101_shard_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, k,
+             CAST(('0x' || substring(k, 1, 15)) AS BIGINT) % 32 AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def q101_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: seeded md5 assigns every
+    doc a (shard, position) — reproducible pseudo-random global order
+    with NO global sort (the row_number window partitions by shard;
+    shards sort in parallel).  The standard epoch-shuffle recipe for a
+    100 TB corpus: n_shards ≈ output file count, one sorted file per
+    shard."""
+    from .operators.sampling import shard_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return shard_assign(d, "doc_id", n_shards=32).select("doc_id", "shard", "pos")
+
+
+@query(
+    "q102_incremental_ingest",
+    # NOT EXISTS (not NOT IN) mirrors left_anti null semantics
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS content_hash
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    adm AS (
+      SELECT content_hash, min(doc_id) AS doc_id FROM b GROUP BY content_hash
+    ),
+    seen AS (
+      SELECT DISTINCT
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS content_hash
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT doc_id, content_hash FROM adm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM seen WHERE seen.content_hash = adm.content_hash
+    )
+    """,
+)
+def q102_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus growth: admit a new batch (docs with
+    doc_id % 5 = 0 stand in for today's crawl) against the existing
+    deduplicated corpus (the other 80%) — intra-batch exact dedup, then
+    digest anti-join against history.  The operator that lets exact
+    dedup run per-increment instead of re-sweeping 100 TB of history
+    (reference scope: the daily-tick ingest in
+    dags/marketeye_etl_dag.py, which re-reads the world each run)."""
+    from .operators.dedup import incremental_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_ingest(corpus, batch)
+
+
+@query(
+    "q103_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENIZE}) AS token FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM t2 GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    dq AS (SELECT CAST(count(*) AS BIGINT) AS D FROM documents),
+    s AS (
+      SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+             CAST(tf AS BIGINT)
+               * ({_sql_flog2_fx('D')} - {_sql_flog2_fx('df')}) AS score_fx
+      FROM tf JOIN dfq USING (token) CROSS JOIN dq
+    )
+    SELECT doc_id, token, tf, score_fx, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_fx DESC, token ASC) AS rank
+      FROM s
+    )
+    WHERE rank <= 3
+    """,
+)
+def q103_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 TF-IDF terms per document, integer-exact end to end
+    (fixed-point idf — ranking never touches a float, so the top-k set
+    is bit-deterministic cross-engine).  Keyword extraction /
+    boilerplate-signature mining over the documents table; the per-doc
+    window is per-doc-vocab sized, never global."""
+    from .operators.corpus import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -1,0 +1,136 @@
+"""Unit tests for the round-4 corpus-scoring / assembly operators:
+fixed-point dyadic log2, unigram-LM surprisal, TF-IDF top-k, shard
+shuffle, and incremental ingest — the properties the oracle gate can't
+see (approximation bounds, rerun stability, append/admission
+semantics)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_marketeye_airflow_spark.operators.corpus import (
+    FLOG2_SCALE,
+    tfidf_topk,
+    unigram_surprisal,
+    with_flog2_fx,
+)
+from etl_marketeye_airflow_spark.operators.dedup import incremental_ingest
+from etl_marketeye_airflow_spark.operators.sampling import shard_assign
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_flog2_fx_bounds_and_exact_powers(spark):
+    """flog2_fx is exact at powers of two and within 0.086 bits of true
+    log2 everywhere (the known max error of linear interpolation
+    between powers of two)."""
+    ns = [1, 2, 3, 5, 7, 8, 100, 1023, 1024, 1025, 999_999, 2**40 - 1]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    out = {r.n: r.fx for r in with_flog2_fx(df, "n", "fx").collect()}
+    for n in ns:
+        approx = out[n] / FLOG2_SCALE
+        true = math.log2(n)
+        assert abs(approx - true) <= 0.086 + 1e-6, (n, approx, true)
+        if n & (n - 1) == 0:  # power of two → exact
+            assert out[n] == int(true) * FLOG2_SCALE
+
+
+def test_unigram_surprisal_hand_corpus(spark):
+    """4-token corpus 'a a a b': N=4, p(a)=3/4, p(b)=1/4.
+    flog2 is exact here (all counts/N hit powers of two except 3:
+    flog2(3)=1.5).  doc1='a a a b' → per-token s = flog2(4)-flog2(cnt):
+    a: 2-1.5=0.5 (×3), b: 2-0=2 → sum 3.5 bits, mean 0.875."""
+    df = spark.createDataFrame(
+        [(1, "a a a b")], "doc_id long, text string"
+    )
+    row = unigram_surprisal(df).collect()[0]
+    assert row.n_tokens == 4
+    assert row.surprisal_fx == int(3.5 * FLOG2_SCALE)
+    assert abs(row.mean_surprisal_bits - 0.875) < 1e-12
+
+
+def test_tfidf_topk_ranks_rare_terms(spark):
+    """Term unique to one doc outranks a term present everywhere."""
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common filler filler"),
+            (3, "common other words"),
+        ],
+        "doc_id long, text string",
+    )
+    top = tfidf_topk(df, k=1).collect()
+    by_doc = {r.doc_id: r.token for r in top}
+    assert by_doc[1] == "zebra"  # df=1 beats 'common' (df=3, idf=0)
+    # 'common' appears in every doc → idf_fx = 0 → score 0, never top
+    # unless nothing else exists
+    assert all(r.token != "common" for r in top)
+
+
+def test_tfidf_scores_integer_exact(spark, docs):
+    """score_fx = tf * idf_fx recomputes exactly from components."""
+    out = tfidf_topk(docs.limit(50), k=3)
+    assert dict(out.dtypes)["score_fx"] == "bigint"
+    assert out.filter(F.col("score_fx") < 0).count() == 0
+
+
+def test_shard_assign_deterministic_and_dense(spark, docs):
+    d = docs.select("doc_id")
+    a = shard_assign(d, "doc_id", n_shards=8).collect()
+    b = shard_assign(d, "doc_id", n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # positions are dense 1..len within every shard
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for r in a:
+        shards[r.shard].append(r.pos)
+    assert set(shards) <= set(range(8))
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed produces a different order
+    c = shard_assign(d, "doc_id", n_shards=8, seed="other").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in c} != {
+        (r.doc_id, r.shard, r.pos) for r in a
+    }
+
+
+def test_incremental_ingest_admission_semantics(spark):
+    """Intra-batch dups collapse to min id; anything already in the
+    corpus (by normalized content) is refused; whitespace/case
+    variants count as the same content."""
+    corpus = spark.createDataFrame(
+        [(1, "existing doc"), (2, "another one")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new"),
+            (11, "brand new"),          # intra-batch dup → keeper 10
+            (12, "  Existing   DOC "),  # normalized dup of corpus 1
+            (13, "fresh content"),
+        ],
+        "doc_id long, text string",
+    )
+    admitted = {r.doc_id for r in incremental_ingest(corpus, batch).collect()}
+    assert admitted == {10, 13}
+
+
+def test_incremental_ingest_idempotent(spark, docs):
+    """Re-ingesting an already-admitted batch admits nothing."""
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    first = incremental_ingest(corpus, batch)
+    grown = corpus.select("doc_id", "text").unionByName(
+        batch.join(first.select("doc_id"), "doc_id", "left_semi").select(
+            "doc_id", "text"
+        )
+    )
+    again = incremental_ingest(grown, batch)
+    assert again.count() == 0
