@@ -714,3 +714,119 @@ def incremental_ingest(
     return admitted.join(seen, "content_hash", "left_anti").select(
         id_col, "content_hash"
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    eager: bool = False,
+) -> DataFrame:
+    """cross_corpus_contamination with a Bloom prefilter: the benchmark
+    gram-hash set is compacted into an m_bits bitmap (Kirsch-
+    Mitzenmacher double hashing off the same xxhash64 gram key), the
+    corpus gram stream drops non-members MAP-SIDE (no shuffle for the
+    clean ~99%), and only surviving candidate grams reach the exact
+    verify join.  Bloom filters have NO false negatives, so the output
+    is bit-identical to the exact operator — the bloom is purely a
+    shuffle-volume knob, which is why this stays oracle-able.
+
+    When it matters: broadcast of the exact hash SET dies when the
+    benchmark has ~10^9 grams (40 GB of 8-byte keys + set overhead); the
+    bitmap at the same capacity is m_bits/8 bytes (1-2 GB for 1% FPR) —
+    shippable.  The verify join then shuffles only candidate rows
+    (true overlaps + ~FPR of the clean stream).
+
+    Build is distributed: each benchmark partition folds its grams into
+    a local bitmap (one Arrow pass, ONE bitmap yielded per partition),
+    the driver ORs the ≤n_partitions bitmaps (bounded: n_partitions ×
+    m_bits/8 bytes — config, not data, sized) and re-ships the result
+    inside the filter kernel's closure (convention: stdlib/numpy +
+    captured locals only).
+    """
+    import numpy as np
+
+    m_bytes = m_bits // 8
+
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        return (
+            spread(df)
+            .select(
+                F.col(id_col),
+                F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_g"),
+            )
+            .select(id_col, F.xxhash64("_g").alias("_gh"))
+        )
+
+    def positions(h_i64: "np.ndarray") -> "np.ndarray":
+        # (n, n_hashes) bit positions; h2 forced odd so the probe
+        # sequence never cycles early.  All uint64 wraparound math —
+        # deterministic everywhere.
+        h1 = h_i64.astype(np.uint64)
+        h2 = h1 * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        i = np.arange(n_hashes, dtype=np.uint64)
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(
+            np.int64
+        )
+
+    # consumed twice (bitmap build + exact verify) — persist so the
+    # benchmark lineage executes once; lifecycle per eager flag below
+    bench_hashes = gram_hashes(benchmark).select("_gh").distinct().persist()
+
+    def build(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        bits = _np.zeros(m_bytes, dtype=_np.uint8)
+        seen = False
+        for b in batches:
+            if len(b) == 0:
+                continue
+            seen = True
+            pos = positions(b["_gh"].to_numpy(dtype=_np.int64))
+            _np.bitwise_or.at(bits, pos.ravel() >> 3, _np.uint8(1) << (pos.ravel() & 7).astype(_np.uint8))
+        if seen:
+            yield _pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    part_maps = bench_hashes.mapInPandas(build, "bitmap binary").collect()
+    bloom = np.zeros(m_bytes, dtype=np.uint8)
+    for r in part_maps:
+        bloom |= np.frombuffer(r.bitmap, dtype=np.uint8)
+    bloom_bytes = bloom.tobytes()
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def maybe_member(gh):
+        import numpy as _np
+
+        arr = _np.frombuffer(bloom_bytes, dtype=_np.uint8)
+        if len(gh) == 0:
+            return gh.astype(bool)
+        pos = positions(gh.to_numpy(dtype=_np.int64))
+        hit = _np.ones(len(gh), dtype=bool)
+        for j in range(n_hashes):
+            p = pos[:, j]
+            hit &= (arr[p >> 3] >> (p & 7).astype(_np.uint8) & 1).astype(bool)
+        import pandas as _pd
+
+        return _pd.Series(hit)
+
+    # NO broadcast hint on the verify join — the bloom exists precisely
+    # for the regime where the benchmark hash set is too big to ship;
+    # the join shuffles only bloom-surviving candidate grams (AQE will
+    # still broadcast by itself while the set is small).
+    candidates = gram_hashes(corpus).filter(maybe_member(F.col("_gh")))
+    out = (
+        candidates.join(bench_hashes, "_gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    if eager:
+        out = out.localCheckpoint()
+        bench_hashes.unpersist()
+    return out

@@ -5234,6 +5234,50 @@ def q103_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
 
 
+@query(
+    "q104_bloom_decontamination",
+    # the bloom is a lossless prefilter (no false negatives), so the
+    # oracle is the PLAIN exact decontamination SQL — the gate proves
+    # the pruned pipeline returns the identical answer
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 4, 1) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 4), ' ')))) AS gram
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src2')
+    SELECT g.doc_id, count(*) AS n_shared_grams
+    FROM g JOIN bench USING (gram)
+    WHERE g.source <> 'src2'
+    GROUP BY g.doc_id
+    """,
+)
+def q104_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at the scale where the benchmark gram set cannot
+    broadcast: a 2^20-bit Bloom bitmap (built distributed, OR-merged
+    driver-side, re-shipped in the filter kernel's closure) drops clean
+    grams MAP-SIDE; only survivors reach the exact verify join.  Bloom
+    membership has no false negatives, so the output — and the oracle —
+    is exactly q55's inverted-index answer (src2 as the eval set here).
+    The measured prune rate is pinned in tests/test_corpus_scoring.py."""
+    from .operators.dedup import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        d.filter(F.col("source") != "src2"),
+        d.filter(F.col("source") == "src2"),
+        shingle_k=5,
+        eager=True,
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -134,3 +134,43 @@ def test_incremental_ingest_idempotent(spark, docs):
     )
     again = incremental_ingest(grown, batch)
     assert again.count() == 0
+
+
+def test_bloom_decontaminate_equals_exact(spark, docs):
+    """The bloom prefilter is lossless: output is row-identical to the
+    exact inverted-index operator (no false negatives by construction;
+    false positives die in the verify join)."""
+    from etl_marketeye_airflow_spark.operators.dedup import (
+        bloom_decontaminate,
+        cross_corpus_contamination,
+    )
+
+    corpus = docs.filter(F.col("source") != "src1")
+    bench = docs.filter(F.col("source") == "src1")
+    exact = {
+        (r.doc_id, r.n_shared_grams)
+        for r in cross_corpus_contamination(corpus, bench, shingle_k=5).collect()
+    }
+    bloomed = {
+        (r.doc_id, r.n_shared_grams)
+        for r in bloom_decontaminate(corpus, bench, shingle_k=5, eager=True).collect()
+    }
+    assert bloomed == exact and len(exact) > 0
+
+
+def test_bloom_prunes_when_disjoint(spark):
+    """A corpus sharing nothing with the benchmark produces zero
+    candidates — the bloom filter does real map-side work (the whole
+    point: the clean stream never shuffles)."""
+    from etl_marketeye_airflow_spark.operators.dedup import bloom_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + f"tok{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1000, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    out = bloom_decontaminate(corpus, bench, shingle_k=5, eager=True)
+    assert out.count() == 0
