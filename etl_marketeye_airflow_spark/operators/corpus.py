@@ -346,3 +346,188 @@ def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame
         .filter(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "score_fx", "rank")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Exact BM25 retrieval: top-``k`` documents for a bag-of-words
+    query, Okapi BM25 with k1=1.2, b=0.75 and the Lucene non-negative
+    idf — the standard sparse-retrieval scorer for corpus search and
+    RAG-style training-data selection.
+
+    Determinism (cross-engine bit-stable, same discipline as
+    unigram_surprisal): every sub-score is an exact integer rational.
+    With k1=6/5 and b=3/4, multiplying the per-term BM25 fraction
+    through by 10·S (S = corpus token count, D = doc count, dl = doc
+    length) gives
+
+        score_t = idf_fx · (22·S·tf) / ((10·S·tf + 3·S + 9·dl·D) · 2^20)
+
+    where idf_fx = flog2_fx(2D+2) − flog2_fx(2df+1) is the fixed-point
+    log2((D+1)/(df+0.5)) — integer numerator and denominator, then ONE
+    double multiply + divide per (doc, term) with identical operands on
+    any IEEE-754 engine.  The per-doc sum over query terms is a
+    fixed-order chain of COALESCE(+) over per-term conditional maxes
+    (each doc has ≤1 row per term), never an order-dependent float
+    aggregation.
+
+    Scale shape: the token stream is filtered to the query terms
+    MAP-SIDE before the tf aggregation — only query-term postings ever
+    shuffle (an inverted-index probe, not a corpus scan shuffle).  Doc
+    lengths collapse in one hash agg; per-term idf stats are a
+    ≤|query|-row broadcast; top-k is orderBy+limit — Spark compiles it
+    to TakeOrderedAndProject (per-partition top-k + driver merge, no
+    global sort, no global window).
+
+    Reference scope: extends the reference's brand-frequency analytics
+    (dags/marketeye_etl_dag.py) to ranked retrieval over the corpus.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+    tok = (
+        spread(docs)
+        .select("doc_id", F.explode(words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tf = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    consts = dl.agg(
+        F.sum("dl").cast("long").alias("S"),
+        F.count(F.lit(1)).cast("long").alias("D"),
+    )
+    term_stats = (
+        dfq.crossJoin(F.broadcast(consts))
+        .withColumn("_ia", F.lit(2) * F.col("D") + F.lit(2))
+        .withColumn("_ib", F.lit(2) * F.col("df") + F.lit(1))
+    )
+    term_stats = with_flog2_fx(term_stats, "_ia", "_fa")
+    term_stats = with_flog2_fx(term_stats, "_ib", "_fb")
+    term_stats = term_stats.withColumn(
+        "idf_fx", F.col("_fa") - F.col("_fb")
+    ).select("token", "idf_fx", "S", "D")
+    scored = (
+        tf.join(F.broadcast(term_stats), "token")
+        .join(dl, "doc_id")
+        .withColumn("_num", (F.lit(22) * F.col("S") * F.col("tf")).cast("long"))
+        .withColumn(
+            "_den",
+            (
+                F.lit(10) * F.col("S") * F.col("tf")
+                + F.lit(3) * F.col("S")
+                + F.lit(9) * F.col("dl") * F.col("D")
+            ).cast("long"),
+        )
+        .withColumn(
+            "score_t",
+            (F.col("idf_fx").cast("double") * F.col("_num").cast("double"))
+            / (F.col("_den").cast("double") * F.lit(float(FLOG2_SCALE))),
+        )
+    )
+    aggs = [
+        F.max(F.when(F.col("token") == F.lit(t), F.col("score_t"))).alias(
+            f"_s{i}"
+        )
+        for i, t in enumerate(terms)
+    ] + [F.count(F.lit(1)).cast("long").alias("n_hit")]
+    per_doc = scored.groupBy("doc_id").agg(*aggs)
+    score = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    return (
+        per_doc.withColumn("score", score)
+        .select("doc_id", "n_hit", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", public
+    arXiv 2302.03169): score every document by how target-like its
+    hashed-feature distribution is — sum over token occurrences of
+    log2( p_target(bucket) / p_raw(bucket) ) with add-1 smoothing,
+    features = unigrams hashed into ``n_buckets`` buckets.  Positive
+    score ⇒ target-like; the standard cheap re-weighter for steering a
+    100 TB crawl toward a small high-quality target domain.
+
+    Determinism: buckets use the engine-portable md5 token hash
+    (dedup.portable_token_hash — any SQL engine recomputes it) and the
+    log-ratio is the fixed-point dyadic log2, so per-doc scores are
+    exact integers; the ONLY float op is one final mean-bits division.
+
+        ratio_fx(b) = [flog2(cnt_t(b)+1) − flog2(cnt_r(b)+1)]
+                    + [flog2(N_r+B) − flog2(N_t+B)]
+
+    Scale shape: the token stream collapses into the ≤``n_buckets``-row
+    bucket table FIRST (map-side combine; two hash aggs share one
+    shuffle key), the weight table broadcasts back, and the per-doc sum
+    is a key-partitioned agg — identical to unigram_surprisal's shape.
+    ``target_pred`` is a boolean Column over ``docs`` (e.g.
+    ``F.col("source") == "src1"``).
+    """
+    from .dedup import portable_token_hash
+
+    tok = (
+        spread(docs)
+        .select(
+            "doc_id",
+            target_pred.alias("_tgt"),
+            F.explode(words(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn(
+            "bkt", portable_token_hash(F.col("token")) % F.lit(n_buckets)
+        )
+        .select("doc_id", "_tgt", "bkt")
+    )
+    buckets = tok.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_r"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("cnt_t"),
+    )
+    totals = buckets.agg(
+        (F.sum("cnt_r").cast("long") + F.lit(n_buckets)).alias("_nr"),
+        (F.sum("cnt_t").cast("long") + F.lit(n_buckets)).alias("_nt"),
+    )
+    totals = with_flog2_fx(totals, "_nr", "_fnr")
+    totals = with_flog2_fx(totals, "_nt", "_fnt").select("_fnr", "_fnt")
+    w = buckets.crossJoin(F.broadcast(totals)).withColumn(
+        "_ct1", F.col("cnt_t") + F.lit(1)
+    ).withColumn("_cr1", F.col("cnt_r") + F.lit(1))
+    w = with_flog2_fx(w, "_ct1", "_fct")
+    w = with_flog2_fx(w, "_cr1", "_fcr")
+    w = w.withColumn(
+        "ratio_fx",
+        (F.col("_fct") - F.col("_fcr")) + (F.col("_fnr") - F.col("_fnt")),
+    ).select("bkt", "ratio_fx")
+    per_doc = (
+        tok.join(F.broadcast(w), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("ratio_fx").cast("long").alias("score_fx"),
+        )
+    )
+    mean_bits = (
+        F.col("score_fx").cast("double") / F.lit(float(FLOG2_SCALE))
+    ) / F.col("n_tokens").cast("double")
+    return (
+        per_doc.withColumn("mean_bits", mean_bits)
+        .withColumn("selected", F.col("score_fx") > 0)
+        .select("doc_id", "n_tokens", "score_fx", "mean_bits", "selected")
+    )

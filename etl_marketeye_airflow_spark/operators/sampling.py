@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import words
+
 
 def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
     """Deterministic bucket in [0, n_buckets): first 8 md5 hex chars of
@@ -213,4 +215,75 @@ def shard_assign(
         .withColumn("shard", h % n_shards)
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("sort_key")
+    )
+
+
+def sequence_packing(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 256,
+    n_shards: int = 8,
+    seed: str = "shuffle-v1",
+) -> DataFrame:
+    """GPT-style concat-and-split sequence packing: documents are laid
+    end-to-end in the deterministic shard-shuffle order (shard_assign)
+    and the concatenated token stream is cut every ``window`` tokens.
+    Emits the pack MANIFEST — one row per (document × pack it touches):
+
+        (shard, pack_id, doc_id, pos, slice_start, slice_len)
+
+    where slice_start/slice_len select the doc's tokens that land in
+    that pack.  A doc longer than ``window`` spans several packs; a
+    pack usually holds several docs — exactly the layout an LM trainer
+    consumes (sum of slice_len per full pack = window).
+
+    Fully integer-deterministic: the order is the seeded-md5 shuffle,
+    offsets are per-shard prefix sums, and the pack split is div/mod
+    algebra — any engine reproduces it bit-for-bit.
+
+    Scale shape: ONE window per shard (running sum over the shard's
+    docs, 1/n_shards of the data each, all shards in parallel — no
+    corpus-global window); the per-pack explode is a map-side
+    ``sequence()`` bounded by ⌈doc_len/window⌉+1 rows per doc.  At
+    100 TB: n_shards ≈ output file count; a ``partitionBy(shard)``
+    write makes each pack file a contiguous slice of one shard.
+    """
+    sized = shard_assign(docs, "doc_id", n_shards, seed).withColumn(
+        "_n",
+        F.size(F.filter(words(F.col(text_col)), lambda t: t != "")).cast(
+            "long"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        sized.filter(F.col("_n") > 0)
+        .withColumn("_start", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long"))
+        .withColumn("_p0", F.expr(f"_start div {window}"))
+        .withColumn("_p1", F.expr(f"(_start + _n - 1) div {window}"))
+    )
+    return (
+        placed.select(
+            "shard",
+            "doc_id",
+            "pos",
+            "_n",
+            "_start",
+            F.explode(F.sequence(F.col("_p0"), F.col("_p1"))).alias("pack_id"),
+        )
+        .withColumn(
+            "slice_start",
+            F.greatest(F.lit(0).cast("long"), F.col("pack_id") * window - F.col("_start")),
+        )
+        .withColumn(
+            "slice_len",
+            F.least(
+                (F.col("pack_id") + 1) * window, F.col("_start") + F.col("_n")
+            )
+            - F.greatest(F.col("pack_id") * window, F.col("_start")),
+        )
+        .select("shard", "pack_id", "doc_id", "pos", "slice_start", "slice_len")
     )

@@ -502,3 +502,78 @@ def embedding_near_dup_pairs(
     if do_persist:
         base.unpersist()
     return out
+
+
+def semdedup(
+    embeddings: DataFrame,
+    tau: float = 0.45,
+    n_centroids: int | None = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    train_iters: int = 0,
+    target_cell_rows: int = 256,
+    eager: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public arXiv 2303.09540): semantic
+    deduplication by clustering embeddings and comparing pairs ONLY
+    within a cluster — the scalable alternative to all-pairs cosine for
+    pruning semantically redundant training data.
+
+    Rule: a vector is dropped iff some SAME-CELL vector with a smaller
+    id has cosine ≥ ``tau`` with it (the greedy keep-first-by-id
+    representative choice, deterministic).  Returns every input row as
+    (id, cell_idx, kept).
+
+    Determinism / oracle story: the ``train_iters=0`` quantizer is the
+    deterministic first-``n_centroids``-by-id sample (q36's recipe), so
+    assignment is SQL-replayable (argmin of ‖c‖²−2·x·c, ties by cell
+    index — margins pinned in tests), and the pair cosine is the exact
+    sequential-fold `cosine()` whose IEEE op order matches the DuckDB
+    twin bit-for-bit.
+
+    Scale shape: cost is O(Σ cell²·dim).  ``n_centroids=None``
+    auto-sizes ⌈n / target_cell_rows⌉ cells so per-cell work stays
+    bounded as the corpus grows (the paper runs 50k clusters on
+    LAION-440M for the same reason); the self-join shuffles on the cell
+    id, and ``train_iters>0`` buys better-separated cells at the same
+    cost.  The oracled registry config pins 16 cells on the fixed test
+    corpus.
+    """
+    base = embeddings.select(id_col, emb_col)
+    if n_centroids is None:
+        n = base.count()
+        n_centroids = max(1, -(-n // target_cell_rows))
+    assigned, _cents = ivf_assign(
+        base, n_centroids, id_col, emb_col, train_iters
+    )
+    assigned = assigned.persist()
+    a = assigned.select(
+        F.col("_centroid").alias("_cell"),
+        F.col(id_col).alias("_ia"),
+        F.col(emb_col).alias("_ea"),
+    )
+    b = assigned.select(
+        F.col("_centroid").alias("_cell"),
+        F.col(id_col).alias("_ib"),
+        F.col(emb_col).alias("_eb"),
+    )
+    dropped = (
+        a.join(b, ["_cell"])
+        .filter(F.col("_ia") < F.col("_ib"))
+        .withColumn("_cos", cosine(F.col("_ea"), F.col("_eb")))
+        .filter(F.col("_cos") >= F.lit(float(tau)))
+        .select(F.col("_ib").alias("_drop_id"))
+        .distinct()
+    )
+    out = (
+        assigned.select(
+            F.col(id_col), F.col("_centroid").cast("long").alias("cell_idx")
+        )
+        .join(dropped, F.col(id_col) == F.col("_drop_id"), "left")
+        .withColumn("kept", F.col("_drop_id").isNull())
+        .select(id_col, "cell_idx", "kept")
+    )
+    if eager:
+        out = out.localCheckpoint()
+        assigned.unpersist()
+    return out

@@ -5030,9 +5030,14 @@ def q99_prefix_filter_similarity_join(spark: SparkSession, sf_dir: str) -> DataF
     before the one double division."""
     from .operators.dedup import word_shingles
 
+    # The shingle base fans out into FOUR branches (posting list,
+    # prefix build, both verify sides) — persist it so the zip_with
+    # shingle construction runs once, not per branch; eager result +
+    # unpersist on return (same lifecycle as q72/q104).
     sh = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", word_shingles(F.col("text"), 3).alias("grams"))
+        .persist()
     )
     post = sh.select("doc_id", F.explode("grams").alias("gram"))
     freq = post.groupBy("gram").agg(F.count("*").alias("cnt"))
@@ -5060,13 +5065,25 @@ def q99_prefix_filter_similarity_join(spark: SparkSession, sf_dir: str) -> DataF
     gb = sh.select(F.col("doc_id").alias("_ib"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size("grams_a") + F.size("grams_b") - inter
-    return (
+    # Lossless length filter before the array_intersect verify:
+    # J(A,B) ≥ t forces |A∩B| ≤ min ⇒ t ≤ min/(max) is necessary, i.e.
+    # 20·min(|A|,|B|) ≥ 7·max(|A|,|B|) (t = 0.35 = 7/20, integer form)
+    # — kills candidates with incompatible sizes for the cost of two
+    # size() lookups instead of a full intersection.
+    out = (
         cand.join(ga, F.col("id_a") == F.col("_ia"))
         .join(gb, F.col("id_b") == F.col("_ib"))
+        .filter(
+            F.lit(20) * F.least(F.size("grams_a"), F.size("grams_b"))
+            >= F.lit(7) * F.greatest(F.size("grams_a"), F.size("grams_b"))
+        )
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= 0.35)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint()
     )
+    sh.unpersist()
+    return out
 
 
 def _sql_flog2_fx(x: str) -> str:
@@ -5275,6 +5292,285 @@ def q104_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("source") == "src2"),
         shingle_k=5,
         eager=True,
+    )
+
+
+def _sql_zorder(x: str, y: str, bits: int) -> str:
+    """DuckDB twin of operators.layout.zorder_key2: the same bit
+    interleave as an unrolled integer expression (fully parenthesized —
+    never trust | / << precedence across dialects)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@query(
+    "q105_zorder_layout",
+    # pure integer bit algebra on both sides — zkey/file_id exact
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id,
+             user_id % 1024 AS zx,
+             (epoch_us(ts) // 3600000000) % 1024 AS zy
+      FROM events
+    ),
+    k AS (SELECT event_id, zx, zy, {_sql_zorder('zx', 'zy', 10)} AS zkey FROM q)
+    SELECT event_id, zx, zy, zkey, zkey >> 14 AS file_id FROM k
+    """,
+)
+def q105_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user bucket, hour bucket):
+    the layout plan for a both-dimensions-skippable events table —
+    sort by zkey inside file_id ranges and a range predicate on EITHER
+    user or time touches O(√files) row groups.  Pure map (one codegen'd
+    bit expression, zero shuffle here); the write adds the single range
+    shuffle.  Event time via load_events' exact integer ts_us
+    (convention #4)."""
+    from .operators.layout import zorder_layout
+
+    e = load_events(spark, sf_dir)
+    out = zorder_layout(
+        e,
+        F.col("user_id") % 1024,
+        (F.expr("ts_us div 3600000000")) % 1024,
+        bits=10,
+        n_files=64,
+    )
+    return out.select("event_id", "zx", "zy", "zkey", "file_id")
+
+
+_BM25_TERMS = ("vector", "stream", "slow")
+
+
+def _sql_bm25(terms: tuple[str, ...]) -> str:
+    """DuckDB twin of operators.corpus.bm25_topk — identical integer
+    rationals (22/10/3/9 from k1=6/5, b=3/4 scaled by 10·S), identical
+    fixed-point idf, and the SAME fixed-order COALESCE(+) chain for the
+    per-doc sum, so the double bits match Spark's exactly."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    maxes = ",\n             ".join(
+        f"max(CASE WHEN token = '{t}' THEN score_t END) AS _s{i}"
+        for i, t in enumerate(terms)
+    )
+    chain = " + ".join(f"COALESCE(_s{i}, 0.0)" for i in range(len(terms)))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENIZE}) AS token FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY doc_id),
+    c AS (SELECT CAST(sum(dl) AS BIGINT) AS S, CAST(count(*) AS BIGINT) AS D
+          FROM dl),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t2
+      WHERE token IN ({in_list}) GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    idf AS (
+      SELECT token,
+             {_sql_flog2_fx('(2 * D + 2)')} - {_sql_flog2_fx('(2 * df + 1)')}
+               AS idf_fx,
+             S, D
+      FROM dfq CROSS JOIN c
+    ),
+    s AS (
+      SELECT doc_id, token,
+             (CAST(idf_fx AS DOUBLE) * CAST(22 * S * tf AS DOUBLE))
+               / (CAST(10 * S * tf + 3 * S + 9 * dl * D AS DOUBLE)
+                  * 1048576.0) AS score_t
+      FROM tf JOIN idf USING (token) JOIN dl USING (doc_id)
+    ),
+    p AS (
+      SELECT doc_id,
+             {maxes},
+             CAST(count(*) AS BIGINT) AS n_hit
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, n_hit, ({chain}) AS score
+    FROM p ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+
+
+@query("q106_bm25_topk", oracle=_sql_bm25(_BM25_TERMS))
+def q106_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1=1.2, b=0.75, Lucene non-negative
+    idf): top-20 documents for a fixed bag-of-words query — the sparse
+    scorer for corpus search / RAG-style data selection.  Every
+    sub-score is an exact integer rational with a fixed-point-log2 idf
+    (CLAUDE.md convention 6d) and the per-doc sum is a fixed-order
+    COALESCE chain, so the final doubles are bit-identical on both
+    engines.  Scale: only query-term postings shuffle (map-side filter
+    → inverted-index probe); top-k is TakeOrderedAndProject."""
+    from .operators.corpus import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20
+    )
+
+
+@query(
+    "q107_dsir_importance",
+    # buckets via the engine-portable md5 hash; add-1 smoothed
+    # log-ratio in fixed-point dyadic log2 — integer-exact until the
+    # one mean-bits division (identical operands both engines)
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_SQL_TOKENIZE}) AS token FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, source = 'src1' AS tgt,
+             CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 4096
+               AS bkt
+      FROM tok WHERE token <> ''
+    ),
+    b AS (
+      SELECT bkt, CAST(count(*) AS BIGINT) AS cnt_r,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+      FROM t2 GROUP BY bkt
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt_r) + 4096 AS BIGINT) AS nr,
+             CAST(sum(cnt_t) + 4096 AS BIGINT) AS nt
+      FROM b
+    ),
+    w AS (
+      SELECT bkt,
+             ({_sql_flog2_fx('(cnt_t + 1)')} - {_sql_flog2_fx('(cnt_r + 1)')})
+             + ({_sql_flog2_fx('nr')} - {_sql_flog2_fx('nt')}) AS ratio_fx
+      FROM b CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(ratio_fx) AS BIGINT) AS score_fx,
+           (CAST(sum(ratio_fx) AS DOUBLE) / 1048576.0)
+             / CAST(count(*) AS DOUBLE) AS mean_bits,
+           CAST(sum(ratio_fx) AS BIGINT) > 0 AS selected
+    FROM t2 JOIN w USING (bkt) GROUP BY doc_id
+    """,
+)
+def q107_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling weights (hashed unigram
+    features, add-1 smoothing): per-doc log2 target/raw likelihood
+    ratio with src1 as the target domain — the cheap distribution
+    steerer for crawl-scale data selection.  Integer-exact via the
+    portable md5 bucket hash + fixed-point log2 (convention 6d); scale
+    shape is vocab-collapse (≤4096-bucket table) + broadcast-back, the
+    same as q100."""
+    from .operators.corpus import dsir_importance
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"),
+        F.col("source") == "src1",
+        n_buckets=4096,
+    )
+
+
+@query(
+    "q108_semdedup",
+    # q36's deterministic-sample quantizer replay (assignment argmin of
+    # ‖c‖²−2·x·c, ties by cell — margins pinned in pytest: ≥2e-5 vs
+    # ~1e-12 kernel noise) + exact fold cosine at τ=0.45 (min |cos−τ|
+    # ≥ 4e-4 within cells at all 3 SFs, pinned)
+    oracle=f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, embedding AS c
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, e.embedding, c.cell_idx,
+             list_reduce(list_transform(c.c,
+                                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                         (x, y) -> x + y)
+             - 2.0 * list_reduce(list_transform(list_zip(e.embedding, c.c),
+                                                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                                 (x, y) -> x + y) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_idx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_idx) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT y.vec_id AS ib
+      FROM assigned x JOIN assigned y
+        ON x.cell_idx = y.cell_idx AND x.vec_id < y.vec_id
+      WHERE {_SQL_COS.format(a="x.embedding", b="y.embedding")} >= 0.45
+    ),
+    drp AS (SELECT DISTINCT ib FROM p)
+    SELECT a.vec_id, CAST(a.cell_idx AS BIGINT) AS cell_idx,
+           (drp.ib IS NULL) AS kept
+    FROM assigned a LEFT JOIN drp ON a.vec_id = drp.ib
+    """,
+)
+def q108_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: cluster embeddings (q36's
+    deterministic 16-cell quantizer), compare pairs only WITHIN a cell,
+    drop any vector whose same-cell smaller-id neighbor has cosine ≥
+    0.45 — the cluster-then-prune recipe that replaces all-pairs cosine
+    at corpus scale (cells auto-size with n via n_centroids=None; the
+    fixed-cell config here is the oracle-replayable pin)."""
+    from .operators.similarity import semdedup
+
+    return semdedup(
+        _t(spark, sf_dir, "embeddings"), tau=0.45, n_centroids=16, eager=True
+    )
+
+
+@query(
+    "q109_sequence_packing",
+    # pure integer algebra end-to-end: seeded-md5 order (q101's
+    # recipe), per-shard prefix sums, div/mod pack split
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             len(list_filter({_SQL_TOKENIZE}, t -> t <> '')) AS n,
+             md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, k,
+             CAST(('0x' || substring(k, 1, 15)) AS BIGINT) % 8 AS shard
+      FROM h
+    ),
+    p AS (
+      SELECT doc_id, n, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                  AS BIGINT) AS pos
+      FROM s
+    ),
+    placed AS (
+      SELECT doc_id, shard, pos, n,
+             CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS strt
+      FROM p WHERE n > 0
+    )
+    SELECT shard, CAST(pack_id AS BIGINT) AS pack_id, doc_id, pos,
+           GREATEST(CAST(0 AS BIGINT), pack_id * 256 - strt) AS slice_start,
+           LEAST((pack_id + 1) * 256, strt + n)
+             - GREATEST(pack_id * 256, strt) AS slice_len
+    FROM (
+      SELECT *, unnest(range(strt // 256, (strt + n - 1) // 256 + 1))
+               AS pack_id
+      FROM placed
+    )
+    """,
+)
+def q109_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split sequence packing: docs laid end to end
+    in the deterministic shard-shuffle order, cut every 256 tokens —
+    emits the (doc × pack) manifest an LM trainer consumes (docs span
+    packs, packs hold several docs).  Integer-deterministic throughout;
+    one per-shard prefix-sum window, map-side explode, no global
+    anything."""
+    from .operators.sampling import sequence_packing
+
+    return sequence_packing(
+        _t(spark, sf_dir, "documents"), window=256, n_shards=8
     )
 
 

@@ -174,3 +174,127 @@ def test_bloom_prunes_when_disjoint(spark):
     )
     out = bloom_decontaminate(corpus, bench, shingle_k=5, eager=True)
     assert out.count() == 0
+
+
+def test_zorder_key_bijective(spark):
+    """De-interleaving the Morton key recovers both coordinates exactly
+    (bijectivity on [0,2^bits)² — the property that makes zkey ranges
+    decomposable into per-dimension ranges for data skipping)."""
+    from etl_marketeye_airflow_spark.operators.layout import zorder_key2
+
+    pts = [(x, y) for x in (0, 1, 5, 511, 1023) for y in (0, 2, 7, 512, 1023)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.withColumn(
+        "zkey", zorder_key2(F.col("x"), F.col("y"), bits=10)
+    ).collect()
+    for r in rows:
+        x = sum(((r.zkey >> (2 * i)) & 1) << i for i in range(10))
+        y = sum(((r.zkey >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert (x, y) == (r.x, r.y)
+
+
+def test_zorder_locality_bounds_files_touched(spark):
+    """A narrow range predicate on ONE dimension touches a strict
+    subset of the 64 target files — the data-skipping payoff a
+    single-column sort only gives to its own column."""
+    from etl_marketeye_airflow_spark.operators.layout import zorder_layout
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    out = zorder_layout(df, F.col("x"), F.col("y"), bits=6, n_files=64)
+    total = out.select("file_id").distinct().count()
+    narrow_x = out.filter(F.col("zx") < 8).select("file_id").distinct().count()
+    narrow_y = out.filter(F.col("zy") < 8).select("file_id").distinct().count()
+    assert narrow_x < total and narrow_y < total
+
+
+def test_bm25_ranks_term_density(spark):
+    """A document saturated with the query term outranks one that
+    mentions it once among other tokens; documents without any query
+    term are absent; n_hit counts matched distinct terms."""
+    from etl_marketeye_airflow_spark.operators.corpus import bm25_topk
+
+    rows = [
+        (1, "cat cat cat cat"),
+        (2, "cat dog bird fish mouse"),
+        (3, "dog bird fish mouse deer"),
+        (4, "cat dog cat bird"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["cat", "dog"], k=10).collect()
+    got = {r.doc_id: r for r in out}
+    assert 3 in got and got[3].n_hit == 1  # dog only
+    assert set(got) == {1, 2, 3, 4}
+    # doc 4 hits both terms and twice the cat tf of doc 2 → higher score
+    assert got[4].score > got[2].score
+    assert got[4].n_hit == 2
+    # pure-repetition doc 1: saturation keeps it finite and positive
+    assert got[1].score > 0.0
+
+
+def test_bm25_limit_and_determinism(spark):
+    """Top-k is the k best by (score desc, doc_id asc) and the result
+    is stable across reruns (no RNG, no order dependence)."""
+    from etl_marketeye_airflow_spark.operators.corpus import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = bm25_topk(docs, ["vector", "stream", "slow"], k=20).collect()
+    b = bm25_topk(docs, ["vector", "stream", "slow"], k=20).collect()
+    assert len(a) == 20
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+    scores = [r.score for r in a]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dsir_importance_separates_domains(spark):
+    """Docs written in the target domain's vocabulary score positive
+    (target-like), docs in the disjoint raw-only vocabulary score
+    negative, and score_fx is an exact integer (rerun-stable)."""
+    from etl_marketeye_airflow_spark.operators.corpus import dsir_importance
+
+    rows = [(i, "alpha beta alpha beta alpha", "tgt") for i in range(5)] + [
+        (10 + i, "gamma delta gamma delta gamma", "raw") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # n_buckets=4096: the four tokens land in distinct buckets (md5
+    # buckets 1531/2539/2939/2449) — at 64 buckets alpha and gamma
+    # collide and the collision (correctly) blurs the domains
+    out = dsir_importance(df, F.col("source") == "tgt", n_buckets=4096)
+    got = {r.doc_id: r for r in out.collect()}
+    assert all(got[i].selected and got[i].score_fx > 0 for i in range(5))
+    assert all(
+        (not got[10 + i].selected) and got[10 + i].score_fx < 0
+        for i in range(5)
+    )
+    again = {r.doc_id: r.score_fx for r in out.collect()}
+    assert again == {k: v.score_fx for k, v in got.items()}
+
+
+def test_sequence_packing_tiles_exactly(spark, docs):
+    """Packing invariants the oracle can't see as such: (a) each doc's
+    slices tile it exactly (slice_len sums to its token count,
+    contiguously); (b) every non-final pack holds exactly `window`
+    tokens; (c) within a pack, docs occupy disjoint contiguous spans."""
+    from etl_marketeye_airflow_spark.operators.sampling import sequence_packing
+
+    W = 64
+    out = sequence_packing(docs, window=W, n_shards=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r.pack_id)
+        assert rows[0].slice_start == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b.pack_id == a.pack_id + 1  # consecutive packs
+            assert b.slice_start == a.slice_start + a.slice_len
+        assert all(r.slice_len > 0 for r in rows)
+    pack_tokens = {}
+    for r in out:
+        pack_tokens[(r.shard, r.pack_id)] = (
+            pack_tokens.get((r.shard, r.pack_id), 0) + r.slice_len
+        )
+    last = {s: max(p for t, p in pack_tokens if t == s) for s, _ in pack_tokens}
+    for (s, p), tot in pack_tokens.items():
+        assert tot == W or p == last[s]

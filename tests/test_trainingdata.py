@@ -1037,3 +1037,71 @@ def test_q72_twin_corpus_margins_and_recall(spark):
         (r.id_a, r.id_b) for r in QUERIES["q72_near_dup_scalable"](spark, _GATE_SF).collect()
     }
     assert got == exact  # recall complete with n_planes=None auto-sizing
+
+
+def test_q108_semdedup_margins_and_exact_replay(spark):
+    """q108's oracle replays the 16-cell sample quantizer + within-cell
+    τ=0.45 pair cut in SQL.  Sound while (a) assignment argmin margins
+    dwarf the numpy-vs-SQL-fold noise (~1e-12) and (b) no within-cell
+    cosine sits near τ.  Recomputes everything in numpy at the gate SF
+    and matches the registry query's kept set exactly."""
+    import numpy as np
+
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    ids, X = _emb_matrix(spark)
+    cents = X[:16]
+    c_sq = (cents * cents).sum(axis=1)
+    d2 = c_sq[None, :] - 2.0 * (X @ cents.T)
+    best = np.sort(d2, axis=1)
+    assert float((best[:, 1] - best[:, 0]).min()) > 1e-6  # assignment stable
+    cell = d2.argmin(axis=1)
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    iu = np.triu_indices(len(X), 1)
+    same = cell[iu[0]] == cell[iu[1]]
+    cs = cos[iu][same]
+    assert float(np.abs(cs - 0.45).min()) > 1e-4  # tau cut stable
+    assert int((cs >= 0.45).sum()) > 0  # the cut is non-trivial at sf0.01
+
+    hit = (cs >= 0.45).nonzero()[0]
+    dropped = {int(ids[iu[1][same.nonzero()[0][h]]]) for h in hit}
+    got = {
+        int(r.vec_id): (int(r.cell_idx), bool(r.kept))
+        for r in QUERIES["q108_semdedup"](spark, _GATE_SF).collect()
+    }
+    assert len(got) == len(ids)
+    for i, v in enumerate(ids):
+        assert got[int(v)] == (int(cell[i]), int(v) not in dropped)
+
+
+def test_semdedup_autosize_and_drop_rule(spark):
+    """n_centroids=None sizes cells from the corpus count, and the drop
+    rule is greedy keep-smallest-id: planted twins (2i, 2i+1, cosine
+    ~0.999) lose their odd member whenever the pair shares a cell."""
+    import numpy as np
+
+    from etl_marketeye_airflow_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(50, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        w = v + rng.normal(scale=0.02, size=16)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(
+        emb, tau=0.9, n_centroids=None, target_cell_rows=10, eager=True
+    )
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 100
+    assert len({r.cell_idx for r in got.values()}) == 10  # ceil(100/10) cells
+    dropped = {v for v, r in got.items() if not r.kept}
+    assert dropped and all(v % 2 == 1 for v in dropped)  # only twins drop
+    # a twin survives only by being split across cells — rare by design
+    assert len(dropped) >= 40
+    for v in dropped:  # the kept representative is the smaller-id twin
+        assert got[v - 1].kept

@@ -32,6 +32,10 @@ EXECUTES_ON_BUILD = {
     "q23_simhash_dedup": "eager (checkpointed pair set)",
     "q47_dedup_pipeline": "eager (checkpointed stages)",
     "q43_dedup_clusters": "iterative (checkpointed rounds)",
+    "q72_near_dup_scalable": "eager (checkpointed pair set)",
+    "q104_bloom_decontamination": "eager (bitmap built at call; checkpointed result)",
+    "q108_semdedup": "eager (quantizer trained at call; checkpointed kept set)",
+    "q99_prefix_filter_similarity_join": "eager (persisted shingle base; checkpointed pair set)",
 }
 
 
