@@ -526,8 +526,26 @@ def dsir_importance(
     mean_bits = (
         F.col("score_fx").cast("double") / F.lit(float(FLOG2_SCALE))
     ) / F.col("n_tokens").cast("double")
+    # Selection cut = ABOVE THE CORPUS MEAN score, compared as exact
+    # integers (score·D > Σscore, decimal(38,0) so the product can't
+    # overflow at corpus scale).  The add-1-smoothed sign test
+    # (score_fx > 0, visible via mean_bits) is degenerate on blended
+    # corpora whose sources share a vocabulary — every doc scores
+    # slightly negative because smoothing shrinks the target
+    # distribution harder (B ≫ N_t) — so the resampling cut is
+    # corpus-relative, the way DSIR actually uses the weights (keep
+    # the most target-like fraction).  One 1-row broadcast, no window.
+    stats = per_doc.agg(
+        F.sum("score_fx").cast("decimal(38,0)").alias("_ssum"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_d"),
+    )
     return (
-        per_doc.withColumn("mean_bits", mean_bits)
-        .withColumn("selected", F.col("score_fx") > 0)
+        per_doc.crossJoin(F.broadcast(stats))
+        .withColumn("mean_bits", mean_bits)
+        .withColumn(
+            "selected",
+            F.col("score_fx").cast("decimal(38,0)") * F.col("_d")
+            > F.col("_ssum"),
+        )
         .select("doc_id", "n_tokens", "score_fx", "mean_bits", "selected")
     )

@@ -5440,24 +5440,35 @@ def q106_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              ({_sql_flog2_fx('(cnt_t + 1)')} - {_sql_flog2_fx('(cnt_r + 1)')})
              + ({_sql_flog2_fx('nr')} - {_sql_flog2_fx('nt')}) AS ratio_fx
       FROM b CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(ratio_fx) AS BIGINT) AS score_fx
+      FROM t2 JOIN w USING (bkt) GROUP BY doc_id
+    ),
+    st AS (
+      SELECT CAST(sum(score_fx) AS HUGEINT) AS ssum,
+             CAST(count(*) AS HUGEINT) AS d
+      FROM per_doc
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(ratio_fx) AS BIGINT) AS score_fx,
-           (CAST(sum(ratio_fx) AS DOUBLE) / 1048576.0)
-             / CAST(count(*) AS DOUBLE) AS mean_bits,
-           CAST(sum(ratio_fx) AS BIGINT) > 0 AS selected
-    FROM t2 JOIN w USING (bkt) GROUP BY doc_id
+    SELECT doc_id, n_tokens, score_fx,
+           (CAST(score_fx AS DOUBLE) / 1048576.0)
+             / CAST(n_tokens AS DOUBLE) AS mean_bits,
+           CAST(score_fx AS HUGEINT) * d > ssum AS selected
+    FROM per_doc CROSS JOIN st
     """,
 )
 def q107_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance resampling weights (hashed unigram
     features, add-1 smoothing): per-doc log2 target/raw likelihood
     ratio with src1 as the target domain — the cheap distribution
-    steerer for crawl-scale data selection.  Integer-exact via the
-    portable md5 bucket hash + fixed-point log2 (convention 6d); scale
-    shape is vocab-collapse (≤4096-bucket table) + broadcast-back, the
-    same as q100."""
+    steerer for crawl-scale data selection.  The resampling cut
+    (`selected`) is score-above-corpus-mean, compared as exact
+    integers (score·D > Σscore).  Integer-exact via the portable md5
+    bucket hash + fixed-point log2 (convention 6d); scale shape is
+    vocab-collapse (≤4096-bucket table) + broadcast-back, the same as
+    q100."""
     from .operators.corpus import dsir_importance
 
     return dsir_importance(
@@ -5572,6 +5583,149 @@ def q109_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing(
         _t(spark, sf_dir, "documents"), window=256, n_shards=8
     )
+
+
+@query(
+    "q110_selection_pipeline",
+    # the three r4 stage oracles (q107 DSIR / q108 SemDeDup / q109
+    # packing) chained verbatim — selection filters compose, the
+    # packing CTEs run over the selected subset
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_SQL_TOKENIZE}) AS token FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, source = 'src1' AS tgt,
+             CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 4096
+               AS bkt
+      FROM tok WHERE token <> ''
+    ),
+    b AS (
+      SELECT bkt, CAST(count(*) AS BIGINT) AS cnt_r,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+      FROM t2 GROUP BY bkt
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt_r) + 4096 AS BIGINT) AS nr,
+             CAST(sum(cnt_t) + 4096 AS BIGINT) AS nt
+      FROM b
+    ),
+    w AS (
+      SELECT bkt,
+             ({_sql_flog2_fx('(cnt_t + 1)')} - {_sql_flog2_fx('(cnt_r + 1)')})
+             + ({_sql_flog2_fx('nr')} - {_sql_flog2_fx('nt')}) AS ratio_fx
+      FROM b CROSS JOIN tot
+    ),
+    dsc AS (
+      SELECT doc_id, CAST(sum(ratio_fx) AS BIGINT) AS score_fx
+      FROM t2 JOIN w USING (bkt) GROUP BY doc_id
+    ),
+    dst AS (
+      SELECT CAST(sum(score_fx) AS HUGEINT) AS ssum,
+             CAST(count(*) AS HUGEINT) AS d
+      FROM dsc
+    ),
+    dsir AS (
+      SELECT doc_id FROM dsc CROSS JOIN dst
+      WHERE CAST(score_fx AS HUGEINT) * d > ssum
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, embedding AS c
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, e.embedding, c.cell_idx,
+             list_reduce(list_transform(c.c,
+                                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                         (x, y) -> x + y)
+             - 2.0 * list_reduce(list_transform(list_zip(e.embedding, c.c),
+                                                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                                 (x, y) -> x + y) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_idx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_idx) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    drp AS (
+      SELECT DISTINCT y.vec_id AS ib
+      FROM assigned x JOIN assigned y
+        ON x.cell_idx = y.cell_idx AND x.vec_id < y.vec_id
+      WHERE {_SQL_COS.format(a="x.embedding", b="y.embedding")} >= 0.45
+    ),
+    sel AS (
+      SELECT doc_id, text FROM documents
+      JOIN dsir USING (doc_id)
+      JOIN assigned ON doc_id = assigned.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM drp WHERE drp.ib = doc_id)
+    ),
+    h AS (
+      SELECT doc_id,
+             len(list_filter({_SQL_TOKENIZE}, t -> t <> '')) AS n,
+             md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM sel
+    ),
+    s AS (
+      SELECT doc_id, n, k,
+             CAST(('0x' || substring(k, 1, 15)) AS BIGINT) % 4 AS shard
+      FROM h
+    ),
+    p AS (
+      SELECT doc_id, n, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                  AS BIGINT) AS pos
+      FROM s
+    ),
+    placed AS (
+      SELECT doc_id, shard, pos, n,
+             CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS strt
+      FROM p WHERE n > 0
+    )
+    SELECT shard, CAST(pack_id AS BIGINT) AS pack_id, doc_id, pos,
+           GREATEST(CAST(0 AS BIGINT), pack_id * 256 - strt) AS slice_start,
+           LEAST((pack_id + 1) * 256, strt + n)
+             - GREATEST(pack_id * 256, strt) AS slice_len
+    FROM (
+      SELECT *, unnest(range(strt // 256, (strt + n - 1) // 256 + 1))
+               AS pack_id
+      FROM placed
+    )
+    """,
+)
+def q110_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 training-data SELECTION pipeline end to end:
+    DSIR-select target-like docs (importance score > 0, src1 target) →
+    drop semantic near-dups among their embeddings (SemDeDup kept set,
+    joined on doc_id = vec_id for the embedded subset) → lay the
+    survivors into LM pack manifests (concat-and-split, 256-token
+    windows, 4 shards).  Every stage is the oracle-proven q107/q108/
+    q109 operator; the composition stays integer/bit-exact throughout.
+    Scale: stages keep their individual shapes (bucket-table broadcast,
+    within-cell pairs, per-shard windows) — nothing in the composition
+    adds a corpus-global structure."""
+    from .operators.corpus import dsir_importance
+    from .operators.sampling import sequence_packing
+    from .operators.similarity import semdedup
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    imp = dsir_importance(docs, F.col("source") == "src1", n_buckets=4096)
+    kept = semdedup(emb, tau=0.45, n_centroids=16, eager=True).filter(
+        F.col("kept")
+    )
+    sel = (
+        docs.join(imp.filter(F.col("selected")).select("doc_id"), "doc_id")
+        .join(
+            kept.select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+        )
+        .select("doc_id", "text")
+    )
+    return sequence_packing(sel, window=256, n_shards=4)
 
 
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
