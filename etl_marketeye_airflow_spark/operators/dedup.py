@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -830,3 +831,74 @@ def bloom_decontaminate(
         out = out.localCheckpoint()
         bench_hashes.unpersist()
     return out
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Span-level decontamination report: for every corpus doc, the
+    maximal CONTIGUOUS runs of token positions whose k-grams appear in
+    the benchmark — what a redaction pass needs (cut the leaked span,
+    keep the doc) where cross_corpus_contamination only says "how much
+    leaked somewhere".
+
+    Emits (id, span_start, span_end, n_grams): gram position p (1-based
+    token index of the gram's first token) is contaminated iff the
+    corpus k-gram starting at p is in the benchmark's distinct gram
+    set; consecutive contaminated positions merge into one span
+    (classic gaps-and-islands: group key = p − rank(p), one PER-DOC
+    window).
+
+    Scale shape: grams-with-positions come from ``lead()`` windows over
+    the posexploded token stream — per-doc partitions, no higher-order
+    lambda re-evaluating a token-array tree per element (convention 6b:
+    positional shingles via window, not transform-over-range); the
+    membership probe is the same hashed inverted-index semi-join as
+    cross_corpus_contamination (benchmark side distinct + broadcast
+    while it fits); the islands window is per-doc again and reuses the
+    same partitioning.
+    """
+    leads = [
+        F.lead(F.col("_tok"), i).over(
+            Window.partitionBy(id_col).orderBy("_pos")
+        )
+        for i in range(1, shingle_k)
+    ]
+    grams = (
+        spread(corpus)
+        .select(
+            F.col(id_col),
+            F.posexplode(words(F.col(text_col))).alias("_p0", "_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .withColumn(
+            "_pos", F.col("_p0") + 1
+        )  # 1-based token positions, blanks keep their slot
+        .withColumn("_g", F.concat_ws(" ", F.col("_tok"), *leads))
+        .filter(
+            F.size(F.split(F.col("_g"), " ")) == shingle_k
+        )  # drop tail positions with no full k-gram
+        .select(id_col, "_pos", F.xxhash64("_g").alias("_gh"))
+    )
+    bench = (
+        spread(benchmark)
+        .select(F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_g"))
+        .select(F.xxhash64("_g").alias("_gh"))
+        .distinct()
+    )
+    hits = grams.join(bench, "_gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    return (
+        hits.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("_pos").cast("long").alias("span_start"),
+            F.max("_pos").cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )

@@ -5728,6 +5728,61 @@ def q110_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing(sel, window=256, n_shards=4)
 
 
+@query(
+    "q111_contamination_spans",
+    # positional 5-grams via list_slice over the shared tokenizer;
+    # islands key = pos − row_number per doc — all integers
+    oracle=f"""
+    WITH cw AS (
+      SELECT doc_id, {_SQL_TOKENIZE} AS ws FROM documents
+      WHERE source <> 'src1'
+    ),
+    bw AS (
+      SELECT {_SQL_TOKENIZE} AS ws FROM documents WHERE source = 'src1'
+    ),
+    bg AS (
+      SELECT DISTINCT array_to_string(list_slice(ws, i, i + 4), ' ') AS g
+      FROM bw, unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS u(i)
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(list_slice(ws, i, i + 4), ' ') AS g
+      FROM cw, unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS u(i)
+      WHERE len(ws) - i + 1 >= 5
+    ),
+    hit AS (SELECT doc_id, pos FROM pos WHERE g IN (SELECT g FROM bg)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM hit
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def q111_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: the maximal contiguous runs of
+    contaminated 5-gram positions per corpus doc (benchmark = src1) —
+    what a redaction pass consumes (cut the leaked span, keep the doc),
+    where q55 only counts leaked grams per doc.  Positional grams via
+    per-doc lead() windows (no HOF-over-positions trap, convention 6b),
+    hashed inverted-index semi-join, then one more per-doc window for
+    the gaps-and-islands merge — the islands window reuses the gram
+    window's (doc) partitioning."""
+    from .operators.dedup import contamination_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_spans(
+        d.filter(F.col("source") != "src1"),
+        d.filter(F.col("source") == "src1"),
+        shingle_k=5,
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -298,3 +298,29 @@ def test_sequence_packing_tiles_exactly(spark, docs):
     last = {s: max(p for t, p in pack_tokens if t == s) for s, _ in pack_tokens}
     for (s, p), tot in pack_tokens.items():
         assert tot == W or p == last[s]
+
+
+def test_contamination_spans_exact_islands(spark):
+    """Planted leak: corpus doc copies a 7-token benchmark run at token
+    positions 4-10 plus a disjoint 5-token run at 14-18 → contaminated
+    5-gram start positions are exactly 4..6 and 14, i.e. spans
+    (4, 6, 3) and (14, 14, 1).  Clean docs emit nothing."""
+    from etl_marketeye_airflow_spark.operators.dedup import contamination_spans
+
+    bench = spark.createDataFrame(
+        [(100, "b1 b2 b3 b4 b5 b6 b7 x1 x2 c1 c2 c3 c4 c5")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # tokens:   1  2  3  4  5  6  7  8  9  10 11 12 13 14 15 16 17 18
+            (1, "a1 a2 a3 b1 b2 b3 b4 b5 b6 b7 z1 z2 z3 c1 c2 c3 c4 c5"),
+            (2, "clean doc with nothing shared at all here today friend"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in contamination_spans(corpus, bench, shingle_k=5).collect()
+    )
+    assert out == [(1, 4, 6, 3), (1, 14, 14, 1)]
