@@ -231,3 +231,122 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, limit_per_media: int =
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "frame_sha"])
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_dims(
+    decoded: DataFrame, max_w: int = 128, max_h: int = 128
+) -> DataFrame:
+    """Aspect-preserving fit-within-(max_w × max_h) resize PLAN over
+    decode_media output — never upscales.  The dimension math is pure
+    integer Column algebra (w·max_h vs h·max_w cross-multiply picks the
+    binding axis; the scaled side is an integer div), so the plan is
+    JVM-codegen'd, zero Python, and SQL-replayable bit-for-bit; the
+    deterministic ``resized_sha`` derives from (content sha, out dims)
+    the same way the fake decoder derives dims — an audit key for the
+    fake path, replaced by real bytes when resize_content runs.
+
+    Scale: a pure map over the decoded-metadata stream — no shuffle, no
+    UDF; 100 TB of media metadata resizes at scan speed.
+    """
+    w, h = F.col("width").cast("long"), F.col("height").cast("long")
+    fits = (w <= max_w) & (h <= max_h)
+    width_bound = (w * F.lit(max_h)) >= (h * F.lit(max_w))
+    out_w = (
+        F.when(fits, w)
+        .when(width_bound, F.lit(max_w).cast("long"))
+        .otherwise(F.greatest(F.lit(1).cast("long"), F.expr(f"(width * {max_h}) div height")))
+    )
+    out_h = (
+        F.when(fits, h)
+        .when(width_bound, F.greatest(F.lit(1).cast("long"), F.expr(f"(height * {max_w}) div width")))
+        .otherwise(F.lit(max_h).cast("long"))
+    )
+    return (
+        decoded.withColumn("out_w", out_w.cast("int"))
+        .withColumn("out_h", out_h.cast("int"))
+        .withColumn(
+            "resized_sha",
+            F.sha2(
+                F.concat(
+                    F.col("sha256"),
+                    F.lit(":"),
+                    F.col("out_w").cast("string"),
+                    F.lit("x"),
+                    F.col("out_h").cast("string"),
+                ),
+                256,
+            ),
+        )
+    )
+
+
+def resize_content(
+    media: DataFrame,
+    max_w: int = 128,
+    max_h: int = 128,
+    require_real_resizer: bool = False,
+) -> DataFrame:
+    """Arrow-batched CONTENT resize: (media_id, out_w, out_h, content).
+
+    ``require_real_resizer=False`` (default): marked-fake deterministic
+    path — output bytes are sha-derived (b'FAKERESIZE:' + content sha +
+    dims), so the plumbing (binary in, binary out, batch shapes) is
+    exercised and reproducible with no image library.
+    ``True``: PIL thumbnail resize (real pixels); raises
+    NotImplementedError when PIL is absent — a header parse can read
+    dimensions but cannot resample pixels, and we never silently fake.
+    Closure is self-contained (stdlib + captured ints) per the module
+    note."""
+    require = bool(require_real_resizer)
+    mw, mh = int(max_w), int(max_h)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def fake(buf: bytes) -> tuple[int, int, bytes]:
+            d = _hl.sha256(buf or b"").digest()
+            w, h = 64 + d[0] % 192, 64 + d[1] % 192
+            if w <= mw and h <= mh:
+                ow, oh = w, h
+            elif w * mh >= h * mw:
+                ow, oh = mw, max(1, h * mw // w)
+            else:
+                ow, oh = max(1, w * mh // h), mh
+            out = b"FAKERESIZE:" + d + ow.to_bytes(2, "big") + oh.to_bytes(2, "big")
+            return ow, oh, out
+
+        def real(buf: bytes) -> tuple[int, int, bytes]:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError:
+                raise NotImplementedError(
+                    "real resize needs PIL (header parsers cannot "
+                    "resample pixels); use require_real_resizer=False "
+                    "for the marked-fake path"
+                )
+            im = Image.open(io.BytesIO(buf))
+            im.thumbnail((mw, mh))
+            bio = io.BytesIO()
+            im.save(bio, format=im.format or "PNG")
+            return int(im.size[0]), int(im.size[1]), bio.getvalue()
+
+        fn = real if require else fake
+        for pdf in batches:
+            bufs = [
+                bytes(c) if c is not None else b"" for c in pdf["content"].values
+            ]
+            done = [fn(b) for b in bufs]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "out_w": [d[0] for d in done],
+                    "out_h": [d[1] for d in done],
+                    "content": [d[2] for d in done],
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id long, out_w int, out_h int, content binary"
+    )

@@ -5783,6 +5783,58 @@ def q111_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q112_multimodal_resize",
+    # q30's sha-derived fake-decode dims + the SAME integer aspect-fit
+    # cross-multiply + a sha-of-(sha:dims) audit key — all replayable
+    oracle="""
+    WITH dec AS (
+      SELECT doc_id AS media_id,
+             sha256(coalesce(text, '')) AS sha,
+             CAST(64 + CAST('0x' || substr(sha256(coalesce(text, '')), 1, 2)
+                  AS BIGINT) % 192 AS BIGINT) AS w,
+             CAST(64 + CAST('0x' || substr(sha256(coalesce(text, '')), 3, 2)
+                  AS BIGINT) % 192 AS BIGINT) AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT media_id, sha, w, h,
+             CASE WHEN w <= 128 AND h <= 128 THEN w
+                  WHEN w * 128 >= h * 128 THEN 128
+                  ELSE GREATEST(1, (w * 128) // h) END AS out_w,
+             CASE WHEN w <= 128 AND h <= 128 THEN h
+                  WHEN w * 128 >= h * 128 THEN GREATEST(1, (h * 128) // w)
+                  ELSE 128 END AS out_h
+      FROM dec
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+           sha256(sha || ':' || CAST(out_w AS VARCHAR) || 'x'
+                  || CAST(out_h AS VARCHAR)) AS resized_sha
+    FROM r
+    """,
+)
+def q112_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plan: decode (marked-fake, sha-derived dims) →
+    aspect-preserving fit-within-128² via pure integer Column algebra
+    (zero Python in the dimension path; resize_content is the
+    Arrow-batched pixel path, pytest-exercised).  Completes the
+    decode / feature-extract / frame-sample / RESIZE multimodal
+    surface."""
+    from .operators.multimodal import (
+        attach_binary_content,
+        decode_media,
+        resize_dims,
+    )
+
+    media = attach_binary_content(_t(spark, sf_dir, "documents"), kind="image")
+    out = resize_dims(decode_media(media), max_w=128, max_h=128)
+    return out.select(
+        "media_id", "width", "height", "out_w", "out_h", "resized_sha"
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

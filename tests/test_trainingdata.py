@@ -1105,3 +1105,62 @@ def test_semdedup_autosize_and_drop_rule(spark):
     assert len(dropped) >= 40
     for v in dropped:  # the kept representative is the smaller-id twin
         assert got[v - 1].kept
+
+
+def test_resize_dims_aspect_and_bounds(spark):
+    """resize_dims never upscales, respects the box on both axes, and
+    preserves aspect within integer-floor error; resized_sha is a
+    deterministic function of (sha, out dims)."""
+    from etl_marketeye_airflow_spark.operators.multimodal import resize_dims
+
+    rows = [
+        (1, "a" * 64, 100, 50),    # fits → unchanged
+        (2, "b" * 64, 256, 64),    # width-bound → (128, 32)
+        (3, "c" * 64, 64, 256),    # height-bound → (32, 128)
+        (4, "d" * 64, 1000, 1000), # square → (128, 128)
+        (5, "e" * 64, 10000, 3),   # extreme aspect → floor to ≥1
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, sha256 string, width int, height int"
+    )
+    got = {r.media_id: r for r in resize_dims(df, 128, 128).collect()}
+    assert (got[1].out_w, got[1].out_h) == (100, 50)
+    assert (got[2].out_w, got[2].out_h) == (128, 32)
+    assert (got[3].out_w, got[3].out_h) == (32, 128)
+    assert (got[4].out_w, got[4].out_h) == (128, 128)
+    assert (got[5].out_w, got[5].out_h) == (128, 1)
+    for r in got.values():
+        assert 1 <= r.out_w <= 128 and 1 <= r.out_h <= 128
+        assert r.out_w <= r.width and r.out_h <= r.height
+        assert len(r.resized_sha) == 64
+
+
+def test_resize_content_fake_deterministic_and_real_path(spark):
+    """The fake content path is byte-deterministic and in-bounds; the
+    real path resizes a planted PNG's pixels when PIL exists, raises
+    loudly otherwise (a header parse cannot resample)."""
+    from etl_marketeye_airflow_spark.operators.multimodal import resize_content
+
+    media = spark.createDataFrame(
+        [(1, "image", b"some media bytes"), (2, "image", b"other bytes")],
+        "media_id long, kind string, content binary",
+    )
+    a = {r.media_id: r for r in resize_content(media, 100, 100).collect()}
+    b = {r.media_id: r for r in resize_content(media, 100, 100).collect()}
+    for k in a:
+        assert bytes(a[k].content) == bytes(b[k].content)
+        assert bytes(a[k].content).startswith(b"FAKERESIZE:")
+        assert 1 <= a[k].out_w <= 100 and 1 <= a[k].out_h <= 100
+
+    png = spark.createDataFrame(
+        [(9, "image", _png_bytes(200, 100))],
+        "media_id long, kind string, content binary",
+    )
+    try:
+        import PIL  # noqa: F401
+
+        r = resize_content(png, 50, 50, require_real_resizer=True).collect()[0]
+        assert (r.out_w, r.out_h) == (50, 25)
+    except ImportError:
+        with pytest.raises(Exception, match="NotImplementedError|real resize"):
+            resize_content(png, 50, 50, require_real_resizer=True).collect()
