@@ -549,3 +549,98 @@ def dsir_importance(
         )
         .select("doc_id", "n_tokens", "score_fx", "mean_bits", "selected")
     )
+
+
+def strip_frequent_grams(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    max_doc_permille: int = 80,
+) -> DataFrame:
+    """C4-style boilerplate stripping, gram-level: any word ``k``-gram
+    present in more than ``max_doc_permille``/1000 of documents is
+    corpus boilerplate (nav bars, license headers, scraped chrome);
+    every token covered by such a gram is removed from every document.
+    The threshold is the exact integer comparison df·1000 >
+    D·max_doc_permille — no float anywhere.
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_text) for EVERY input
+    doc (fully-stripped docs come back with cleaned_text = '').
+
+    Scale shape: gram positions from per-doc ``lead()`` windows (same
+    machinery as contamination_spans — no HOF-over-positions trap); df
+    collapses the distinct (doc, gram) stream into a vocabulary-sized
+    table; the blacklist is that table filtered (broadcast — by
+    definition it holds only grams in >5% of docs, so it is SMALL);
+    removal is an anti-join on (doc, pos); reassembly sorts only
+    per-doc kept tokens (array_sort of collected structs, bounded by
+    doc length).
+    """
+    from .dedup import spread, words
+
+    tok = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.posexplode(words(F.col(text_col))).alias("_p0", "_t"),
+        )
+        .filter(F.col("_t") != "")
+        .withColumn("_pos", F.col("_p0") + 1)
+        .select("doc_id", "_pos", "_t")
+    )
+    wo = Window.partitionBy("doc_id").orderBy("_pos")
+    leads = [F.lead(F.col("_t"), i).over(wo) for i in range(1, k)]
+    grams = (
+        tok.withColumn("_g", F.concat_ws(" ", F.col("_t"), *leads))
+        .filter(F.size(F.split(F.col("_g"), " ")) == k)
+        .select("doc_id", "_pos", "_g")
+    )
+    df_tbl = (
+        grams.select("doc_id", "_g")
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    )
+    d_tot = tok.agg(F.countDistinct("doc_id").cast("long").alias("_D"))
+    blacklist = (
+        df_tbl.crossJoin(F.broadcast(d_tot))
+        .filter(
+            F.col("_df") * 1000 > F.col("_D") * F.lit(int(max_doc_permille))
+        )
+        .select("_g")
+    )
+    removed = (
+        grams.join(F.broadcast(blacklist), "_g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(k - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(removed, ["doc_id", "_pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_t"))),
+                lambda x: x["_t"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

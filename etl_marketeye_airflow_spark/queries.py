@@ -5835,6 +5835,71 @@ def q112_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q113_boilerplate_strip",
+    # positional bigrams via list_slice; exact integer threshold
+    # df·1000 > D·80; NOT EXISTS mirrors left_anti; string_agg ORDER BY pos
+    # mirrors the array_sort rebuild
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, {_SQL_TOKENIZE} AS w FROM documents),
+    tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS t
+      FROM ws, unnest(range(1, len(w) + 1)) AS u(i)
+      WHERE w[i] <> ''
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(list_slice(w, i, i + 1), ' ') AS gr
+      FROM ws, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS u(i)
+      WHERE len(w) - i + 1 >= 2
+    ),
+    dfq AS (
+      SELECT gr, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM g GROUP BY gr
+    ),
+    dq AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS D FROM tok),
+    bl AS (SELECT gr FROM dfq CROSS JOIN dq WHERE df * 1000 > D * 80),
+    rm AS (
+      SELECT DISTINCT doc_id, pos + d AS pos
+      FROM g JOIN bl USING (gr), unnest([0, 1]) AS o(d)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.t FROM tok
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rm
+        WHERE rm.doc_id = tok.doc_id AND rm.pos = tok.pos
+      )
+    ),
+    reb AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nk,
+             string_agg(t, ' ' ORDER BY pos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY doc_id
+    )
+    SELECT tot.doc_id, n_tokens,
+           n_tokens - COALESCE(nk, 0) AS n_removed,
+           COALESCE(cleaned_text, '') AS cleaned_text
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+)
+def q113_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus boilerplate stripping: bigrams present in >8% of
+    documents are corpus chrome; every token they cover is removed from
+    every doc and the text reassembled (fully-stripped docs come back
+    empty, n_removed accounts exactly).  Integer-exact threshold, no
+    float anywhere; per-doc lead() windows for positional grams, a
+    broadcast blacklist (small by definition), anti-join removal,
+    bounded per-doc reassembly sort."""
+    from .operators.corpus import strip_frequent_grams
+
+    return strip_frequent_grams(
+        _t(spark, sf_dir, "documents"), k=2, max_doc_permille=80
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

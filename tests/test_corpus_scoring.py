@@ -324,3 +324,48 @@ def test_contamination_spans_exact_islands(spark):
         for r in contamination_spans(corpus, bench, shingle_k=5).collect()
     )
     assert out == [(1, 4, 6, 3), (1, 14, 14, 1)]
+
+
+def test_boilerplate_strip_planted_chrome(spark):
+    """A nav-bar bigram planted in 9/10 docs gets stripped from all of
+    them (both covered tokens), unique content stays, the one clean doc
+    is untouched, and the rebuilt text preserves original token order."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        strip_frequent_grams,
+    )
+
+    rows = [(i, f"home menu unique{i} words{i} extra{i}") for i in range(9)]
+    rows.append((9, "totally fresh content here now"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'home menu' df=9/10=90% > 50% threshold → blacklisted
+    out = {
+        r.doc_id: r
+        for r in strip_frequent_grams(df, k=2, max_doc_permille=500).collect()
+    }
+    for i in range(9):
+        assert out[i].n_tokens == 5 and out[i].n_removed == 2
+        assert out[i].cleaned_text == f"unique{i} words{i} extra{i}"
+    assert out[9].n_removed == 0
+    assert out[9].cleaned_text == "totally fresh content here now"
+
+
+def test_boilerplate_strip_overlapping_and_full_strip(spark):
+    """Overlapping blacklisted bigrams remove the union of covered
+    positions (no double count), and a doc that is ALL boilerplate
+    comes back empty rather than disappearing."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        strip_frequent_grams,
+    )
+
+    rows = [(i, f"a b c tail{i}") for i in range(8)] + [(8, "a b c"), (9, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # bigrams 'a b' and 'b c' both df=10/10 → tokens 1-3 stripped
+    out = {
+        r.doc_id: r
+        for r in strip_frequent_grams(df, k=2, max_doc_permille=500).collect()
+    }
+    assert len(out) == 10
+    for i in range(8):
+        assert (out[i].n_removed, out[i].cleaned_text) == (3, f"tail{i}")
+    for i in (8, 9):
+        assert (out[i].n_tokens, out[i].n_removed, out[i].cleaned_text) == (3, 3, "")
