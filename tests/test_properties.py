@@ -277,3 +277,79 @@ def test_chunking_coverage_property(spark, cfg):
         start = r.chunk_id * stride
         covered.update(range(start, start + r.n_chunk_tokens))
     assert covered == set(range(n))
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**20 - 1),
+            st.integers(min_value=0, max_value=2**20 - 1),
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_zorder_key_bijective_property(spark, pts):
+    """Morton interleave is a bijection on [0, 2^bits)²: de-interleaving
+    any generated coordinate pair recovers it exactly, and distinct
+    pairs get distinct keys."""
+    from etl_marketeye_airflow_spark.operators.layout import zorder_key2
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.withColumn(
+        "z", zorder_key2(F.col("x"), F.col("y"), bits=20)
+    ).collect()
+    seen = set()
+    for r in rows:
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(20))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(20))
+        assert (x, y) == (r.x, r.y)
+        seen.add(r.z)
+    assert len(seen) == len(rows)
+
+
+@SET
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=40),  # token counts per doc
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=17),  # window
+)
+def test_sequence_packing_tiling_property(spark, lens, window):
+    """For ANY doc-length profile and window size: slices tile each doc
+    exactly and contiguously, every non-final pack per shard holds
+    exactly `window` tokens, and total packed tokens equal total input
+    tokens (nothing lost, nothing duplicated)."""
+    from etl_marketeye_airflow_spark.operators.sampling import (
+        sequence_packing,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    out = sequence_packing(docs, window=window, n_shards=3).collect()
+    assert sum(r.slice_len for r in out) == sum(lens)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.pack_id)
+        assert rows[0].slice_start == 0
+        for a, b in zip(rows, rows[1:]):
+            assert (b.pack_id, b.slice_start) == (
+                a.pack_id + 1,
+                a.slice_start + a.slice_len,
+            )
+        assert sum(r.slice_len for r in rows) == lens[d]
+    packs = {}
+    for r in out:
+        packs[(r.shard, r.pack_id)] = packs.get((r.shard, r.pack_id), 0) + r.slice_len
+    last = {s: max(p for t, p in packs if t == s) for s, _ in packs}
+    assert all(
+        tot == window or p == last[s] for (s, p), tot in packs.items()
+    )
