@@ -1,0 +1,93 @@
+"""Iterative graph analytics in DataFrame algebra: fixed-point PageRank.
+
+Complements the connected-components operator (operators/dedup.py —
+the dedup endgame) with the other canonical iterative graph kernel.
+Reference scope: the MarketEye reference has no graph code; this is
+engine extension for ranking entities in the relational data (e.g.
+suppliers by customer purchase links).
+
+Determinism doctrine (CLAUDE.md conventions 1/6d): float PageRank is
+order-sensitive (a Σ of doubles depends on partial-agg order), so ranks
+live in INTEGER fixed point (2^0 scale 10^6): contributions are
+truncating integer divisions (identical on Spark `div` and DuckDB `//`
+for the all-positive values here), the damping 0.85 is the rational
+17/20, and each iteration is
+
+    rank' = 150000 + (17 · Σ contrib) div 20          (contrib = rank div out_deg)
+
+— bit-identical on any engine, any partitioning, any core count.  The
+oracle unrolls the fixed iteration count as chained CTEs (aggregation
+inside a recursive CTE term is not portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    eager: bool = True,
+) -> DataFrame:
+    """Simplified PageRank (the classic 0.15 + 0.85·Σ form, no dangling
+    redistribution — documented choice, matching the textbook/Spark-
+    example formulation) over a directed edge list, ``iters`` fixed
+    iterations, exact integer fixed-point throughout.
+
+    Returns (node, rank_fx, rank) for every node appearing as src OR
+    dst; ``rank = rank_fx / 10^6`` is the one final float division.
+
+    Scale shape: each iteration is one hash join (ranks ⋈ edges on src
+    — both sides key-partitioned on the node id, so AQE reuses the
+    partitioning) + one groupBy(dst) with map-side partial sums; per-
+    iteration results are localCheckpoint'd so the plan stays one-
+    iteration deep (convention 2: plans stay bounded) — on a cluster,
+    swap for reliable checkpoint like the CC operator.  Edge count,
+    not node count, bounds the shuffle.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).persist()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    ranks = nodes.withColumn("rank_fx", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, ranks["node"] == deg["_src"])
+            .withColumn("_c", F.expr("rank_fx div _deg"))
+            .select("_src", "_c")
+            .join(e, "_src")
+            .groupBy("_dst")
+            .agg(F.sum("_c").cast("long").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+            .withColumn(
+                "rank_fx",
+                F.lit(150_000).cast("long")
+                + F.expr("(17 * coalesce(_s, 0)) div 20"),
+            )
+            .select("node", "rank_fx")
+            .localCheckpoint()
+        )
+    out = ranks.withColumn(
+        "rank", F.col("rank_fx").cast("double") / F.lit(float(PR_SCALE))
+    )
+    if eager:
+        out = out.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    return out

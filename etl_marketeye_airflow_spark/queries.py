@@ -5900,6 +5900,66 @@ def q113_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_pagerank(iters: int) -> str:
+    """DuckDB twin of operators.graph.pagerank_fixed_point: the fixed
+    iteration count unrolled as chained CTEs (aggregation inside a
+    recursive CTE term is not portable), identical integer algebra —
+    truncating // on all-positive values matches Spark's div."""
+    blocks = [
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(f"""c{i} AS (
+      SELECT e.dst, CAST(sum(r{i - 1}.r // d.deg) AS BIGINT) AS s
+      FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node
+             JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )""")
+        blocks.append(f"""r{i} AS (
+      SELECT node,
+             CAST(150000 + (17 * COALESCE(s, 0)) // 20 AS BIGINT) AS r
+      FROM nodes LEFT JOIN c{i} ON node = c{i}.dst
+    )""")
+    chain = ",\n    ".join(blocks)
+    return f"""
+    WITH e AS (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    {chain}
+    SELECT node, r AS rank_fx, CAST(r AS DOUBLE) / 1000000.0 AS rank
+    FROM r{iters}
+    """
+
+
+@query("q114_pagerank", oracle=_sql_pagerank(3))
+def q114_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 iterations, damping 17/20) over the
+    customer→supplier purchase multigraph (orders⋈lineitem; node ids
+    disambiguated as 2·custkey / 2·suppkey+1) — ranks suppliers by
+    purchase in-links.  EXACT integer arithmetic end to end (float
+    PageRank is partial-agg-order sensitive; truncating integer
+    division is not), so ranks are bit-identical on any engine/core
+    count; the one float is the final display division.  Each
+    iteration: one key-partitioned join + map-side-combined groupBy,
+    localCheckpoint'd so the plan stays one-iteration deep."""
+    from .operators.graph import pagerank_fixed_point
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return pagerank_fixed_point(edges, iters=3, eager=True)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

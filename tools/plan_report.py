@@ -36,6 +36,7 @@ EXECUTES_ON_BUILD = {
     "q104_bloom_decontamination": "eager (bitmap built at call; checkpointed result)",
     "q108_semdedup": "eager (quantizer trained at call; checkpointed kept set)",
     "q99_prefix_filter_similarity_join": "eager (persisted shingle base; checkpointed pair set)",
+    "q114_pagerank": "iterative (checkpointed per-iteration ranks)",
 }
 
 
