@@ -287,3 +287,59 @@ def sequence_packing(
         )
         .select("shard", "pack_id", "doc_id", "pos", "slice_start", "slice_len")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    key_col: str = "doc_id",
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis
+    A-ES (public: Inf. Proc. Letters 97(5), 2006): each row draws a
+    deterministic uniform u from a seeded content hash and is ranked by
+    u^(1/w) — taking the top ``k`` yields a weight-proportional sample,
+    exactly one distributed top-k, no sequential pass.
+
+    Integer-exact ranking (convention 6d): maximizing u^(1/w) ⟺
+    maximizing ln(u)/w ⟺ MINIMIZING (40·2^20 − flog2_fx(u_40bit)) ·
+    2^20 div w — all operands positive (a negative division would hit
+    the Spark-truncates vs DuckDB-floors divergence), all integers
+    (40-bit draws keep flog2_fx inside its exact-below-2^42 domain),
+    so the selected set is bit-identical on any engine.  Ties break on
+    the key column.
+
+    Scale shape: the sample key is a pure map; top-k compiles to
+    TakeOrderedAndProject (per-partition top-k + driver merge — never a
+    global sort).  Changing ``seed`` redraws; re-running never does.
+    """
+    from .corpus import FLOG2_SCALE, with_flog2_fx
+
+    # 40-bit uniform draw (10 md5 hex chars): flog2_fx is integer-exact
+    # only below 2^42, and 40 bits of key resolution is far beyond what
+    # sampling needs
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long") + F.lit(1)  # [1, 2^40] — flog2 needs >= 1
+    base = (
+        df.withColumn("_u", u)
+        .withColumn("_w", F.col(weight_col).cast("long"))
+        .filter(F.col("_w") > 0)
+    )
+    base = with_flog2_fx(base, "_u", "_flu")
+    return (
+        base.withColumn(
+            "skey",
+            F.expr(f"((40 * {FLOG2_SCALE} - _flu) * {FLOG2_SCALE}) div _w"),
+        )
+        .select(key_col, F.col("_w").alias("weight"), "skey")
+        .orderBy(F.asc("skey"), F.asc(key_col))
+        .limit(k)
+    )

@@ -5960,6 +5960,43 @@ def q114_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, iters=3, eager=True)
 
 
+@query(
+    "q115_weighted_sample",
+    # same seeded 60-bit hash, same fixed-point log2, same all-positive
+    # truncating division — the selected set is bit-identical
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(('0x' || substring(
+               md5('wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 10))
+               AS BIGINT) + 1 AS u
+      FROM documents WHERE n_chars > 0
+    ),
+    s AS (
+      SELECT doc_id, weight,
+             ((40 * 1048576 - {_sql_flog2_fx('u')}) * 1048576) // weight
+               AS skey
+      FROM h
+    )
+    SELECT doc_id, weight, skey FROM s
+    ORDER BY skey ASC, doc_id ASC LIMIT 100
+    """,
+)
+def q115_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    top-100 docs by the u^(1/w) priority key with w = n_chars — longer
+    docs proportionally likelier, no RNG state, one distributed top-k
+    (TakeOrderedAndProject).  The key is integer-exact fixed-point
+    (minimize positive (40·2^20 − flog2(u))·2^20 div w — negative
+    division would hit the truncate-vs-floor engine divergence, so the
+    algebra keeps every operand positive)."""
+    from .operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), "n_chars", k=100
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -369,3 +369,28 @@ def test_boilerplate_strip_overlapping_and_full_strip(spark):
         assert (out[i].n_removed, out[i].cleaned_text) == (3, f"tail{i}")
     for i in (8, 9):
         assert (out[i].n_tokens, out[i].n_removed, out[i].cleaned_text) == (3, 3, "")
+
+
+def test_weighted_sample_proportionality_and_determinism(spark):
+    """A-ES property: items with 10x the weight appear ~10x as often in
+    the sample (checked loosely across seeds); same seed → identical
+    sample; zero/negative weights are excluded."""
+    from etl_marketeye_airflow_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000 if i < 100 else 100) for i in range(1100)] + [
+        (2000, 0),
+        (2001, -5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    heavy_frac = []
+    for seed in ("s1", "s2", "s3"):
+        got = weighted_sample(df, "n", k=200, seed=seed).collect()
+        assert len(got) == 200
+        assert all(r.doc_id < 2000 for r in got)  # nonpositive never sampled
+        heavy_frac.append(sum(1 for r in got if r.doc_id < 100) / 200)
+    # heavy items are 100/1100 of rows but 100k/200k of the mass → a
+    # weight-proportional sampler picks them ~50%; an unweighted one ~9%
+    assert sum(heavy_frac) / 3 > 0.30
+    a = [r.doc_id for r in weighted_sample(df, "n", k=50, seed="s1").collect()]
+    b = [r.doc_id for r in weighted_sample(df, "n", k=50, seed="s1").collect()]
+    assert a == b
