@@ -644,3 +644,86 @@ def strip_frequent_grams(
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def countmin_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Count-min sketch of the corpus token frequencies — the
+    bounded-memory, MERGEABLE alternative to the exact vocabulary agg
+    (token_counts) when the vocab itself doesn't fit (or when per-
+    window sketches must union across streams/days: CMS tables add
+    cell-wise).  APPROXIMATE by construction — like the HLL/GK
+    operators this is pytest-error-bound gated, never oracle-backed;
+    the exact forms stay the oracle-bearing ones (plan-guard sweep).
+
+    Returns the depth × width counter table (row, col, cnt).  Point
+    estimates come from ``countmin_estimate``: min over the d cells a
+    token hashes to — an overestimate by at most ε·N (ε ≈ e/width)
+    with probability ≥ 1 − (1/2)^depth, never an underestimate.
+
+    Scale shape: ONE hash aggregation over (row, col) — at most
+    depth·width ≈ 4k groups regardless of corpus size; map-side combine
+    does almost all the work, and the counter table broadcasts
+    anywhere it's consumed.
+    """
+    from .dedup import portable_token_hash, spread, words
+
+    tok = (
+        spread(docs)
+        .select(F.explode(words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    cells = tok.select("token", rows).withColumn(
+        "col",
+        portable_token_hash(
+            F.concat(F.lit(seed + ":"), F.col("row").cast("string"),
+                     F.lit(":"), F.col("token"))
+        )
+        % F.lit(width),
+    )
+    return cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    tokens: list[str],
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Point-frequency estimates for ``tokens`` from a countmin sketch:
+    min over the depth cells each token hashes to.  The probe table is
+    |tokens|·depth rows — broadcast side of one join."""
+    from .dedup import portable_token_hash
+
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame(
+        [(t, i) for t in tokens for i in range(depth)],
+        "token string, row int",
+    ).withColumn(
+        "col",
+        portable_token_hash(
+            F.concat(F.lit(seed + ":"), F.col("row").cast("string"),
+                     F.lit(":"), F.col("token"))
+        )
+        % F.lit(width),
+    )
+    # LEFT join from the probe side: a cell the sketch never emitted
+    # holds 0, and the CMS min must see that zero (a token absent from
+    # the corpus estimates 0, not the min of its nonzero collisions)
+    return (
+        probes.join(sketch, ["row", "col"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -5997,6 +5997,65 @@ def q115_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q116_incremental_stats_merge",
+    # algebraic-agg maintenance is EXACT for decimal sums — the oracle
+    # is simply the direct one-pass GROUP BY over the whole table
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*)                               AS n_rows,
+           {_SQL_SUM.format(c='l_quantity')}      AS sum_qty,
+           min(l_quantity)                        AS min_qty,
+           max(l_quantity)                        AS max_qty,
+           {_sql_mean('l_quantity')}              AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q116_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental stats maintenance: per-flag quantity stats computed
+    as MERGE of two independently-aggregated partitions ("stored" stats
+    for orders with l_orderkey % 5 != 0 plus today's batch) — the
+    algebraic-aggregate pattern that lets a 100 TB daily pipeline
+    update its rollups from batch-sized partials instead of rescanning
+    history.  EXACT because the sums stay DECIMAL until after the merge
+    (convention #1: order-free), counts/min/max are trivially
+    mergeable, and the mean derives from the merged sum — the oracle is
+    the direct one-pass aggregate and the gate proves merge ≡ direct
+    bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("l_quantity").cast(_DEC)).alias("_s"),
+            F.min("l_quantity").alias("_mn"),
+            F.max("l_quantity").alias("_mx"),
+        )
+
+    hist = partial(li.filter(F.col("l_orderkey") % 5 != 0))
+    batch = partial(li.filter(F.col("l_orderkey") % 5 == 0))
+    merged = (
+        hist.unionByName(batch)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.sum("_s").alias("_s2"),
+            F.min("_mn").alias("min_qty"),
+            F.max("_mx").alias("max_qty"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("_s2").cast("double").alias("sum_qty"),
+        "min_qty",
+        "max_qty",
+        (F.col("_s2").cast("double") / F.col("n_rows").cast("double")).alias(
+            "avg_qty"
+        ),
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

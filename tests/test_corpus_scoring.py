@@ -394,3 +394,42 @@ def test_weighted_sample_proportionality_and_determinism(spark):
     a = [r.doc_id for r in weighted_sample(df, "n", k=50, seed="s1").collect()]
     b = [r.doc_id for r in weighted_sample(df, "n", k=50, seed="s1").collect()]
     assert a == b
+
+
+def test_countmin_bounds_and_mergeability(spark, docs):
+    """CMS contract: never underestimates, overestimates by ≤ ε·N on
+    the real corpus tokens (ε = e/width, failure prob (1/2)^depth —
+    checked with slack on the fixed corpus); absent tokens estimate 0;
+    and sketches MERGE cell-wise: sketch(A) + sketch(B) gives the same
+    estimates as sketch(A∪B)."""
+    import math
+
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        countmin_estimate,
+        countmin_token_counts,
+        token_counts,
+    )
+
+    W, D = 1024, 4
+    sk = countmin_token_counts(docs, width=W, depth=D)
+    truth = {r.token: r.cnt for r in token_counts(docs).collect()}
+    n_total = sum(truth.values())
+    probe = sorted(truth)[:20] + ["zzz_not_in_corpus"]
+    est = {r.token: r.est for r in countmin_estimate(sk, probe, W, D).collect()}
+    assert est["zzz_not_in_corpus"] == 0
+    eps_bound = math.e / W * n_total
+    for t in probe[:-1]:
+        assert est[t] >= truth[t]  # never under
+        assert est[t] <= truth[t] + eps_bound * 4  # generous slack
+    # mergeability: cell-wise sum of two half-corpus sketches == full
+    a = countmin_token_counts(docs.filter(F.col("doc_id") % 2 == 0), width=W, depth=D)
+    b = countmin_token_counts(docs.filter(F.col("doc_id") % 2 != 0), width=W, depth=D)
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    est_m = {
+        r.token: r.est for r in countmin_estimate(merged, probe, W, D).collect()
+    }
+    assert est_m == est
