@@ -66,3 +66,49 @@ def zorder_layout(
     ).withColumn("zkey", zkey).withColumn(
         "file_id", F.shiftright(F.col("zkey"), 2 * bits - file_bits)
     )
+
+
+def zorder_files_for_box(
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    bits: int = 10,
+    n_files: int = 64,
+) -> list[int]:
+    """The read side of the layout: exact set of file ids whose
+    quadtree cell intersects the query box ``[x0,x1] × [y0,y1]``
+    (quantized coordinates).  Because a file id is the TOP bits of the
+    Morton key, each file is an axis-aligned quadtree cell — its x and
+    y extents are contiguous ranges recovered by de-interleaving the
+    id — so intersection is four integer comparisons per file.
+
+    Driver-side pure function over ``n_files`` candidates (the file
+    COUNT, not the data, bounds the loop); feed the result to
+    ``.filter(F.col("file_id").isin(files))`` on a
+    ``partitionBy("file_id")`` layout and Spark prunes partitions
+    before any IO — O(√files) of them touched for a one-dimensional
+    range, verified in tests.
+    """
+    import math
+
+    x0, x1 = x_range
+    y0, y1 = y_range
+    file_bits = max(1, int(math.ceil(math.log2(n_files))))
+    out = []
+    for fid in range(1 << file_bits):
+        # fid holds zkey bits [2*bits-file_bits .. 2*bits-1]
+        hx = hy = 0
+        cx = cy = 0
+        for j in range(file_bits):  # from the id's high bit down
+            p = 2 * bits - 1 - j  # absolute zkey bit position
+            bit = (fid >> (file_bits - 1 - j)) & 1
+            if p % 2 == 0:  # even positions carry x bits
+                hx = (hx << 1) | bit
+                cx += 1
+            else:
+                hy = (hy << 1) | bit
+                cy += 1
+        fx0, fx1 = hx << (bits - cx), ((hx + 1) << (bits - cx)) - 1
+        fy0, fy1 = hy << (bits - cy), ((hy + 1) << (bits - cy)) - 1
+        if fx0 <= x1 and x0 <= fx1 and fy0 <= y1 and y0 <= fy1:
+            out.append(fid)
+    return out

@@ -433,3 +433,43 @@ def test_countmin_bounds_and_mergeability(spark, docs):
         r.token: r.est for r in countmin_estimate(merged, probe, W, D).collect()
     }
     assert est_m == est
+
+
+def test_zorder_box_query_prunes_partitions(spark, tmp_path):
+    """End-to-end layout payoff: write a z-ordered table partitioned by
+    file_id, translate a 2-D box predicate to its exact file set, and
+    (a) the pruned read returns EXACTLY the rows the full-scan filter
+    returns, (b) the file set is a strict subset (real skipping),
+    (c) the executed plan prunes at the PARTITION level (scan reads
+    only the listed file_id partitions)."""
+    from etl_marketeye_airflow_spark.operators.layout import (
+        zorder_files_for_box,
+        zorder_layout,
+    )
+
+    bits, n_files = 6, 64
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    laid = zorder_layout(df, F.col("x"), F.col("y"), bits=bits, n_files=n_files)
+    path = str(tmp_path / "ztable")
+    laid.write.partitionBy("file_id").mode("overwrite").parquet(path)
+
+    box = ((5, 12), (40, 55))
+    files = zorder_files_for_box(box[0], box[1], bits=bits, n_files=n_files)
+    assert 0 < len(files) < n_files  # real pruning, not all files
+
+    t = spark.read.parquet(path)
+    want = sorted(
+        (r.zx, r.zy)
+        for r in t.filter(
+            F.col("zx").between(*box[0]) & F.col("zy").between(*box[1])
+        ).collect()
+    )
+    pruned = t.filter(F.col("file_id").isin(files)).filter(
+        F.col("zx").between(*box[0]) & F.col("zy").between(*box[1])
+    )
+    got = sorted((r.zx, r.zy) for r in pruned.collect())
+    assert got == want and len(got) > 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruning happens before IO
