@@ -6056,6 +6056,106 @@ def q116_incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q117_streaming_cdc_apply",
+    # q96's changelog recipe re-keyed per CUSTOMER (seq = 4·orderkey+
+    # stage keeps per-key sequence unique and totally ordered): the
+    # drained upsert state must equal the batch compaction — each
+    # customer's latest order change, deletes dropped.  Customer-keyed
+    # so streaming state (one python call per key per batch) is bounded
+    # by entity cardinality, not event volume — the realistic serving-
+    # table shape.
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey AS key, o_orderkey * 4 AS seq, 'I' AS op,
+             CAST(o_totalprice AS DECIMAL(12,4)) AS price FROM orders
+      UNION ALL
+      SELECT o_custkey, o_orderkey * 4 + 1, 'U',
+             CAST(o_totalprice AS DECIMAL(12,4)) + CAST(10 AS DECIMAL(6,2))
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_custkey, o_orderkey * 4 + 2, 'D', NULL
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    latest AS (
+      SELECT key, op, price,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT key, op AS last_op, CAST(price AS DOUBLE) AS price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q117_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: q96's changelog recipe, customer-keyed,
+    fed as a STREAM through a keyed applyInPandasWithState upsert
+    (state = highest-seq change per key — entity-cardinality bounded,
+    so per-key python-call overhead never scales with event volume),
+    drained AvailableNow —
+    the Debezium→serving-table pattern run on the streaming engine.
+    The drained state hash-matches the batch compaction oracle; exact
+    decimal arithmetic happens JVM-side in the stream projection with
+    one correctly-rounded double cast before the Arrow boundary."""
+    import uuid
+
+    from .streaming.stateful import cdc_upsert
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string"
+        )
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    p0 = F.col("o_totalprice").cast("decimal(12,4)")
+    log = (
+        stream.select(
+            F.col("o_custkey").alias("key"),
+            (F.col("o_orderkey") * 4).alias("seq"),
+            F.lit("I").alias("op"),
+            p0.cast("double").alias("price"),
+        )
+        .unionByName(
+            stream.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_custkey").alias("key"),
+                (F.col("o_orderkey") * 4 + 1).alias("seq"),
+                F.lit("U").alias("op"),
+                (p0 + F.lit(10).cast("decimal(6,2)")).cast("double").alias("price"),
+            )
+        )
+        .unionByName(
+            stream.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_custkey").alias("key"),
+                (F.col("o_orderkey") * 4 + 2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+            )
+        )
+    )
+    name = f"q117_out_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            cdc_upsert(log)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .filter(F.col("op") != "D")
+        .select("key", F.col("op").alias("last_op"), "price")
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

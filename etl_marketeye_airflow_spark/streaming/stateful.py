@@ -60,3 +60,56 @@ def running_user_totals(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cdc_upsert(changes_stream, key_col: str = "key"):
+    """Streaming CDC apply: keyed upsert state over an (key, seq, op,
+    price) change stream — each key's state is its highest-seq change
+    so far, surviving across micro-batches (the streaming twin of the
+    batch changelog compaction, q96).  Emits the key's current state
+    every batch it changes in; with a drained single-batch catch-up the
+    emission IS the final compacted table.
+
+    State is 3 scalars per key (seq, op, price) — bounded by key
+    cardinality, not stream length; price arrives as DOUBLE (the exact
+    decimal arithmetic happens JVM-side in the stream projection; one
+    correctly-rounded cast before the Arrow boundary keeps cross-engine
+    parity).  Closure is self-contained per the module note.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            s0, op0, p0 = state.get
+            best = (int(s0), str(op0), None if p0 is None else float(p0))
+        else:
+            best = None
+        for pdf in pdfs:
+            for s_, o_, p_ in zip(
+                pdf["seq"].values, pdf["op"].values, pdf["price"].values
+            ):
+                if best is None or int(s_) > best[0]:
+                    best = (
+                        int(s_),
+                        str(o_),
+                        None if pd.isna(p_) else float(p_),
+                    )
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])],
+                "seq": [best[0]],
+                "op": [best[1]],
+                "price": [best[2]],
+            }
+        )
+
+    return changes_stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key long, seq long, op string, price double",
+        stateStructType="seq long, op string, price double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

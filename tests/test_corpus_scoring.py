@@ -473,3 +473,46 @@ def test_zorder_box_query_prunes_partitions(spark, tmp_path):
     assert got == want and len(got) > 0
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan  # pruning happens before IO
+
+
+def test_cdc_upsert_state_survives_batches(spark, tmp_path):
+    """Two change files drained one-per-micro-batch: batch-2 changes
+    override batch-1 state (the upsert carries across batches), and
+    untouched keys keep their batch-1 values in the final emission."""
+    from pyspark.sql import Row
+
+    from etl_marketeye_airflow_spark.streaming.stateful import cdc_upsert
+
+    d = tmp_path / "cdc"
+    d.mkdir()
+    spark.createDataFrame(
+        [Row(key=1, seq=0, op="I", price=10.0),
+         Row(key=2, seq=0, op="I", price=20.0)]
+    ).coalesce(1).write.parquet(str(d / "b1.parquet"))
+    spark.createDataFrame(
+        [Row(key=1, seq=1, op="U", price=11.0),
+         Row(key=3, seq=0, op="I", price=30.0)]
+    ).coalesce(1).write.parquet(str(d / "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema("key long, seq long, op string, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*.parquet")
+    )
+    q = (
+        cdc_upsert(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cdc_2batch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("cdc_2batch").collect()
+    latest = {}
+    for r in rows:  # last emission per key = highest seq seen
+        if r.key not in latest or r.seq > latest[r.key].seq:
+            latest[r.key] = r
+    assert (latest[1].op, latest[1].price, latest[1].seq) == ("U", 11.0, 1)
+    assert (latest[2].op, latest[2].price) == ("I", 20.0)
+    assert (latest[3].op, latest[3].price) == ("I", 30.0)

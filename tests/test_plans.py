@@ -49,6 +49,7 @@ STREAMING_QUERIES = {
     "q50_streaming_dedup",
     "q63_stream_stream_join",
     "q65_session_windows",
+    "q117_streaming_cdc_apply",
 }
 
 

@@ -27,6 +27,7 @@ EXECUTES_ON_BUILD = {
     "q34_stateful_running_totals": "streaming stateful (drained)",
     "q50_streaming_dedup": "streaming (drained)",
     "q63_stream_stream_join": "streaming join (drained)",
+    "q117_streaming_cdc_apply": "streaming stateful upsert (drained)",
     "q58_vocab_coverage": "eager two-pass (checkpointed result)",
     "q22_minhash_lsh_dedup": "eager (checkpointed pair set)",
     "q23_simhash_dedup": "eager (checkpointed pair set)",
