@@ -139,3 +139,62 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, Dat
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_evolving_parquet(
+    spark: SparkSession, path: str, canonical_ddl: str
+) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: files written across
+    schema versions (columns added over time, widened numeric types)
+    come back as ONE DataFrame with the caller's canonical schema —
+    missing columns null-filled, every column cast to its canonical
+    type, order normalized.
+
+    Neither ``mergeSchema`` nor an explicit read schema survives TYPE
+    WIDENING (Spark refuses to merge BIGINT with DOUBLE and the parquet
+    reader rejects a bigint column under a double read schema), so this
+    does what a lake table format does internally: group the files by
+    their FOOTER schema (one metadata read per file — same cost class
+    as mergeSchema's footer pass; at catalog-scale file counts keep a
+    schema registry instead), read each group under its own schema, and
+    cast every group to the canonical contract before the union.  Casts
+    are analysis-time: an incompatible evolution (string → long) fails
+    loudly at plan time, not row by row.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    canonical = StructType.fromDDL(canonical_ddl)
+    files = sorted(
+        f
+        for f in _glob.glob(f"{path}/**/*.parquet", recursive=True)
+        + _glob.glob(f"{path}/*.parquet")
+        if "_SUCCESS" not in f
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    groups: dict[tuple, list[str]] = {}
+    for f in sorted(set(files)):
+        sch = _pq.ParquetFile(f).schema_arrow
+        key = tuple((fld.name, str(fld.type)) for fld in sch)
+        groups.setdefault(key, []).append(f)
+
+    def align(df: DataFrame) -> DataFrame:
+        present = set(df.columns)
+        return df.select(
+            *[
+                (F.col(fld.name) if fld.name in present else F.lit(None))
+                .cast(fld.dataType)
+                .alias(fld.name)
+                for fld in canonical.fields
+            ]
+        )
+
+    out = None
+    for key in sorted(groups):  # deterministic union order
+        part = align(spark.read.parquet(*groups[key]))
+        out = part if out is None else out.unionByName(part)
+    return out

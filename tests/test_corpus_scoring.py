@@ -516,3 +516,33 @@ def test_cdc_upsert_state_survives_batches(spark, tmp_path):
     assert (latest[1].op, latest[1].price, latest[1].seq) == ("U", 11.0, 1)
     assert (latest[2].op, latest[2].price) == ("I", 20.0)
     assert (latest[3].op, latest[3].price) == ("I", 30.0)
+
+
+def test_read_evolving_parquet_unifies_versions(spark, tmp_path):
+    """Files from three schema versions (v1: id+a; v2 adds b; v3 widens
+    a to double and adds c) read back as one frame with the canonical
+    schema: missing columns null, types cast, order fixed."""
+    from pyspark.sql import Row
+
+    from etl_marketeye_airflow_spark.sources.tables import (
+        read_evolving_parquet,
+    )
+
+    d = str(tmp_path / "tbl")
+    spark.createDataFrame([Row(id=1, a=10)]).write.mode("append").parquet(d)
+    spark.createDataFrame([Row(id=2, a=20, b="x")]).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [Row(id=3, a=30.5, c=7)]
+    ).write.mode("append").parquet(d)
+
+    out = read_evolving_parquet(
+        spark, d, "id long, a double, b string, c long"
+    )
+    assert [f.name for f in out.schema.fields] == ["id", "a", "b", "c"]
+    assert dict(out.dtypes) == {
+        "id": "bigint", "a": "double", "b": "string", "c": "bigint"
+    }
+    rows = {r.id: r for r in out.collect()}
+    assert (rows[1].a, rows[1].b, rows[1].c) == (10.0, None, None)
+    assert (rows[2].a, rows[2].b, rows[2].c) == (20.0, "x", None)
+    assert (rows[3].a, rows[3].b, rows[3].c) == (30.5, None, 7)
