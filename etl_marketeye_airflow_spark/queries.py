@@ -6098,7 +6098,7 @@ def q117_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     one correctly-rounded double cast before the Arrow boundary."""
     import uuid
 
-    from .streaming.stateful import cdc_upsert
+    from .streaming.stateful import cdc_upsert, compact_cdc_sink
 
     stream = (
         spark.readStream.schema(
@@ -6149,11 +6149,11 @@ def q117_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return (
-        spark.table(name)
-        .filter(F.col("op") != "D")
-        .select("key", F.col("op").alias("last_op"), "price")
-    )
+    # Update-mode memory sink appends one row per CHANGED key PER
+    # MICRO-BATCH — the raw read equals the final state only for a
+    # single-batch drain.  Compact per key on the emitted seq BEFORE the
+    # delete filter so the read is correct for any batch split.
+    return compact_cdc_sink(spark.table(name))
 
 
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a

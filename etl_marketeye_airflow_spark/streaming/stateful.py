@@ -113,3 +113,29 @@ def cdc_upsert(changes_stream, key_col: str = "key"):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def compact_cdc_sink(sink_df: DataFrame) -> DataFrame:
+    """Compact an update-mode ``cdc_upsert`` sink read to live rows.
+
+    The update-mode sink appends one (key, seq, op, price) row per
+    CHANGED key PER MICRO-BATCH — the raw table equals the final state
+    only for a single-batch drain.  Any multi-file / maxFilesPerTrigger
+    split leaves duplicate keys, and a key whose delete lands in a later
+    batch would be resurrected by its earlier emission if the delete
+    filter ran on the raw rows.  Taking the highest-seq emission per key
+    FIRST makes the read correct for every batch split (one shuffle on
+    the key — the same partitioning the stateful operator already used).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        sink_df.groupBy("key")
+        .agg(F.max_by(F.struct("op", "price"), "seq").alias("_st"))
+        .filter(F.col("_st.op") != "D")
+        .select(
+            "key",
+            F.col("_st.op").alias("last_op"),
+            F.col("_st.price").alias("price"),
+        )
+    )
