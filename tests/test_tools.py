@@ -1,0 +1,58 @@
+"""Pins for the local correctness gate's canonicalization (tools/).
+
+The gate is only as strict as its canon: round-4/5's q87 (DuckDB
+HUGEINT sum vs Spark bigint) passed locally for two rounds because
+``canon_value`` collapsed Decimal through ``%.9g`` floats.  These tests
+pin the tightened behavior so the collapse can't silently return.
+"""
+
+import decimal
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from check_correctness import canon_value  # noqa: E402
+
+
+def test_decimal_is_tagged_never_equals_int_or_float():
+    assert canon_value(decimal.Decimal("5.0000")) == "dec:5"
+    assert canon_value(5) == "5"
+    assert canon_value(5.0) == "5"
+    assert canon_value(decimal.Decimal("5")) != canon_value(5)
+    assert canon_value(decimal.Decimal("123.45")) != canon_value(123.45)
+
+
+def test_decimal_scale_normalized_exact():
+    # same numeric value at different declared scales must agree ...
+    assert canon_value(decimal.Decimal("123.4500")) == canon_value(
+        decimal.Decimal("123.45")
+    )
+    # ... and normalize() exponent form must not leak (5E+2 → 500)
+    assert canon_value(decimal.Decimal("500")) == "dec:500"
+    # exact digits beyond float precision are preserved, not rounded
+    v = decimal.Decimal("12345678901234567890.1234")
+    assert canon_value(v) == "dec:12345678901234567890.1234"
+
+
+def test_float_canon_unchanged():
+    assert canon_value(float("nan")) == "nan"
+    assert canon_value(0.0) == "0"
+    assert canon_value(1.5) == "1.5"
+
+
+def test_duckdb_hugeint_detectable_via_describe():
+    """The q87 shape: sum(CASE…) in DuckDB is HUGEINT — fetchall gives a
+    plain int (invisible to the value canon), so the gate's DESCRIBE
+    audit is what must catch it."""
+    import duckdb
+
+    con = duckdb.connect()
+    t = {
+        r[0]: r[1]
+        for r in con.execute(
+            "DESCRIBE (SELECT sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS c"
+            " FROM (SELECT 1 AS x))"
+        ).fetchall()
+    }
+    assert "HUGEINT" in t["c"].upper()

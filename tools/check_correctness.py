@@ -40,7 +40,14 @@ def canon_value(v):
             return "0"
         return f"{v:.9g}"
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.9g}"
+        # Tagged + exact: a Decimal must meet a Decimal on the other
+        # side (same digits after scale-normalization), NEVER an int or
+        # float.  The old `%.9g`-of-float collapse made DuckDB HUGEINT
+        # sums / DECIMAL divisions locally indistinguishable from Spark
+        # bigint/double results — exactly how the q87 mismatch stayed
+        # invisible until the driver's stricter hash caught it (r4/r5).
+        d = v.normalize()
+        return "dec:" + format(d, "f")
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, dt.date):
@@ -118,12 +125,34 @@ def main() -> int:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
+            d_types = {
+                r[0]: r[1]
+                for r in con.execute(
+                    f"DESCRIBE (\n{oracles[name]}\n)"
+                ).fetchall()
+            }
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             continue
 
         problems = []
+        # Wide-type audit (q87 class): DuckDB HUGEINT fetches as a plain
+        # Python int, so the value compare can't see it — but Spark has
+        # no int128, so the driver's arrow-level hash WILL diverge.
+        # Same for a DECIMAL on one side meeting a non-decimal on the
+        # other (the canon now tags Decimal values, this names the
+        # column).  Every such oracle needs an explicit CAST.
+        s_types = dict(sdf.dtypes)
+        for c, t in d_types.items():
+            tu = t.upper()
+            if "HUGEINT" in tu:
+                problems.append(f"oracle col {c!r} is {t} — CAST it "
+                                "(Spark has no int128)")
+            sd = s_types.get(c, "")
+            if tu.startswith("DECIMAL") != sd.startswith("decimal"):
+                problems.append(
+                    f"col {c!r} decimal mismatch: duck={t} spark={sd}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
