@@ -348,6 +348,41 @@ def tfidf_topk(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame
     )
 
 
+def _with_bm25_score_t(joined: DataFrame) -> DataFrame:
+    """Per-(doc, term) BM25 score over (tf, S, dl, D, idf_fx) columns.
+
+    Intermediates in decimal(38,0), NOT long: at the 100 TB posture
+    (S ≈ 1e13 total tokens) a tf ≳ 4·10^4 pushes 22·S·tf past 2^63,
+    which non-ANSI Spark silently wraps — corrupted scores, no error.
+    decimal(19,0) operands multiply/add exactly under Spark's decimal
+    rules (scale stays 0, precision caps at 38; values here are
+    ≲ 10^24 ≪ 10^38), and the one decimal→double cast is correctly
+    rounded with the same operand value as DuckDB's int→double cast —
+    bit parity preserved.  Exposed for the overflow pytest, which
+    drives it with synthetic corpus-scale S/tf.
+    """
+    _d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    return (
+        joined.withColumn(
+            "_num",
+            (F.lit(22) * _d19("S") * _d19("tf")).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "_den",
+            (
+                F.lit(10) * _d19("S") * _d19("tf")
+                + F.lit(3) * _d19("S")
+                + F.lit(9) * _d19("dl") * _d19("D")
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "score_t",
+            (F.col("idf_fx").cast("double") * F.col("_num").cast("double"))
+            / (F.col("_den").cast("double") * F.lit(float(FLOG2_SCALE))),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -415,23 +450,8 @@ def bm25_topk(
     term_stats = term_stats.withColumn(
         "idf_fx", F.col("_fa") - F.col("_fb")
     ).select("token", "idf_fx", "S", "D")
-    scored = (
-        tf.join(F.broadcast(term_stats), "token")
-        .join(dl, "doc_id")
-        .withColumn("_num", (F.lit(22) * F.col("S") * F.col("tf")).cast("long"))
-        .withColumn(
-            "_den",
-            (
-                F.lit(10) * F.col("S") * F.col("tf")
-                + F.lit(3) * F.col("S")
-                + F.lit(9) * F.col("dl") * F.col("D")
-            ).cast("long"),
-        )
-        .withColumn(
-            "score_t",
-            (F.col("idf_fx").cast("double") * F.col("_num").cast("double"))
-            / (F.col("_den").cast("double") * F.lit(float(FLOG2_SCALE))),
-        )
+    scored = _with_bm25_score_t(
+        tf.join(F.broadcast(term_stats), "token").join(dl, "doc_id")
     )
     aggs = [
         F.max(F.when(F.col("token") == F.lit(t), F.col("score_t"))).alias(
