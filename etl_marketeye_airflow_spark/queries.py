@@ -5137,7 +5137,7 @@ def q100_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     dags/marketeye_etl_dag.py brand-frequency tasks, generalized)."""
     from .operators.corpus import unigram_surprisal
 
-    return unigram_surprisal(_t(spark, sf_dir, "documents"))
+    return unigram_surprisal(_t(spark, sf_dir, "documents"), eager=True)
 
 
 @query(
@@ -5248,7 +5248,7 @@ def q103_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is per-doc-vocab sized, never global."""
     from .operators.corpus import tfidf_topk
 
-    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3, eager=True)
 
 
 @query(
@@ -5406,7 +5406,7 @@ def q106_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus import bm25_topk
 
     return bm25_topk(
-        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20, eager=True
     )
 
 
@@ -5475,6 +5475,7 @@ def q107_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         F.col("source") == "src1",
         n_buckets=4096,
+        eager=True,
     )
 
 
