@@ -902,3 +902,206 @@ def contamination_spans(
         )
         .select(id_col, "span_start", "span_end", "n_grams")
     )
+
+
+# --- substring-level (suffix-array-style) dedup -----------------------------
+
+
+def _positional_grams(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, _pos, _gh) — the k-gram starting at each 1-based token
+    position, hashed.  Same lead()-window machinery as
+    contamination_spans (convention 6b: positional shingles via window,
+    never transform-over-range)."""
+    leads = [
+        F.lead(F.col("_tok"), i).over(
+            Window.partitionBy(id_col).orderBy("_pos")
+        )
+        for i in range(1, k)
+    ]
+    return (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(words(F.col(text_col))).alias("_p0", "_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .withColumn("_pos", F.col("_p0") + 1)
+        .withColumn("_g", F.concat_ws(" ", F.col("_tok"), *leads))
+        .filter(F.size(F.split(F.col("_g"), " ")) == k)
+        .select(id_col, "_pos", F.xxhash64("_g").alias("_gh"))
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+) -> DataFrame:
+    """Substring-level duplicate detection — the k-gram formulation of
+    suffix-array dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", arXiv 2107.06499 §4.1): a token
+    position is duplicated iff the ``min_len``-gram starting there
+    occurs at ≥2 (doc, pos) locations ANYWHERE in the corpus (cross-doc
+    or within-doc — a length-≥min_len substring repeats iff every
+    min_len-window inside it repeats).  Consecutive duplicated start
+    positions merge into maximal spans (gaps-and-islands).
+
+    Emits (id, span_start, span_end, span_len, n_grams) with start/end
+    in 1-based TOKEN positions covering the full repeated substring
+    (end = last duplicated gram start + k − 1), so span_len ≥ min_len
+    always.
+
+    Where a suffix array finds maximal repeats exactly, the k-gram form
+    finds the identical REMOVAL set for threshold k — the property the
+    dedup pass actually needs — while staying one groupBy + two per-doc
+    windows instead of a global sorted structure.
+
+    Scale shape: gram counts collapse in one hash agg on the 8-byte
+    gram hash (map-side combine; vocabulary-sized result), the dup-gram
+    set joins back semi (AQE broadcasts while it fits — by definition
+    it only holds grams with ≥2 occurrences), and the islands window is
+    per-doc.  No global sort, no suffix-array construction, nothing
+    driver-side.
+
+    Reference scope: extends the reference's offer-level dedup (SURVEY
+    A6, dags/marketeye_etl_dag.py merge tasks) to substring granularity
+    for training-corpus curation.
+    """
+    grams = _positional_grams(docs, text_col, id_col, min_len).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= 2)
+        .select("_gh")
+    )
+    hits = grams.join(dup, "_gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    return (
+        hits.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("_pos").cast("long").alias("span_start"),
+            (F.max("_pos") + F.lit(min_len - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_grams",
+        )
+    )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+    eager: bool = False,
+) -> DataFrame:
+    """Substring-level dedup, removal half (Lee et al. 2021 §4.1
+    ExactSubstr): every duplicated ``min_len``-token window is removed
+    from all occurrences EXCEPT the globally-first one — the occurrence
+    with the smallest (doc, pos) per gram is protected, every other
+    occurrence's k tokens are dropped, and the survivors reassemble in
+    order.  Emits (id, n_tokens, n_removed, cleaned_text) for EVERY
+    input doc (fully-duplicated docs come back with cleaned_text='').
+
+    Deterministic by construction: the protect rule is an integer
+    argmin, coverage is a per-doc rangeBetween window over dense token
+    positions (normalize_text guarantees single-space separation, so
+    positions have no gaps), and reassembly is array_sort over
+    collected (pos, token) structs — no float, no RNG, engine-portable.
+
+    Scale shape: per-gram stats (count + argmin occurrence) collapse in
+    ONE hash agg on the gram hash; the duplicated subset joins back
+    (broadcast while it fits); coverage and reassembly are per-doc
+    windows/aggs bounded by doc length.  The token stream is persisted
+    across its two consumers (gram build + reassembly) — the
+    tokenize-once rule (VERDICT r5 #4).
+    """
+    tok = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(words(F.col(text_col))).alias("_p0", "_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .withColumn("_pos", (F.col("_p0") + 1).cast("long"))
+        .select(id_col, "_pos", "_tok")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    leads = [
+        F.lead(F.col("_tok"), i).over(
+            Window.partitionBy(id_col).orderBy("_pos")
+        )
+        for i in range(1, min_len)
+    ]
+    grams = (
+        tok.withColumn("_g", F.concat_ws(" ", F.col("_tok"), *leads))
+        .filter(F.size(F.split(F.col("_g"), " ")) == min_len)
+        .select(id_col, "_pos", F.xxhash64("_g").alias("_gh"))
+    )
+    # one agg: occurrence count + globally-first (doc, pos) per gram
+    stats = grams.groupBy("_gh").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first"),
+    )
+    # start positions whose window must be removed: duplicated gram,
+    # occurrence is not the protected global-first
+    removed_starts = (
+        grams.join(stats.filter(F.col("_cnt") >= 2), "_gh")
+        .filter(
+            ~(
+                (F.col("_first")[id_col] == F.col(id_col))
+                & (F.col("_first._pos") == F.col("_pos"))
+            )
+        )
+        .select(id_col, F.col("_pos").alias("_rp"))
+    )
+    # token q is covered iff some removed start p ∈ [q−k+1, q]:
+    # per-doc rangeBetween window over the dense position axis
+    marked = tok.join(
+        removed_starts.withColumnRenamed("_rp", "_pos").withColumn(
+            "_m", F.lit(1)
+        ),
+        [id_col, "_pos"],
+        "left",
+    )
+    wcov = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rangeBetween(-(min_len - 1), 0)
+    )
+    kept = marked.withColumn(
+        "_cov", F.max(F.coalesce(F.col("_m"), F.lit(0))).over(wcov)
+    )
+    out = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("_cov").cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_cov") == 0,
+                            F.struct(F.col("_pos"), F.col("_tok")),
+                        )
+                    )
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        tok.unpersist()
+    return out

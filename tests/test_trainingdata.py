@@ -1164,3 +1164,109 @@ def test_resize_content_fake_deterministic_and_real_path(spark):
     except ImportError:
         with pytest.raises(Exception, match="NotImplementedError|real resize"):
             resize_content(png, 50, 50, require_real_resizer=True).collect()
+
+
+# --- substring-level (suffix-array-style) dedup -----------------------------
+
+
+_SHARED10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def test_substring_dup_spans_goldens(spark):
+    """Planted shared 10-token substring: every occurrence is reported
+    as a maximal span with token-accurate boundaries; a doc with no
+    length->=k repeat yields nothing; within-doc repetition counts."""
+    from etl_marketeye_airflow_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {_SHARED10} three four"),
+            (2, f"prefix {_SHARED10} suffix words here"),
+            (3, "totally unrelated content with no repeats at all"),
+            (4, f"{_SHARED10} {_SHARED10}"),  # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_grams)
+        for r in substring_dup_spans(docs, min_len=10).collect()
+    )
+    assert got == [
+        (1, 3, 12, 10, 1),
+        (2, 2, 11, 10, 1),
+        (4, 1, 10, 10, 1),
+        (4, 11, 20, 10, 1),
+    ]
+
+
+def test_substring_dup_spans_merges_long_repeat(spark):
+    """A 12-token shared substring with k=10 produces THREE duplicated
+    gram starts that merge into ONE maximal span of span_len 12."""
+    from etl_marketeye_airflow_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    s12 = _SHARED10 + " lambda mu"
+    docs = spark.createDataFrame(
+        [(1, f"x {s12} y"), (2, f"{s12} tail words")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_grams)
+        for r in substring_dup_spans(docs, min_len=10).collect()
+    )
+    assert got == [(1, 2, 13, 12, 3), (2, 1, 12, 12, 3)]
+
+
+def test_substring_dedup_protects_global_first(spark):
+    """Removal keeps exactly the globally-first occurrence (min
+    (doc_id, pos)) of each duplicated window and strips every other,
+    reassembling the remainder in order; untouched docs round-trip."""
+    from etl_marketeye_airflow_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {_SHARED10} three four"),
+            (2, f"prefix {_SHARED10} suffix words here"),
+            (3, "totally unrelated content with no repeats at all"),
+            (4, f"{_SHARED10} {_SHARED10}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in substring_dedup(docs, min_len=10, eager=True).collect()
+    }
+    assert got[1] == (14, 0, f"one two {_SHARED10} three four")
+    assert got[2] == (14, 10, "prefix suffix words here")
+    assert got[3] == (8, 0, "totally unrelated content with no repeats at all")
+    assert got[4] == (20, 20, "")  # fully duplicated doc empties out
+
+
+def test_substring_dedup_suppression_threshold(spark):
+    """A 9-token shared run is BELOW min_len=10 and must survive in all
+    docs (no sub-threshold suppression) while a 10-token run is
+    stripped — the length->=k contract."""
+    from etl_marketeye_airflow_spark.operators.dedup import substring_dedup
+
+    nine = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nine} uniqueone filler words"),
+            (2, f"{nine} uniquetwo other stuff"),
+            (3, f"pad {_SHARED10}"),
+            (4, f"{_SHARED10} trail"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_removed, r.cleaned_text)
+        for r in substring_dedup(docs, min_len=10, eager=True).collect()
+    }
+    assert got[1][0] == 0 and nine in got[1][1]
+    assert got[2][0] == 0 and nine in got[2][1]
+    assert got[3] == (0, f"pad {_SHARED10}")  # global first: (3,2) < (4,1)? no —
+    # struct min orders by doc_id first, so doc 3 pos 2 IS first vs doc 4 pos 1
+    assert got[4] == (10, "trail")
