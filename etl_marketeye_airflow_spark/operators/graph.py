@@ -34,22 +34,37 @@ def pagerank_fixed_point(
     dst_col: str = "dst",
     iters: int = 5,
     eager: bool = True,
+    dangling_mass: bool = False,
 ) -> DataFrame:
-    """Simplified PageRank (the classic 0.15 + 0.85·Σ form, no dangling
-    redistribution — documented choice, matching the textbook/Spark-
-    example formulation) over a directed edge list, ``iters`` fixed
-    iterations, exact integer fixed-point throughout.
+    """PageRank over a directed edge list, ``iters`` fixed iterations,
+    exact integer fixed-point throughout.
+
+    ``dangling_mass=False`` (default, q114's form): the classic
+    0.15 + 0.85·Σ recurrence with no dangling redistribution — the
+    textbook/Spark-example formulation.  ``dangling_mass=True``: the
+    exact form — each iteration the rank mass sitting on dangling nodes
+    (no out-edges) is redistributed uniformly, so
+
+        rank' = 150000 + (17 · (Σ contrib + dang_sum div N)) div 20
+
+    with dang_sum = Σ rank_fx over dangling nodes and N = node count —
+    still all truncating integer ops, still bit-identical on any
+    engine/partitioning.  (Without it, total rank leaks each iteration
+    on graphs with sinks — fine for relative ranking, wrong for a
+    probability interpretation.)
 
     Returns (node, rank_fx, rank) for every node appearing as src OR
     dst; ``rank = rank_fx / 10^6`` is the one final float division.
 
     Scale shape: each iteration is one hash join (ranks ⋈ edges on src
     — both sides key-partitioned on the node id, so AQE reuses the
-    partitioning) + one groupBy(dst) with map-side partial sums; per-
-    iteration results are localCheckpoint'd so the plan stays one-
-    iteration deep (convention 2: plans stay bounded) — on a cluster,
-    swap for reliable checkpoint like the CC operator.  Edge count,
-    not node count, bounds the shuffle.
+    partitioning) + one groupBy(dst) with map-side partial sums; the
+    dangling term adds one anti-join + 1-row aggregate broadcast per
+    iteration (a scalar, never a collect of data rows); per-iteration
+    results are localCheckpoint'd so the plan stays one-iteration deep
+    (convention 2: plans stay bounded) — on a cluster, swap for
+    reliable checkpoint like the CC operator.  Edge count, not node
+    count, bounds the shuffle.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -73,16 +88,45 @@ def pagerank_fixed_point(
             .groupBy("_dst")
             .agg(F.sum("_c").cast("long").alias("_s"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
-            .withColumn(
-                "rank_fx",
-                F.lit(150_000).cast("long")
-                + F.expr("(17 * coalesce(_s, 0)) div 20"),
+        base = nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+        if dangling_mass:
+            # dang_sum div N as a 1-row broadcast: ranks anti-joined
+            # against out-degree (dangling = never a src), both aggs
+            # collapse to scalars before the crossJoin.
+            share = (
+                ranks.join(deg, ranks["node"] == deg["_src"], "left_anti")
+                .agg(
+                    F.coalesce(F.sum("rank_fx"), F.lit(0))
+                    .cast("long")
+                    .alias("_dsum")
+                )
+                .crossJoin(
+                    F.broadcast(
+                        nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+                    )
+                )
+                .select(F.expr("_dsum div _n").alias("_share"))
             )
-            .select("node", "rank_fx")
-            .localCheckpoint()
-        )
+            ranks = (
+                base.crossJoin(F.broadcast(share))
+                .withColumn(
+                    "rank_fx",
+                    F.lit(150_000).cast("long")
+                    + F.expr("(17 * (coalesce(_s, 0) + _share)) div 20"),
+                )
+                .select("node", "rank_fx")
+                .localCheckpoint()
+            )
+        else:
+            ranks = (
+                base.withColumn(
+                    "rank_fx",
+                    F.lit(150_000).cast("long")
+                    + F.expr("(17 * coalesce(_s, 0)) div 20"),
+                )
+                .select("node", "rank_fx")
+                .localCheckpoint()
+            )
     out = ranks.withColumn(
         "rank", F.col("rank_fx").cast("double") / F.lit(float(PR_SCALE))
     )

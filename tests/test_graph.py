@@ -42,3 +42,75 @@ def test_pagerank_zero_iters_is_uniform_init(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     got = {r.node: r.rank_fx for r in pagerank_fixed_point(e, iters=0).collect()}
     assert got == {1: PR_SCALE, 2: PR_SCALE}
+
+
+def _replica(edges, iters, dangling):
+    """Pure-python closure of the exact integer recurrence (python //
+    on positives == Spark div), dangling redistribution optional."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: PR_SCALE for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] // out[s]
+        share = (
+            sum(rank[n] for n in nodes if n not in out) // len(nodes)
+            if dangling
+            else 0
+        )
+        rank = {
+            n: 150_000 + (17 * (contrib[n] + share)) // 20 for n in nodes
+        }
+    return rank
+
+
+def test_pagerank_dangling_mass_hand_computed(spark):
+    """A→B, A→C, B→C (C dangling), 2 iterations with redistribution —
+    literals worked by hand: iter1 (433333, 858333, 1708333), iter2
+    (634027, 818193, 1547776).  Also pinned against the pure-python
+    closure so the recurrence can't drift silently."""
+    edges = [(1, 2), (1, 3), (2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank_fx
+        for r in pagerank_fixed_point(
+            e, iters=2, eager=True, dangling_mass=True
+        ).collect()
+    }
+    assert got == {1: 634_027, 2: 818_193, 3: 1_547_776}
+    assert got == _replica(edges, 2, dangling=True)
+
+
+def test_pagerank_both_forms_match_replica(spark):
+    """Both flag settings agree with the python closure on a graph with
+    two sinks and a cycle; the default form is byte-identical to the
+    pre-flag operator (q114 unchanged)."""
+    edges = [(1, 2), (2, 1), (1, 3), (2, 4), (3, 5), (1, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for flag in (False, True):
+        got = {
+            r.node: r.rank_fx
+            for r in pagerank_fixed_point(
+                e, iters=3, eager=True, dangling_mass=flag
+            ).collect()
+        }
+        assert got == _replica(edges, 3, dangling=flag), flag
+
+
+def test_pagerank_dangling_conserves_more_mass(spark):
+    """With sinks present, the redistributing form keeps total rank
+    near N·scale while the simplified form leaks mass each iteration."""
+    edges = [(1, 2), (1, 3), (2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    plain = sum(
+        r.rank_fx for r in pagerank_fixed_point(e, iters=4).collect()
+    )
+    redis = sum(
+        r.rank_fx
+        for r in pagerank_fixed_point(e, iters=4, dangling_mass=True).collect()
+    )
+    n_scale = 3 * PR_SCALE
+    assert abs(redis - n_scale) < abs(plain - n_scale)
