@@ -116,6 +116,10 @@ def main() -> None:
             force_full_eval(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # progress to STDERR only — the driver parses the one stdout
+        # JSON line; this is for humans tailing a long sf1 run (and for
+        # locating a hang, which burned 16 min of a round-6 probe)
+        print(f"[bench] {name} {best:.2f}s", file=sys.stderr, flush=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
