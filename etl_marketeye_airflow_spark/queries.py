@@ -1428,7 +1428,10 @@ def q34_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sinks_streaming.py)."""
     import uuid
 
-    from .streaming.stateful import running_user_totals
+    from .streaming.stateful import (
+        compact_running_totals_sink,
+        running_user_totals,
+    )
 
     prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1458,7 +1461,11 @@ def q34_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
-    return spark.table(name)
+    # The append-mode sink holds one CUMULATIVE snapshot per (user,
+    # batch) — correct raw only for a single-batch drain; compact to the
+    # final per-user state so any batch split reads right (q117's fix,
+    # same hazard class).
+    return compact_running_totals_sink(spark.table(name))
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,35 @@ def running_user_totals(
     )
 
 
+def compact_running_totals_sink(sink_df: DataFrame) -> DataFrame:
+    """Compact a ``running_user_totals`` append-mode sink read to final
+    per-user state.
+
+    The operator emits the user's CUMULATIVE totals in every micro-batch
+    that touched them, so the raw sink equals the final state only for a
+    single-batch drain; a multi-file / maxFilesPerTrigger split leaves
+    one snapshot row per (user, batch).  ``total_events`` strictly
+    increases across a user's emissions, so the highest-count row IS the
+    final state — same per-key max_by compaction (and the same hazard
+    class) as ``compact_cdc_sink``.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        sink_df.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("total_events", "total_value"), "total_events"
+            ).alias("_st")
+        )
+        .select(
+            "user_id",
+            F.col("_st.total_events").alias("total_events"),
+            F.col("_st.total_value").alias("total_value"),
+        )
+    )
+
+
 def cdc_upsert(changes_stream, key_col: str = "key"):
     """Streaming CDC apply: keyed upsert state over an (key, seq, op,
     price) change stream — each key's state is its highest-seq change

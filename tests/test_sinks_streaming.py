@@ -177,6 +177,19 @@ def test_stateful_running_totals_across_batches(spark, tmp_path_factory):
     assert per_user[2] == [(1, 7.0)]
     assert per_user[3] == [(1, 2.0)]
 
+    # q34's sink read: the raw table holds one cumulative snapshot per
+    # (user, batch) — user 1 twice here — so the compaction must
+    # collapse to exactly the final state (the batch GROUP BY answer)
+    from etl_marketeye_airflow_spark.streaming.stateful import (
+        compact_running_totals_sink,
+    )
+
+    got = {
+        r.user_id: (r.total_events, r.total_value)
+        for r in compact_running_totals_sink(spark.table(name)).collect()
+    }
+    assert got == {1: (3, 16.0), 2: (1, 7.0), 3: (1, 2.0)}
+
 
 def test_salted_stats_equal_plain(spark):
     from etl_marketeye_airflow_spark.operators.skew import salted_group_stats
