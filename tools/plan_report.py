@@ -38,6 +38,11 @@ EXECUTES_ON_BUILD = {
     "q108_semdedup": "eager (quantizer trained at call; checkpointed kept set)",
     "q99_prefix_filter_similarity_join": "eager (persisted shingle base; checkpointed pair set)",
     "q114_pagerank": "iterative (checkpointed per-iteration ranks)",
+    "q100_unigram_surprisal": "eager (persisted token stream; checkpointed result)",
+    "q103_tfidf_topk": "eager (persisted tf base; checkpointed result)",
+    "q106_bm25_topk": "eager (persisted tok/dl bases; checkpointed result)",
+    "q107_dsir_importance": "eager (persisted token stream; checkpointed result)",
+    "q119_substring_dedup": "eager (persisted token stream; checkpointed result)",
 }
 
 
