@@ -637,3 +637,71 @@ def test_streaming_dedup_within_watermark_bounds_state(spark, tmp_path_factory):
     hashes = [r.content_hash for r in spark.table(name).collect()]
     assert len(hashes) == 3  # alpha-beta once, gamma, delta
     assert len(set(hashes)) == 3
+
+
+def test_stream_interval_join_exactly_once_multi_batch(spark, tmp_path_factory):
+    """Stream-stream inner join emits each matched pair EXACTLY ONCE
+    across micro-batch splits (the reason q63's raw sink read needs no
+    compaction — pins the exemption list in CLAUDE.md convention 9).
+    Purchases and clicks arrive in separate files drained one per
+    batch; a pair whose sides land in DIFFERENT batches must appear
+    once, and re-scanning the already-matched side must not re-emit."""
+    import uuid
+
+    from pyspark.sql import Row
+
+    from etl_marketeye_airflow_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    base = 1_700_000_000  # epoch seconds
+    d = tmp_path_factory.mktemp("ssjoin")
+    pdir, cdir = d / "p", d / "c"
+    pdir.mkdir(), cdir.mkdir()
+
+    def ts(off):
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(base + off, tz=timezone.utc)
+
+    spark.createDataFrame(
+        [Row(purchase_id=1, user_id=10, p_ts=ts(1000))]
+    ).coalesce(1).write.parquet(str(pdir / "b1.parquet"))
+    spark.createDataFrame(
+        [Row(purchase_id=2, user_id=10, p_ts=ts(1200))]
+    ).coalesce(1).write.parquet(str(pdir / "b2.parquet"))
+    spark.createDataFrame(
+        [Row(click_id=100, user_id=10, c_ts=ts(900)),
+         Row(click_id=101, user_id=10, c_ts=ts(1100))]
+    ).coalesce(1).write.parquet(str(cdir / "b1.parquet"))
+
+    purchases = (
+        spark.readStream.schema(
+            "purchase_id long, user_id long, p_ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(str(pdir) + "/*.parquet")
+    )
+    clicks = spark.readStream.schema(
+        "click_id long, user_id long, c_ts timestamp"
+    ).parquet(str(cdir) + "/*.parquet")
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_interval_join(
+            purchases, clicks, key="user_id", left_ts="p_ts",
+            right_ts="c_ts", lookback="10 minutes", watermark="1 hour",
+        )
+        .select("purchase_id", "click_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.purchase_id, r.click_id) for r in spark.table(name).collect()
+    )
+    # expected batch join: p1@1000 matches clicks in [400,1000] -> c100;
+    # p2@1200 matches [600,1200] -> c100, c101.  NO duplicates even
+    # though the click file is in scope for both purchase batches.
+    assert got == [(1, 100), (2, 100), (2, 101)]

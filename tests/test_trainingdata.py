@@ -1270,3 +1270,47 @@ def test_substring_dedup_suppression_threshold(spark):
     assert got[3] == (0, f"pad {_SHARED10}")  # global first: (3,2) < (4,1)? no —
     # struct min orders by doc_id first, so doc 3 pos 2 IS first vs doc 4 pos 1
     assert got[4] == (10, "trail")
+
+
+def test_substring_spans_sound_and_complete_on_corpus(spark):
+    """Full characterization against a pure-python reference on the
+    real sf0.001 documents: every min_len-window inside every reported
+    span occurs >=2 times in the corpus (soundness), and every window
+    that occurs >=2 times lies inside a reported span at each of its
+    (doc,pos) occurrences (completeness) — the suffix-array-equivalence
+    property the q118 oracle relies on."""
+    import re
+    from collections import Counter
+
+    from etl_marketeye_airflow_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    K = 10
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+    toks = {
+        r.doc_id: re.sub(r"\s+", " ", r.text).strip().lower().split(" ")
+        for r in rows
+    }
+    counts = Counter()
+    for ws in toks.values():
+        for i in range(len(ws) - K + 1):
+            counts[tuple(ws[i : i + K])] += 1
+    dup_positions = {
+        (d, i + 1)
+        for d, ws in toks.items()
+        for i in range(len(ws) - K + 1)
+        if counts[tuple(ws[i : i + K])] >= 2
+    }
+
+    spans = substring_dup_spans(docs, min_len=K).collect()
+    covered = set()
+    for s in spans:
+        # span token range [span_start, span_end]; gram starts are
+        # [span_start, span_end - K + 1]
+        for p in range(s.span_start, s.span_end - K + 2):
+            assert (s.doc_id, p) in dup_positions, (s.doc_id, p)  # sound
+            covered.add((s.doc_id, p))
+    assert covered == dup_positions  # complete
+    assert len(dup_positions) > 0  # non-vacuous on this corpus
