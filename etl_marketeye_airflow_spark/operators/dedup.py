@@ -862,27 +862,11 @@ def contamination_spans(
     while it fits); the islands window is per-doc again and reuses the
     same partitioning.
     """
-    leads = [
-        F.lead(F.col("_tok"), i).over(
-            Window.partitionBy(id_col).orderBy("_pos")
-        )
-        for i in range(1, shingle_k)
-    ]
-    grams = (
-        spread(corpus)
-        .select(
-            F.col(id_col),
-            F.posexplode(words(F.col(text_col))).alias("_p0", "_tok"),
-        )
-        .filter(F.col("_tok") != "")
-        .withColumn(
-            "_pos", F.col("_p0") + 1
-        )  # 1-based token positions, blanks keep their slot
-        .withColumn("_g", F.concat_ws(" ", F.col("_tok"), *leads))
-        .filter(
-            F.size(F.split(F.col("_g"), " ")) == shingle_k
-        )  # drop tail positions with no full k-gram
-        .select(id_col, "_pos", F.xxhash64("_g").alias("_gh"))
+    grams = _positional_grams_from_tok(
+        _positional_tok_stream(corpus, text_col, id_col),
+        id_col,
+        shingle_k,
+        F.xxhash64,
     )
     bench = (
         spread(benchmark)
@@ -907,19 +891,12 @@ def contamination_spans(
 # --- substring-level (suffix-array-style) dedup -----------------------------
 
 
-def _positional_grams(
-    docs: DataFrame, text_col: str, id_col: str, k: int
+def _positional_tok_stream(
+    docs: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id, _pos, _gh) — the k-gram starting at each 1-based token
-    position, hashed.  Same lead()-window machinery as
-    contamination_spans (convention 6b: positional shingles via window,
-    never transform-over-range)."""
-    leads = [
-        F.lead(F.col("_tok"), i).over(
-            Window.partitionBy(id_col).orderBy("_pos")
-        )
-        for i in range(1, k)
-    ]
+    """(id, _pos, _tok) — 1-based token positions (posexplode slots, so
+    any filtered blank keeps its slot; normalize_text makes mid-doc
+    blanks impossible in practice)."""
     return (
         spread(docs)
         .select(
@@ -927,11 +904,42 @@ def _positional_grams(
             F.posexplode(words(F.col(text_col))).alias("_p0", "_tok"),
         )
         .filter(F.col("_tok") != "")
-        .withColumn("_pos", F.col("_p0") + 1)
-        .withColumn("_g", F.concat_ws(" ", F.col("_tok"), *leads))
-        .filter(F.size(F.split(F.col("_g"), " ")) == k)
-        .select(id_col, "_pos", F.xxhash64("_g").alias("_gh"))
+        .withColumn("_pos", (F.col("_p0") + 1).cast("long"))
+        .select(id_col, "_pos", "_tok")
     )
+
+
+def _positional_grams_from_tok(
+    tok: DataFrame, id_col: str, k: int, gram_key
+) -> DataFrame:
+    """(id, _pos, _gh) — the k-gram starting at each token position of a
+    ``_positional_tok_stream`` frame, keyed by ``gram_key(gram_string)``.
+    ONE shared builder for contamination_spans / substring_dup_spans /
+    substring_dedup so the lead()-window machinery (convention 6b:
+    positional shingles via window, never transform-over-range) and the
+    tail filter can never drift apart between operators."""
+    leads = [
+        F.lead(F.col("_tok"), i).over(
+            Window.partitionBy(id_col).orderBy("_pos")
+        )
+        for i in range(1, k)
+    ]
+    return (
+        tok.withColumn("_g", F.concat_ws(" ", F.col("_tok"), *leads))
+        .filter(F.size(F.split(F.col("_g"), " ")) == k)
+        .select(id_col, "_pos", gram_key(F.col("_g")).alias("_gh"))
+    )
+
+
+def gram_digest(g: Column) -> Column:
+    """128-bit gram digest (md5, 16 bytes binary) — the digest-equality
+    convention exact_dedup already relies on: at 10^13 grams the
+    expected collision count is ~n²/2^129 ≈ 10^-13, so digest equality
+    IS gram equality at any realistic corpus size.  A 64-bit xxhash at
+    the same scale expects millions of colliding pairs — each one a
+    silently-deleted non-duplicate window (and an oracle divergence,
+    since the oracle groups by the gram STRING)."""
+    return F.unhex(F.md5(g))
 
 
 def substring_dup_spans(
@@ -939,6 +947,7 @@ def substring_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 10,
+    eager: bool = False,
 ) -> DataFrame:
     """Substring-level duplicate detection — the k-gram formulation of
     suffix-array dedup (Lee et al. 2021, "Deduplicating Training Data
@@ -959,20 +968,27 @@ def substring_dup_spans(
     dedup pass actually needs — while staying one groupBy + two per-doc
     windows instead of a global sorted structure.
 
-    Scale shape: gram counts collapse in one hash agg on the 8-byte
-    gram hash (map-side combine; vocabulary-sized result), the dup-gram
-    set joins back semi (AQE broadcasts while it fits — by definition
-    it only holds grams with ≥2 occurrences), and the islands window is
-    per-doc.  No global sort, no suffix-array construction, nothing
-    driver-side.
+    Scale shape: gram counts collapse in one hash agg on the 16-byte
+    gram digest (md5 — see ``gram_digest``: digest equality IS gram
+    equality at corpus scale, unlike 64-bit hashes; map-side combine;
+    vocabulary-sized result), the dup-gram set joins back semi (AQE
+    broadcasts while it fits — by definition it only holds grams with
+    ≥2 occurrences), and the islands window is per-doc.  No global
+    sort, no suffix-array construction, nothing driver-side.  The gram
+    stream is persisted across its two consumers; ``eager=True``
+    materializes the span set and releases it, ``eager=False`` leaves
+    the entry to the caller (gate/bench clearCache between queries).
 
     Reference scope: extends the reference's offer-level dedup (SURVEY
     A6, dags/marketeye_etl_dag.py merge tasks) to substring granularity
     for training-corpus curation.
     """
-    grams = _positional_grams(docs, text_col, id_col, min_len).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    grams = _positional_grams_from_tok(
+        _positional_tok_stream(docs, text_col, id_col),
+        id_col,
+        min_len,
+        gram_digest,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         grams.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -981,7 +997,7 @@ def substring_dup_spans(
     )
     hits = grams.join(dup, "_gh", "left_semi")
     w = Window.partitionBy(id_col).orderBy("_pos")
-    return (
+    out = (
         hits.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
         .groupBy(id_col, "_grp")
         .agg(
@@ -997,6 +1013,10 @@ def substring_dup_spans(
             "n_grams",
         )
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        grams.unpersist()
+    return out
 
 
 def substring_dedup(
@@ -1021,34 +1041,22 @@ def substring_dedup(
     collected (pos, token) structs — no float, no RNG, engine-portable.
 
     Scale shape: per-gram stats (count + argmin occurrence) collapse in
-    ONE hash agg on the gram hash; the duplicated subset joins back
-    (broadcast while it fits); coverage and reassembly are per-doc
-    windows/aggs bounded by doc length.  The token stream is persisted
-    across its two consumers (gram build + reassembly) — the
-    tokenize-once rule (VERDICT r5 #4).
+    ONE hash agg on the 16-byte gram digest (``gram_digest`` — digest
+    equality IS gram equality at corpus scale; a 64-bit hash would
+    silently delete non-duplicate windows on collision); the duplicated
+    subset joins back (broadcast while it fits); coverage and
+    reassembly are per-doc windows/aggs bounded by doc length.  BOTH
+    fan-out bases are persisted — the token stream (gram build +
+    reassembly) AND the gram stream (stats agg + removal join), so the
+    tokenize and the heavier window+digest stages each run once
+    (VERDICT r5 #4 / r6 review).
     """
-    tok = (
-        spread(docs)
-        .select(
-            F.col(id_col),
-            F.posexplode(words(F.col(text_col))).alias("_p0", "_tok"),
-        )
-        .filter(F.col("_tok") != "")
-        .withColumn("_pos", (F.col("_p0") + 1).cast("long"))
-        .select(id_col, "_pos", "_tok")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    tok = _positional_tok_stream(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    leads = [
-        F.lead(F.col("_tok"), i).over(
-            Window.partitionBy(id_col).orderBy("_pos")
-        )
-        for i in range(1, min_len)
-    ]
-    grams = (
-        tok.withColumn("_g", F.concat_ws(" ", F.col("_tok"), *leads))
-        .filter(F.size(F.split(F.col("_g"), " ")) == min_len)
-        .select(id_col, "_pos", F.xxhash64("_g").alias("_gh"))
-    )
+    grams = _positional_grams_from_tok(
+        tok, id_col, min_len, gram_digest
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # one agg: occurrence count + globally-first (doc, pos) per gram
     stats = grams.groupBy("_gh").agg(
         F.count(F.lit(1)).alias("_cnt"),
@@ -1103,5 +1111,6 @@ def substring_dedup(
     )
     if eager:
         out = out.localCheckpoint(eager=True)
+        grams.unpersist()
         tok.unpersist()
     return out

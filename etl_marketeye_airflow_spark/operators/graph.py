@@ -59,7 +59,8 @@ def pagerank_fixed_point(
     Scale shape: each iteration is one hash join (ranks ⋈ edges on src
     — both sides key-partitioned on the node id, so AQE reuses the
     partitioning) + one groupBy(dst) with map-side partial sums; the
-    dangling term adds one anti-join + 1-row aggregate broadcast per
+    dangling term builds its node set (anti-join vs out-degree) and N
+    ONCE before the loop, then adds one semi-join + 1-row aggregate broadcast per
     iteration (a scalar, never a collect of data rows); per-iteration
     results are localCheckpoint'd so the plan stays one-iteration deep
     (convention 2: plans stay bounded) — on a cluster, swap for
@@ -77,7 +78,20 @@ def pagerank_fixed_point(
         .distinct()
         .persist()
     )
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    deg = (
+        e.groupBy("_src")
+        .agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+        .persist()  # consumed every iteration (contrib join + dangling)
+    )
+    dangling = None
+    n_nodes = 0
+    if dangling_mass:
+        # loop-invariant: the dangling node SET (never a src) and N —
+        # build once; only the sum over current ranks changes per round.
+        dangling = nodes.join(
+            deg, nodes["node"] == deg["_src"], "left_anti"
+        ).persist()
+        n_nodes = nodes.count()  # one scalar, bounded
     ranks = nodes.withColumn("rank_fx", F.lit(PR_SCALE).cast("long"))
     for _ in range(iters):
         contrib = (
@@ -90,22 +104,17 @@ def pagerank_fixed_point(
         )
         base = nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
         if dangling_mass:
-            # dang_sum div N as a 1-row broadcast: ranks anti-joined
-            # against out-degree (dangling = never a src), both aggs
-            # collapse to scalars before the crossJoin.
+            # dang_sum div N as a 1-row broadcast: one semi-join of the
+            # current ranks against the precomputed dangling set, one
+            # scalar agg — N is a literal, nothing else recomputes.
             share = (
-                ranks.join(deg, ranks["node"] == deg["_src"], "left_anti")
+                ranks.join(dangling.select("node"), "node", "left_semi")
                 .agg(
                     F.coalesce(F.sum("rank_fx"), F.lit(0))
                     .cast("long")
                     .alias("_dsum")
                 )
-                .crossJoin(
-                    F.broadcast(
-                        nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-                    )
-                )
-                .select(F.expr("_dsum div _n").alias("_share"))
+                .select(F.expr(f"_dsum div {n_nodes}").alias("_share"))
             )
             ranks = (
                 base.crossJoin(F.broadcast(share))
@@ -134,4 +143,7 @@ def pagerank_fixed_point(
         out = out.localCheckpoint()
     e.unpersist()
     nodes.unpersist()
+    deg.unpersist()
+    if dangling is not None:
+        dangling.unpersist()
     return out

@@ -6220,6 +6220,7 @@ def q118_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS tok
       FROM cw, unnest(range(1, len(ws) + 1)) AS u(i)
+      WHERE ws[i] <> ''
     ),
     pos AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,

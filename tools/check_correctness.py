@@ -150,7 +150,11 @@ def main() -> int:
                 problems.append(f"oracle col {c!r} is {t} — CAST it "
                                 "(Spark has no int128)")
             sd = s_types.get(c, "")
-            if tu.startswith("DECIMAL") != sd.startswith("decimal"):
+            # containment, not prefix: DuckDB renders list-of-decimal as
+            # 'DECIMAL(p,s)[]' but Spark as 'array<decimal(p,s)>' — a
+            # prefix test would false-fail the pair the value canon
+            # compares correctly
+            if ("DECIMAL" in tu) != ("decimal" in sd):
                 problems.append(
                     f"col {c!r} decimal mismatch: duck={t} spark={sd}")
         if sorted(s_cols) != sorted(d_cols):
