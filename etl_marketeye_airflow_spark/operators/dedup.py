@@ -1031,8 +1031,10 @@ def substring_dedup(
     from all occurrences EXCEPT the globally-first one — the occurrence
     with the smallest (doc, pos) per gram is protected, every other
     occurrence's k tokens are dropped, and the survivors reassemble in
-    order.  Emits (id, n_tokens, n_removed, cleaned_text) for EVERY
-    input doc (fully-duplicated docs come back with cleaned_text='').
+    order.  Emits (id, n_tokens, n_removed, cleaned_text) for every
+    input doc WITH AT LEAST ONE TOKEN (fully-duplicated docs come back
+    with cleaned_text=''; empty/whitespace-only docs emit no row —
+    mirrored by the oracle's ``tok <> ''`` filter, convention 7).
 
     Deterministic by construction: the protect rule is an integer
     argmin, coverage is a per-doc rangeBetween window over dense token

@@ -1314,3 +1314,31 @@ def test_substring_spans_sound_and_complete_on_corpus(spark):
             covered.add((s.doc_id, p))
     assert covered == dup_positions  # complete
     assert len(dup_positions) > 0  # non-vacuous on this corpus
+
+
+def test_substring_dedup_degenerate_docs(spark):
+    """Empty and whitespace-only documents tokenize to [''] and emit NO
+    row (the oracle's tok <> '' filter mirrors this — r6 review finding
+    1); normal docs alongside them are unaffected."""
+    from etl_marketeye_airflow_spark.operators.dedup import (
+        substring_dedup,
+        substring_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   \t  "),
+            (3, f"pad {_SHARED10}"),
+            (4, f"{_SHARED10} trail"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed)
+        for r in substring_dedup(docs, min_len=10, eager=True).collect()
+    }
+    assert set(got) == {3, 4}  # degenerate docs absent, not crashed
+    assert got[3] == (11, 0) and got[4] == (11, 10)
+    spans = substring_dup_spans(docs, min_len=10, eager=True).collect()
+    assert sorted(r.doc_id for r in spans) == [3, 4]
