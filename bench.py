@@ -100,6 +100,47 @@ def main() -> None:
         ).collect()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Hang watchdog: one observed failure mode (round 6) is a python
+    # worker vanishing mid-task — the executor thread blocks forever in
+    # BasePythonRunner.read and a silent bench never finishes.  Each
+    # attempt runs under a job group; a timer cancels the group past the
+    # deadline so ONE stuck attempt costs bounded time and the suite
+    # still emits its JSON line (the query records the sentinel time,
+    # visibly huge).  Worst honest query is ~41 s at sf1, so 240 s
+    # never clips a real run.
+    timeout_s = float(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "240"))
+    import threading
+
+    def timed_attempt(name: str, fn) -> float:
+        sc = spark.sparkContext
+        group = f"bench-{name}"
+        done = threading.Event()
+
+        def axe():
+            if done.wait(timeout_s):
+                return
+            print(f"[bench] {name} TIMEOUT after {timeout_s:.0f}s — "
+                  "cancelling job group", file=sys.stderr, flush=True)
+            # cancelJobGroup only kills jobs RUNNING at call time; a
+            # multi-job attempt (eager operators) could submit the next
+            # job right after — keep axing until the attempt returns
+            while not done.is_set():
+                sc.cancelJobGroup(group)
+                done.wait(2)
+
+        watchdog = threading.Thread(target=axe, daemon=True)
+        watchdog.start()
+        sc.setJobGroup(group, f"bench attempt {name}", interruptOnCancel=True)
+        t0 = time.time()
+        try:
+            force_full_eval(fn(spark, sf_dir))
+            return time.time() - t0
+        except Exception:  # noqa: BLE001 — cancelled (or genuinely failed)
+            return timeout_s
+        finally:
+            done.set()
+            sc.setJobGroup("", "")
+
     timings: dict[str, float] = {}
     # fixed numeric order, NOT the rotating driver-sweep order — bench
     # deltas must compare like with like across rounds
@@ -112,9 +153,7 @@ def main() -> None:
             # is belt-and-braces isolation so no leak can feed a later
             # repeat/query a cache hit and skew its timing
             spark.catalog.clearCache()
-            t0 = time.time()
-            force_full_eval(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
+            best = min(best, timed_attempt(name, fn))
         timings[name] = round(best, 3)
         # progress to STDERR only — the driver parses the one stdout
         # JSON line; this is for humans tailing a long sf1 run (and for
