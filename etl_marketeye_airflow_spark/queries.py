@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .sources.tables import load_events, load_table
+from .streaming.ingest import drain_available_now
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -1333,7 +1334,7 @@ def q31_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        drain_available_now(q)
         return spark.table(name)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
@@ -1454,7 +1455,7 @@ def q34_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        drain_available_now(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         if prev_nanos is None:
@@ -2198,7 +2199,7 @@ def q50_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        drain_available_now(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -2745,7 +2746,7 @@ def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        drain_available_now(q)
         return spark.table(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
@@ -6154,7 +6155,7 @@ def q117_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        drain_available_now(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # Update-mode memory sink appends one row per CHANGED key PER

@@ -1,3 +1,7 @@
-from .ingest import stream_etl_available_now, windowed_event_counts
+from .ingest import (
+    drain_available_now,
+    stream_etl_available_now,
+    windowed_event_counts,
+)
 
 __all__ = ["stream_etl_available_now", "windowed_event_counts"]

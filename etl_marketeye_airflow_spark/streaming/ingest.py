@@ -26,6 +26,31 @@ from ..operators.merge import merge_products, union_sources
 from ..schemas import AVITO_RAW_SCHEMA, ELECTROPLANET_RAW_SCHEMA, JUMIA_RAW_SCHEMA
 
 
+def drain_available_now(q, timeout_s: float | None = None) -> None:
+    """Await an AvailableNow drain with a LOUD bounded timeout.
+
+    An honest drain of any registry stream finishes in seconds; an
+    unbounded ``awaitTermination()`` turns an infra fault (e.g. a
+    vanished python worker — observed once in round 6, executor thread
+    parked forever in BasePythonRunner.read) into a silent hang of the
+    whole sweep.  Past the deadline the query is stopped and a
+    RuntimeError raised, so the caller records ONE red error row
+    instead of stalling every query after it.  Default 600 s
+    (``SPARK_GRAFT_STREAM_TIMEOUT``) — two orders above any honest
+    drain, so it can never clip a real run.
+    """
+    import os
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "600"))
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"AvailableNow drain did not finish within {timeout_s:.0f}s "
+            "— stopped the stream (infra hang, not a data condition)"
+        )
+
+
 def stream_etl_available_now(
     spark: SparkSession,
     raw_dir: str,
