@@ -109,6 +109,11 @@ def main() -> None:
     # visibly huge).  Worst honest query is ~41 s at sf1, so 240 s
     # never clips a real run.
     timeout_s = float(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "240"))
+    # Streaming attempts can't be axed by job-group cancel (micro-batch
+    # jobs run under StreamExecution's own group, and the main thread is
+    # parked in the drain, not in a job) — their bound is the drain's
+    # own timeout, so align it with ours unless the user pinned one.
+    os.environ.setdefault("SPARK_GRAFT_STREAM_TIMEOUT", str(timeout_s))
     import threading
 
     def timed_attempt(name: str, fn) -> float:
@@ -135,7 +140,17 @@ def main() -> None:
         try:
             force_full_eval(fn(spark, sf_dir))
             return time.time() - t0
-        except Exception:  # noqa: BLE001 — cancelled (or genuinely failed)
+        except Exception as e:  # noqa: BLE001 — cancelled or genuinely failed
+            # ALWAYS say why: a query that raises instantly (e.g. a
+            # renamed column) must not masquerade as a slow one with no
+            # trace — the sentinel time plus this line keep it loud
+            print(
+                f"[bench] {name} attempt FAILED after "
+                f"{time.time() - t0:.1f}s: {type(e).__name__}: "
+                f"{str(e).splitlines()[0][:200]}",
+                file=sys.stderr,
+                flush=True,
+            )
             return timeout_s
         finally:
             done.set()

@@ -6258,7 +6258,9 @@ def q119_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     except the globally-first (min (doc, pos) per gram — an integer
     argmin, so the kept set is fully deterministic and the oracle's
     per-gram row_number reproduces it exactly).  Survivors reassemble
-    in position order; every input doc appears (fully-duplicated docs
+    in position order; every tokenizable doc appears — empty or
+    whitespace-only docs emit no row, mirrored by the oracle's
+    ``tok <> ''`` filter (fully-duplicated docs
     come back empty).  Scale: one gram-hash agg + per-doc rangeBetween
     coverage window — doc-length bounded, no global structure."""
     from .operators.dedup import substring_dedup

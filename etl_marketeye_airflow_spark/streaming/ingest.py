@@ -44,10 +44,19 @@ def drain_available_now(q, timeout_s: float | None = None) -> None:
     if timeout_s is None:
         timeout_s = float(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "600"))
     if not q.awaitTermination(timeout_s):
-        q.stop()
+        # stop() joins the execution thread with stopTimeout default 0 =
+        # wait forever — exactly the non-interruptible-thread fault class
+        # this guard exists for.  Stop on a daemon side-thread and raise
+        # REGARDLESS, so the timeout is genuinely bounded.
+        import threading
+
+        stopper = threading.Thread(target=q.stop, daemon=True)
+        stopper.start()
+        stopper.join(15)
         raise RuntimeError(
             f"AvailableNow drain did not finish within {timeout_s:.0f}s "
-            "— stopped the stream (infra hang, not a data condition)"
+            "— stopped the stream (infra hang, not a data condition"
+            f"{'; stop() itself is stuck' if stopper.is_alive() else ''})"
         )
 
 
