@@ -748,9 +748,11 @@ def countmin_token_counts(
     bounded-memory, MERGEABLE alternative to the exact vocabulary agg
     (token_counts) when the vocab itself doesn't fit (or when per-
     window sketches must union across streams/days: CMS tables add
-    cell-wise).  APPROXIMATE by construction — like the HLL/GK
-    operators this is pytest-error-bound gated, never oracle-backed;
-    the exact forms stay the oracle-bearing ones (plan-guard sweep).
+    cell-wise).  Point estimates are APPROXIMATE by construction
+    (pytest pins the ε·N bound), but the counter TABLE is a
+    deterministic exact object — portable md5 cell hashing makes both
+    the sketch (q120) and the estimates (q121) fully oracle-replicable
+    (upgraded from pytest-only, r6).
 
     Returns the depth × width counter table (row, col, cnt).  Point
     estimates come from ``countmin_estimate``: min over the d cells a

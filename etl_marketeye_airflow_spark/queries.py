@@ -6270,6 +6270,95 @@ def q119_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_SQL_CELLS = """
+    WITH w AS (SELECT {tokenize} AS ws FROM documents),
+    tok AS (SELECT unnest(ws) AS token FROM w),
+    t2 AS (SELECT token FROM tok WHERE token <> ''),
+    cells AS (
+      SELECT CAST(i AS INT) AS row,
+             CAST(concat('0x', substr(md5(
+               'cms-v1:' || CAST(i AS VARCHAR) || ':' || token), 1, 15))
+               AS BIGINT) % 1024 AS col
+      FROM t2, unnest(range(0, 4)) AS u(i)
+    ),
+    sketch AS (
+      SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY row, col
+    )
+"""
+
+
+@query(
+    "q120_countmin_sketch",
+    # The CMS counter table is a DETERMINISTIC exact object (the
+    # approximation lives in how estimates READ it): portable md5 cell
+    # hash → DuckDB rebuilds the identical depth×width table
+    oracle=_CMS_SQL_CELLS.format(tokenize=_SQL_TOKENIZE)
+    + "SELECT row, col, cnt FROM sketch",
+)
+def q120_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch counter table (depth=4, width=1024) over the
+    corpus token stream — the bounded-memory, cell-wise-MERGEABLE
+    frequency summary for vocabularies that don't fit (union across
+    streams/days = add tables).  The sketch TABLE is exact and
+    deterministic — engine-portable md5 cell hashing makes it fully
+    oracle-replicable even though point ESTIMATES read from it are
+    approximate (upgraded from pytest-only, r6).  Scale: one hash agg
+    into ≤ depth·width ≈ 4k groups regardless of corpus size —
+    map-side combine does nearly all the work."""
+    from .operators.corpus import countmin_token_counts
+
+    return countmin_token_counts(
+        _t(spark, sf_dir, "documents"), width=1024, depth=4
+    )
+
+
+_CMS_PROBE_TOKENS = (
+    "the", "vector", "stream", "quantum", "zzznotoken", "data",
+)
+
+
+@query(
+    "q121_countmin_estimate",
+    # min over each probe token's depth cells, left-joined so a cell
+    # the sketch never emitted reads 0 (absent token ⇒ estimate 0,
+    # not min of nonzero collisions) — replayed cell-for-cell
+    oracle=_CMS_SQL_CELLS.format(tokenize=_SQL_TOKENIZE)
+    + f""",
+    probes AS (
+      SELECT token, CAST(i AS INT) AS row,
+             CAST(concat('0x', substr(md5(
+               'cms-v1:' || CAST(i AS VARCHAR) || ':' || token), 1, 15))
+               AS BIGINT) % 1024 AS col
+      FROM (SELECT unnest(ARRAY{list(_CMS_PROBE_TOKENS)}) AS token),
+           unnest(range(0, 4)) AS u(i)
+    )
+    SELECT p.token AS token,
+           CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+    FROM probes p LEFT JOIN sketch s USING (row, col)
+    GROUP BY p.token
+    """,
+)
+def q121_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates for a fixed probe set (common words,
+    rare words, one absent token): min over the depth cells each token
+    hashes to, with never-emitted cells reading 0 so an absent token
+    estimates 0.  Overestimates by ≤ ε·N (ε ≈ e/width) with prob
+    ≥ 1 − 2^-depth, never underestimates (pytest pins the bound); the
+    estimate VALUES are nonetheless deterministic given the corpus, so
+    the oracle replays them cell-for-cell.  Scale: probe table is
+    |tokens|·depth rows — broadcast side of one join against the ≤4k
+    sketch."""
+    from .operators.corpus import countmin_estimate, countmin_token_counts
+
+    sketch = countmin_token_counts(
+        _t(spark, sf_dir, "documents"), width=1024, depth=4
+    )
+    return countmin_estimate(
+        sketch, list(_CMS_PROBE_TOKENS), width=1024, depth=4
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
