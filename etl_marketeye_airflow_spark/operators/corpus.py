@@ -820,3 +820,347 @@ def countmin_estimate(
         .groupBy("token")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007).  Same contract
+# as the count-min pair above: the REGISTER TABLE is a deterministic exact
+# object (portable md5 hashing → any engine rebuilds it cell-for-cell), the
+# approximation lives only in what the estimate claims about the true
+# cardinality.  The estimate itself is nonetheless a deterministic function
+# of the registers, computed bit-stably (integer register sum at a fixed
+# power-of-two scale, one correctly-rounded long→double cast + one division;
+# linear-counting correction via an EXACT driver-computed lookup table —
+# V, the empty-bucket count, is an integer in [1, m], so m·ln(m/V) has only
+# m possible values and both engines index the identical double literals;
+# no libm call executes in either engine) — so BOTH halves are fully
+# oracle-replicable.  NOTE the dyadic flog2_fx used by surprisal/BM25 is
+# NOT reusable here: its chord error (≤0.086 bits) is per-TOKEN noise
+# there but would be m·0.086·ln2 ≈ 6% of m absolute error on a single
+# scalar estimate — fatal exactly in the small-V regime LC exists for.
+# ---------------------------------------------------------------------------
+
+
+def hll_lc_table(p: int) -> list[float]:
+    """Exact linear-counting values [m·ln(m/V) for V in 1..m], computed
+    once on the driver.  Both the Spark plan and the DuckDB oracle embed
+    these identical IEEE doubles (1-indexed by V), so the LC branch is
+    bit-stable without evaluating any transcendental at query time."""
+    import math
+
+    m = 1 << p
+    return [float(m) * math.log(m / v) for v in range(1, m + 1)]
+
+
+def _hll_params(p: int) -> tuple[int, int, float]:
+    """(m, scale_bits, alpha_m) for 2^p buckets over the 60-bit hash.
+
+    scale_bits = 61 − p: the post-bucket window has 60 − p bits, so
+    rho ∈ [1, 61 − p] and the fixed-point register sum
+    Σ 2^(scale_bits − reg) + empty·2^scale_bits ≤ m·2^scale_bits = 2^61
+    always fits a BIGINT, for any p.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll p must be in [4, 16], got {p}")
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else {
+        16: 0.673, 32: 0.697, 64: 0.709}[m]
+    return m, 61 - p, alpha
+
+
+def hll_registers(
+    docs: DataFrame,
+    text_col: str = "text",
+    p: int = 10,
+    seed: str = "hll-v1",
+) -> DataFrame:
+    """HyperLogLog register table (bucket, reg) over the corpus token
+    stream — the bounded-memory distinct-count summary when the exact
+    vocabulary agg doesn't fit, and the MERGEABLE one when per-
+    stream/per-day sketches must union (``hll_merge``: cell-wise max).
+
+    bucket = low p bits of the 60-bit md5 hash; reg = max over the
+    stream of rho = (leading zeros of the remaining 60−p bits) + 1.
+    Duplicate tokens can't move the max, so the table depends only on
+    the distinct-token SET — that is the whole sketch idea.
+
+    Scale shape: ONE hash aggregation into ≤ 2^p groups regardless of
+    corpus size; map-side combine (partial max) does nearly all the
+    work and the register table broadcasts anywhere it's consumed.
+    """
+    from .dedup import portable_token_hash, spread, words
+
+    m, scale_bits, _ = _hll_params(p)
+    max_rho = scale_bits  # 61 − p
+    tok = (
+        spread(docs)
+        .select(F.explode(words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    h = portable_token_hash(F.concat(F.lit(seed + ":"), F.col("token")))
+    cells = (
+        tok.withColumn("_h", h)
+        .withColumn("bucket", (F.col("_h") % m).cast("int"))
+        .withColumn("_w", F.expr(f"_h div {m}"))
+        # rho = leading zeros in the (60−p)-bit window + 1
+        #     = (60−p) − bitlen(w) + 1;  w = 0 ⇒ all zeros ⇒ max_rho
+        .withColumn(
+            "rho",
+            F.when(F.col("_w") == 0, F.lit(max_rho))
+            .otherwise(
+                F.lit(max_rho)
+                - F.length(F.conv(F.col("_w").cast("string"), 10, 2))
+            )
+            .cast("int"),
+        )
+    )
+    return cells.groupBy("bucket").agg(F.max("rho").alias("reg"))
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union of HLL sketches = cell-wise max of their register tables —
+    the merge that makes per-shard/per-day sketches composable."""
+    if not register_tables:
+        raise ValueError("hll_merge needs at least one register table")
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """Cardinality estimate from an HLL register table: one row
+    (n_buckets, empty_buckets, method, estimate).
+
+    Raw HLL: E = alpha_m·m² / Σ 2^(−M[j]).  The register sum is held as
+    the exact integer S_fx = Σ 2^(scale_bits − reg) + empty·2^scale_bits
+    (≤ 2^61 — always BIGINT-safe), so the only float ops are one
+    correctly-rounded long→double cast and one division by a literal —
+    bit-identical on any IEEE-754 engine.  Small-range correction
+    (E ≤ 2.5m with empty buckets): linear counting m·ln(m/V) — V is an
+    integer in [1, m], so the value is read from the exact
+    ``hll_lc_table`` literal (same doubles embedded in the oracle); no
+    libm in either engine.  Standard error ≈ 1.04/√m (pytest pins it);
+    never needs the 2^60 large-range correction at any realistic
+    cardinality.
+    """
+    m, scale_bits, alpha = _hll_params(p)
+    # alpha·m²·2^scale_bits as ONE Python-computed double literal — the
+    # oracle embeds repr() of the same value, so both engines divide
+    # identical operands
+    alpha_num = alpha * m * m * float(1 << scale_bits)
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_filled"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale_bits} - reg)")),
+            F.lit(0).cast("long"),
+        ).alias("_s_filled"),
+    )
+    staged = (
+        agg.withColumn("empty_buckets", (F.lit(m) - F.col("_n_filled")).cast("long"))
+        .withColumn(
+            "_s_fx",
+            F.col("_s_filled")
+            + F.col("empty_buckets") * F.lit(1 << scale_bits).cast("long"),
+        )
+        .withColumn("raw_est", F.lit(alpha_num) / F.col("_s_fx").cast("double"))
+        .withColumn("_v1", F.greatest(F.col("empty_buckets"), F.lit(1).cast("long")))
+    )
+    # single ArrayType literal (not m separate columns) indexed by V —
+    # constant-folded, zero per-row cost on the 1-row aggregate
+    lc = F.element_at(F.lit(hll_lc_table(p)), F.col("_v1").cast("int"))
+    use_lc = (F.col("empty_buckets") > 0) & (
+        F.col("raw_est") <= F.lit(2.5 * m)
+    )
+    return staged.select(
+        F.lit(m).alias("n_buckets"),
+        "empty_buckets",
+        F.when(use_lc, F.lit("linear_counting"))
+        .otherwise(F.lit("hll_raw"))
+        .alias("method"),
+        F.when(use_lc, lc).otherwise(F.col("raw_est")).alias("estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007;
+# Dasgupta et al. "theta sketch framework").  Third member of the sketch
+# family (count-min = frequencies, HLL = cardinality): KMV keeps the k
+# SMALLEST distinct 60-bit token hashes, which is the sketch that supports
+# SET OPERATIONS — union / intersection / Jaccard estimates between
+# corpora (the cheap cross-corpus overlap / contamination measure).  Same
+# contract as its siblings: the sketch table is a deterministic exact
+# object (portable md5 hash → any engine rebuilds it row-for-row), the
+# approximation lives only in what estimates claim about the true sets;
+# the estimate VALUES are still deterministic bit-stable functions of the
+# sketch (integer counts/thetas, one correctly-rounded long→double cast
+# per operand, divisions of identical operands).
+# ---------------------------------------------------------------------------
+
+KMV_HASH_SPACE = 1 << 60  # portable_token_hash range: [0, 2^60)
+
+
+def kmv_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 256,
+    seed: str = "kmv-v1",
+) -> DataFrame:
+    """KMV sketch (rank, h): the k smallest DISTINCT 60-bit token hashes
+    of the corpus, rank = 1-based position in hash order.
+
+    Depends only on the distinct-token SET (duplicates collapse before
+    the top-k; pytest pins duplicate invariance).  Scale shape: one
+    vocabulary-sized distinct agg (map-side partial dedup) followed by a
+    distributed top-k (per-partition TakeOrdered + k-row merge on the
+    driver side of the exchange) — NO global sort; the k-row result
+    broadcasts anywhere it's consumed.
+    """
+    from .dedup import portable_token_hash, spread, words
+
+    if k < 2:
+        raise ValueError(f"kmv k must be >= 2, got {k}")
+    h = portable_token_hash(F.concat(F.lit(seed + ":"), F.col("token")))
+    smallest = (
+        spread(docs)
+        .select(F.explode(words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    # rank over ≤ k rows — the single-partition window is bounded by k,
+    # not by data size
+    w = Window.orderBy("h")
+    return smallest.select(
+        F.row_number().over(w).cast("int").alias("rank"), "h"
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Union of KMV sketches = k smallest of the combined hash sets —
+    per-shard/per-day sketches compose exactly (pytest pins merge ≡
+    whole-corpus).  Input sizes are ≤ k each, so this is driver-trivial."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    out = sketches[0].select("h")
+    for s in sketches[1:]:
+        out = out.unionByName(s.select("h"))
+    merged = out.distinct().orderBy("h").limit(k)
+    w = Window.orderBy("h")
+    return merged.select(
+        F.row_number().over(w).cast("int").alias("rank"), "h"
+    )
+
+
+def _kmv_theta(sketch: DataFrame, k: int) -> DataFrame:
+    """One row (n, theta): n = stored hashes, theta = inclusion bound.
+    A sketch with n < k holds the ENTIRE distinct-hash set, so its
+    theta is the full hash space (estimates degenerate to exact
+    counts); at n = k theta is the k-th minimum value itself."""
+    return sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.when(F.count(F.lit(1)) < k, F.lit(KMV_HASH_SPACE).cast("long"))
+        .otherwise(F.max("h"))
+        .alias("theta"),
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: one row
+    (n_stored, method, estimate).
+
+    Full sketch: the unbiased estimator (k−1)·H/θ (H = hash space) —
+    two exact longs cast long→double once each, one division: bit-
+    identical on any IEEE-754 engine.  n < k: the sketch IS the
+    distinct set — estimate is the exact count.  Relative error
+    ≈ 1/√(k−2) (pytest pins it).
+    """
+    agg = _kmv_theta(sketch, k)
+    exact = F.col("n") < k
+    return agg.select(
+        F.col("n").alias("n_stored"),
+        F.when(exact, F.lit("exact_under_k")).otherwise(F.lit("kmv")).alias("method"),
+        F.when(exact, F.col("n").cast("double"))
+        .otherwise(
+            F.lit(float(KMV_HASH_SPACE))
+            * F.lit(k - 1).cast("double")
+            / F.col("theta").cast("double")
+        )
+        .alias("estimate"),
+    )
+
+
+def kmv_set_ops(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 256,
+    eager: bool = True,
+) -> DataFrame:
+    """Theta-sketch set operations between two KMV sketches built with
+    the same k/seed: one row (theta_cut, inter_seen, union_seen,
+    union_est, intersect_est, jaccard_est).
+
+    Each input sketch has TWO consumers below (its θ aggregate and its
+    θ-cut), so ``eager=True`` (default) materializes each once via
+    ``localCheckpoint`` — ≤ k rows held, and the corpus-sized sketch
+    build is never re-executed.  ``eager=False`` returns the fully lazy
+    plan (for plan inspection / tests).
+
+    θ = min(θ_A, θ_B); both stored sets are cut back to h ≤ θ (the
+    region where BOTH sketches are complete samples of their sets), so
+    inter_seen / union_seen are exact integer counts over that region
+    and the estimates scale them by H/θ.  jaccard = inter/union of the
+    cut sets directly (ratio estimator — the θ factor cancels).  All
+    comparisons and counts are integer; the only float ops are the
+    final long→double casts + divisions of identical operands.
+
+    Scale shape: the inputs are ≤ k rows each — every join/agg here is
+    driver-trivial regardless of corpus size; building the sketches is
+    the only data-sized work.
+    """
+    if eager:
+        sketch_a = sketch_a.localCheckpoint(eager=True)
+        sketch_b = sketch_b.localCheckpoint(eager=True)
+    ta = _kmv_theta(sketch_a, k).select(F.col("theta").alias("_ta"))
+    tb = _kmv_theta(sketch_b, k).select(F.col("theta").alias("_tb"))
+    theta = ta.crossJoin(tb).select(  # 1-row × 1-row
+        F.least("_ta", "_tb").alias("theta")
+    )
+    a_cut = (
+        sketch_a.crossJoin(F.broadcast(theta))  # ≤k rows × 1 row
+        .filter(F.col("h") <= F.col("theta"))
+        .select("h")
+    )
+    b_cut = (
+        sketch_b.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") <= F.col("theta"))
+        .select("h")
+    )
+    inter = a_cut.join(b_cut, "h", "inner").agg(
+        F.count(F.lit(1)).cast("long").alias("inter_seen")
+    )
+    union = (
+        a_cut.unionByName(b_cut)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("union_seen"))
+    )
+    scale = F.lit(float(KMV_HASH_SPACE)) / F.col("theta").cast("double")
+    return (
+        theta.crossJoin(inter)  # three 1-row frames
+        .crossJoin(union)
+        .select(
+            F.col("theta").alias("theta_cut"),
+            "inter_seen",
+            "union_seen",
+            (F.col("union_seen").cast("double") * scale).alias("union_est"),
+            (F.col("inter_seen").cast("double") * scale).alias("intersect_est"),
+            F.when(F.col("union_seen") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("inter_seen").cast("double")
+                / F.col("union_seen").cast("double")
+            )
+            .alias("jaccard_est"),
+        )
+    )

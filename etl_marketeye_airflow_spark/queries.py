@@ -6359,6 +6359,204 @@ def q121_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HyperLogLog: same deterministic-sketch contract as count-min above.
+# 60-bit md5 hash → bucket = low 10 bits, rho = leading zeros of the
+# remaining 50-bit window + 1 (bin-length arithmetic, no libm).
+_HLL_SQL_REGS = """
+    WITH w AS (SELECT {tokenize} AS ws FROM documents),
+    tok AS (SELECT unnest(ws) AS token FROM w),
+    t2 AS (SELECT token FROM tok WHERE token <> ''),
+    h AS (
+      SELECT CAST(concat('0x', substr(md5('hll-v1:' || token), 1, 15))
+             AS BIGINT) AS h
+      FROM t2
+    ),
+    cells AS (SELECT CAST(h % 1024 AS INT) AS bucket, h // 1024 AS wv FROM h),
+    regs AS (
+      SELECT bucket,
+             CAST(max(CASE WHEN wv = 0 THEN 51
+                           ELSE 51 - length(bin(wv)) END) AS INT) AS reg
+      FROM cells GROUP BY bucket
+    )
+"""
+
+
+@query(
+    "q122_hll_registers",
+    # the register table depends only on the distinct-token SET (max is
+    # idempotent over duplicates) and the portable md5 cell hash —
+    # DuckDB rebuilds it cell-for-cell
+    oracle=_HLL_SQL_REGS.format(tokenize=_SQL_TOKENIZE)
+    + "SELECT bucket, reg FROM regs",
+)
+def q122_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (p=10, 1024 buckets) over the corpus
+    token stream — the bounded-memory, MERGEABLE distinct-count summary
+    (union of corpora = cell-wise max of register tables; pytest pins
+    merge ≡ whole-corpus).  The table is exact and deterministic: the
+    approximation lives only in what the ESTIMATE (q123) claims about
+    true cardinality.  Scale: one hash agg into ≤1024 groups regardless
+    of corpus size — map-side partial max does nearly all the work."""
+    from .operators.corpus import hll_registers
+
+    return hll_registers(_t(spark, sf_dir, "documents"), p=10)
+
+
+# alpha_m·m²·2^scale_bits for p=10, computed ONCE here and embedded in
+# both engines (F.lit on the Spark side receives the same double).
+_HLL_ALPHA_NUM_P10 = (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024 * float(1 << 51)
+
+
+def _hll_lc_sql_p10() -> str:
+    """The p=10 linear-counting table [1024·ln(1024/V) for V in 1..1024]
+    as a DuckDB list literal — repr() round-trips each IEEE double
+    exactly, so the oracle indexes the SAME values hll_estimate embeds
+    via F.lit.  (The dyadic flog2_fx is NOT usable here — its chord
+    error is ~6% of m on a single scalar; see operators/corpus.py.)"""
+    from .operators.corpus import hll_lc_table
+
+    return "[" + ", ".join(repr(x) for x in hll_lc_table(10)) + "]"
+
+
+@query(
+    "q123_hll_estimate",
+    # raw HLL: integer register sum at scale 2^51 (≤ 2^61, BIGINT-safe),
+    # ONE long→double cast + ONE division of identical literals; linear-
+    # counting branch: exact driver-computed m·ln(m/V) table indexed by
+    # the integer V — identical doubles both engines, no libm either side
+    oracle=_HLL_SQL_REGS.format(tokenize=_SQL_TOKENIZE)
+    + f""",
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_filled,
+             CAST(coalesce(sum(CAST(1 AS BIGINT) << (51 - reg)), 0)
+                  AS BIGINT) AS s_filled
+      FROM regs
+    ),
+    st AS (
+      SELECT 1024 - n_filled AS empty_buckets,
+             s_filled + (1024 - n_filled) * (CAST(1 AS BIGINT) << 51) AS s_fx
+      FROM agg
+    ),
+    st2 AS (
+      SELECT empty_buckets,
+             CAST({_HLL_ALPHA_NUM_P10!r} AS DOUBLE)
+               / CAST(s_fx AS DOUBLE) AS raw_est,
+             greatest(empty_buckets, CAST(1 AS BIGINT)) AS v1
+      FROM st
+    )
+    SELECT 1024 AS n_buckets,
+           CAST(empty_buckets AS BIGINT) AS empty_buckets,
+           CASE WHEN empty_buckets > 0 AND raw_est <= 2560.0
+                THEN 'linear_counting' ELSE 'hll_raw' END AS method,
+           CASE WHEN empty_buckets > 0 AND raw_est <= 2560.0
+                THEN ({_hll_lc_sql_p10()})[CAST(v1 AS INT)]
+                ELSE raw_est END AS estimate
+    FROM st2
+    """,
+)
+def q123_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimate from the q122 registers: one row
+    (n_buckets, empty_buckets, method, estimate).  Standard error ≈
+    1.04/√1024 ≈ 3.3% (pytest pins the bound vs the exact distinct
+    count); the VALUE is nonetheless a deterministic bit-stable
+    function of the registers, so the oracle replays it exactly —
+    including which correction branch fires.  Scale: the estimate reads
+    a ≤1024-row table; the expensive part is q122's one agg."""
+    from .operators.corpus import hll_estimate, hll_registers
+
+    regs = hll_registers(_t(spark, sf_dir, "documents"), p=10)
+    return hll_estimate(regs, p=10)
+
+
+# KMV / theta sketch: third sketch family member (count-min = frequencies,
+# HLL = cardinality, KMV = SET OPERATIONS between corpora).  k=16 so the
+# estimation branch genuinely fires on the test corpus (31 distinct
+# tokens); the sketch is the k smallest distinct 60-bit md5 hashes —
+# exact, deterministic, rebuilt row-for-row by DuckDB.
+_KMV_SQL_SKETCH = """
+      SELECT row_number() OVER (ORDER BY h) AS rank, h
+      FROM (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5('kmv-v1:' || token), 1, 15))
+               AS BIGINT) AS h
+        FROM (
+          SELECT unnest({tokenize}) AS token FROM documents {where}
+        ) WHERE token <> ''
+        ORDER BY h LIMIT {k}
+      )
+"""
+
+
+@query(
+    "q124_kmv_sketch",
+    # depends only on the distinct-token set (duplicates collapse before
+    # the top-k) and the portable md5 hash — fully replayable
+    oracle="SELECT CAST(rank AS INT) AS rank, h FROM ("
+    + _KMV_SQL_SKETCH.format(tokenize=_SQL_TOKENIZE, where="", k=16)
+    + ")",
+)
+def q124_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch (k=16): the 16 smallest distinct token hashes of the
+    corpus — the bounded-memory summary that supports distinct-count
+    AND set-operation estimates (q125).  Scale: one vocab-sized distinct
+    agg + distributed top-k (per-partition TakeOrdered, k-row merge);
+    no global sort; result is k rows regardless of corpus size."""
+    from .operators.corpus import kmv_sketch
+
+    return kmv_sketch(_t(spark, sf_dir, "documents"), k=16)
+
+
+@query(
+    "q125_kmv_set_ops",
+    # θ = min of the two inclusion bounds (2^60 when a sketch holds its
+    # whole set, else max h); both sketches cut to h ≤ θ where each is a
+    # complete sample; counts are exact integers over the cut, estimates
+    # = count·2^60/θ (long→double casts + divisions of identical
+    # operands); jaccard = inter/union of the cut sets (θ cancels)
+    oracle=f"""
+    WITH a AS ({_KMV_SQL_SKETCH.format(tokenize=_SQL_TOKENIZE,
+                                       where="WHERE doc_id % 2 = 0", k=16)}),
+    b AS ({_KMV_SQL_SKETCH.format(tokenize=_SQL_TOKENIZE,
+                                  where="WHERE doc_id % 2 <> 0", k=16)}),
+    ta AS (SELECT CASE WHEN count(*) < 16
+                       THEN CAST(1152921504606846976 AS BIGINT)
+                       ELSE max(h) END AS th FROM a),
+    tb AS (SELECT CASE WHEN count(*) < 16
+                       THEN CAST(1152921504606846976 AS BIGINT)
+                       ELSE max(h) END AS th FROM b),
+    th AS (SELECT least(ta.th, tb.th) AS theta FROM ta, tb),
+    ac AS (SELECT h FROM a, th WHERE h <= theta),
+    bc AS (SELECT h FROM b, th WHERE h <= theta),
+    i AS (SELECT CAST(count(*) AS BIGINT) AS inter_seen
+          FROM ac WHERE h IN (SELECT h FROM bc)),
+    u AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS union_seen
+          FROM (SELECT h FROM ac UNION ALL SELECT h FROM bc))
+    SELECT theta AS theta_cut, inter_seen, union_seen,
+           CAST(union_seen AS DOUBLE) * (1152921504606846976.0
+             / CAST(theta AS DOUBLE)) AS union_est,
+           CAST(inter_seen AS DOUBLE) * (1152921504606846976.0
+             / CAST(theta AS DOUBLE)) AS intersect_est,
+           CASE WHEN union_seen = 0 THEN 0.0
+                ELSE CAST(inter_seen AS DOUBLE) / CAST(union_seen AS DOUBLE)
+           END AS jaccard_est
+    FROM th, i, u
+    """,
+)
+def q125_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations between the even- and odd-doc_id
+    halves of the corpus: union / intersection / Jaccard estimates from
+    two k=16 KMV sketches — the cheap cross-corpus overlap measure
+    (contamination triage before the exact span-level pass, q104/q111).
+    Scale: each sketch is one vocab-sized agg on its half; everything
+    downstream operates on ≤16-row frames."""
+    from .operators.corpus import kmv_set_ops, kmv_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    a = kmv_sketch(docs.filter(F.col("doc_id") % 2 == 0), k=16)
+    b = kmv_sketch(docs.filter(F.col("doc_id") % 2 != 0), k=16)
+    return kmv_set_ops(a, b, k=16)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

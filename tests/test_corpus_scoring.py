@@ -625,3 +625,169 @@ def test_read_evolving_parquet_unifies_versions(spark, tmp_path):
     assert (rows[1].a, rows[1].b, rows[1].c) == (10.0, None, None)
     assert (rows[2].a, rows[2].b, rows[2].c) == (20.0, "x", None)
     assert (rows[3].a, rows[3].b, rows[3].c) == (30.5, None, 7)
+
+
+def _hll_est(spark, docs_df, p=10):
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    row = hll_estimate(hll_registers(docs_df, p=p), p=p).collect()[0]
+    return row
+
+
+def test_hll_accuracy_both_branches(spark, docs):
+    """HLL contract: the estimate lands within ~4 standard errors
+    (1.04/sqrt(m) ≈ 3.3% at p=10) of the true distinct count, in BOTH
+    regimes — small cardinality (linear-counting branch) and
+    cardinality >> m (raw-HLL branch) — and on the real corpus."""
+    from etl_marketeye_airflow_spark.operators.corpus import token_counts
+
+    # raw branch: 40k distinct tokens over 400 docs fills every bucket
+    big = spark.createDataFrame(
+        [(d, " ".join(f"tok{d}_{i}" for i in range(100))) for d in range(400)],
+        "doc_id long, text string",
+    )
+    r = _hll_est(spark, big)
+    assert r.method == "hll_raw" and r.empty_buckets == 0
+    assert abs(r.estimate - 40_000) / 40_000 < 0.13, r
+
+    # linear-counting branch: 150 distinct tokens, heavily repeated
+    small = spark.createDataFrame(
+        [(d, " ".join(f"w{i % 150}" for i in range(300))) for d in range(20)],
+        "doc_id long, text string",
+    )
+    r = _hll_est(spark, small)
+    assert r.method == "linear_counting" and r.empty_buckets > 0
+    assert abs(r.estimate - 150) / 150 < 0.13, r
+
+    # real corpus: whatever branch fires, the bound must hold
+    truth = token_counts(docs).count()
+    r = _hll_est(spark, docs)
+    assert abs(r.estimate - truth) / truth < 0.13, (r, truth)
+
+
+def test_hll_merge_and_duplicate_invariance(spark, docs):
+    """Register tables are a pure function of the distinct-token SET:
+    duplicating every document changes nothing, and the cell-wise-max
+    merge of two half-corpus sketches equals the whole-corpus sketch
+    exactly (registers AND estimate)."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    full = hll_registers(docs)
+    doubled = hll_registers(docs.unionByName(docs))
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, doubled.collect())
+    )
+    a = hll_registers(docs.filter(F.col("doc_id") % 2 == 0))
+    b = hll_registers(docs.filter(F.col("doc_id") % 2 != 0))
+    merged = hll_merge(a, b)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    assert (
+        hll_estimate(merged).collect() == hll_estimate(full).collect()
+    )
+
+
+def test_kmv_estimate_both_branches(spark, docs):
+    """KMV contract: n < k → the sketch IS the distinct set (exact
+    branch); full sketch → (k−1)·H/θ lands within ~4 standard errors
+    (1/sqrt(k−2) ≈ 6.3% at k=256) of the true distinct count."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        kmv_estimate,
+        kmv_sketch,
+        token_counts,
+    )
+
+    truth = token_counts(docs).count()
+    r = kmv_estimate(kmv_sketch(docs, k=4096), k=4096).collect()[0]
+    assert r.method == "exact_under_k" and r.n_stored == truth
+    assert r.estimate == float(truth)
+
+    big = spark.createDataFrame(
+        [(d, " ".join(f"tok{d}_{i}" for i in range(100))) for d in range(400)],
+        "doc_id long, text string",
+    )
+    r = kmv_estimate(kmv_sketch(big, k=256), k=256).collect()[0]
+    assert r.method == "kmv" and r.n_stored == 256
+    assert abs(r.estimate - 40_000) / 40_000 < 0.25, r
+
+
+def test_kmv_merge_and_duplicate_invariance(spark, docs):
+    """The sketch depends only on the distinct-token SET (duplicating
+    every doc changes nothing) and half-corpus sketches merge into
+    exactly the whole-corpus sketch."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    full = kmv_sketch(docs, k=16)
+    doubled = kmv_sketch(docs.unionByName(docs), k=16)
+    assert full.collect() == doubled.collect()
+    a = kmv_sketch(docs.filter(F.col("doc_id") % 2 == 0), k=16)
+    b = kmv_sketch(docs.filter(F.col("doc_id") % 2 != 0), k=16)
+    assert kmv_merge(a, b, k=16).collect() == full.collect()
+
+
+def test_kmv_set_ops_identical_and_disjoint(spark):
+    """Set-op estimates hit the degenerate corners exactly: a corpus
+    against itself (jaccard 1, intersect == union) and two token-
+    disjoint corpora (inter_seen 0, jaccard 0); with both vocabularies
+    under k the union estimate is the exact union cardinality."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    xs = spark.createDataFrame(
+        [(d, " ".join(f"x{i}" for i in range(50))) for d in range(4)],
+        "doc_id long, text string",
+    )
+    ys = spark.createDataFrame(
+        [(d, " ".join(f"y{i}" for i in range(50))) for d in range(4)],
+        "doc_id long, text string",
+    )
+    sx = kmv_sketch(xs, k=256)
+    r = kmv_set_ops(sx, kmv_sketch(xs, k=256), k=256).collect()[0]
+    assert r.jaccard_est == 1.0 and r.inter_seen == r.union_seen == 50
+    assert r.intersect_est == r.union_est == 50.0  # exact: theta = H
+    # the lazy plan computes the identical row
+    lazy = kmv_set_ops(sx, kmv_sketch(xs, k=256), k=256, eager=False)
+    assert lazy.collect()[0] == r
+
+    r = kmv_set_ops(sx, kmv_sketch(ys, k=256), k=256).collect()[0]
+    assert r.inter_seen == 0 and r.jaccard_est == 0.0
+    assert r.union_est == 100.0
+
+
+def test_kmv_set_ops_overlap_accuracy(spark):
+    """Planted 50% vocabulary overlap: jaccard ≈ 1/3, intersection ≈
+    4000 — full-sketch (k=256) estimates land within ~4σ bounds."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [(d, " ".join(f"s{d}_{i}" for i in range(50))
+          + " " + " ".join(f"c{d}_{i}" for i in range(50)))
+         for d in range(80)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(d, " ".join(f"t{d}_{i}" for i in range(50))
+          + " " + " ".join(f"c{d}_{i}" for i in range(50)))
+         for d in range(80)],
+        "doc_id long, text string",
+    )
+    r = kmv_set_ops(kmv_sketch(a, k=256), kmv_sketch(b, k=256), k=256).collect()[0]
+    assert abs(r.jaccard_est - 1 / 3) / (1 / 3) < 0.35, r
+    assert abs(r.intersect_est - 4000) / 4000 < 0.4, r
+    assert abs(r.union_est - 12000) / 12000 < 0.25, r

@@ -37,6 +37,7 @@ EXECUTES_ON_BUILD = {
     "q104_bloom_decontamination": "eager (bitmap built at call; checkpointed result)",
     "q108_semdedup": "eager (quantizer trained at call; checkpointed kept set)",
     "q99_prefix_filter_similarity_join": "eager (persisted shingle base; checkpointed pair set)",
+    "q125_kmv_set_ops": "eager (checkpointed input sketches)",
     "q114_pagerank": "iterative (checkpointed per-iteration ranks)",
     "q100_unigram_surprisal": "eager (persisted token stream; checkpointed result)",
     "q103_tfidf_topk": "eager (persisted tf base; checkpointed result)",
