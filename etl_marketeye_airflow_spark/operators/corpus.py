@@ -1164,3 +1164,172 @@ def kmv_set_ops(
             .alias("jaccard_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dyadic quantile sketch (HDR-histogram / DDSketch family: Masson et al.
+# VLDB 2019, but with power-of-two buckets so EVERY operation is integer).
+# Fourth sketch-family member (count-min = frequencies, HLL = cardinality,
+# KMV = set ops, this = QUANTILES): a bounded-size histogram whose buckets
+# have relative width <= 2^-sub_bits, mergeable by cell-wise (sum, min,
+# max).  Same contract as its siblings: the sketch table is an exact
+# deterministic object (bucket index is pure bit arithmetic on the value
+# -- any engine rebuilds it row-for-row), and quantile ESTIMATES read from
+# it are approximate vs the true order statistic (pytest pins the
+# rank-exactness: the chosen bucket provably CONTAINS the true quantile,
+# so lo <= q_true <= hi and the midpoint is off by <= (hi-lo)/2, a
+# <= 2^-(sub_bits) relative error) while still being deterministic
+# integer functions of the sketch -- fully oracle-replicable.
+# ---------------------------------------------------------------------------
+
+
+def with_dyadic_bucket(
+    df: DataFrame, src: str, dst: str, sub_bits: int = 5
+) -> DataFrame:
+    """Add ``dst`` = dyadic bucket index of the non-negative integer
+    column ``src``.  Values below 2^(sub_bits+1) get an EXACT bucket
+    (idx = v); above, the bucket keeps the leading (sub_bits+1)
+    significant bits — idx = (b − s)·2^s + (v >> (b − s)) with
+    b = bitlen(v) − 1 (bin-length idiom, same as HLL's rho).  Monotone
+    in v; bucket width / bucket lower bound ≤ 2^−sub_bits.  Pure bit
+    arithmetic on longs — any engine replays it bit-for-bit.  Staged
+    with withColumn per plan-convention #2; helper columns dropped.
+    """
+    s = sub_bits
+    exact_below = 1 << (s + 1)
+    b = (F.length(F.conv(F.col(src).cast("string"), 10, 2)) - 1).cast("int")
+    return (
+        df.withColumn("_dyb_b", b)
+        .withColumn(
+            "_dyb_p",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), _dyb_b - {s})"),
+        )
+        .withColumn(
+            dst,
+            F.when(F.col(src).cast("long") < exact_below,
+                   F.col(src).cast("long"))
+            .otherwise(
+                (F.col("_dyb_b") - F.lit(s)).cast("long") * F.lit(1 << s)
+                + F.expr(f"CAST({src} AS BIGINT) div _dyb_p")
+            )
+            .cast("long"),
+        )
+        .drop("_dyb_b", "_dyb_p")
+    )
+
+
+def dyadic_histogram(
+    values: DataFrame, value_col: str, sub_bits: int = 5
+) -> DataFrame:
+    """Dyadic quantile-sketch table (bucket_idx, lo, hi, cnt) over a
+    non-negative integer column — the bounded-memory quantile summary
+    (p50/p90/p99 of document length, request latency, …) when a global
+    sort is off the table, and the MERGEABLE one when per-shard/per-day
+    sketches must union (``dyadic_hist_merge``: sum counts, min lo,
+    max hi).
+
+    lo/hi are the OBSERVED min/max within each bucket (exact,
+    deterministic, and tighter than the bucket bounds), so a quantile
+    estimate from the sketch brackets the true order statistic:
+    the bucket holding rank r contains the true rank-r value, hence
+    lo ≤ q_true ≤ hi with (hi − lo)/lo ≤ 2^−sub_bits.
+
+    Scale shape: ONE hash aggregation into ≤ (64 − s)·2^s ≈ 2k groups
+    regardless of row count; map-side combine (partial sum/min/max)
+    does nearly all the work and the sketch broadcasts anywhere it's
+    consumed.
+    """
+    staged = with_dyadic_bucket(values, value_col, "bucket_idx", sub_bits)
+    return staged.groupBy("bucket_idx").agg(
+        F.min(F.col(value_col).cast("long")).alias("lo"),
+        F.max(F.col(value_col).cast("long")).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+
+
+def dyadic_hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of dyadic sketches = cell-wise (min lo, max hi, sum cnt) —
+    the merge that makes per-shard/per-day sketches composable."""
+    if not sketches:
+        raise ValueError("dyadic_hist_merge needs at least one sketch")
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket_idx").agg(
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum("cnt").cast("long").alias("cnt"),
+    )
+
+
+# (label, numerator, denominator) — target rank r = ceil(q·N) computed as
+# (N·num + den − 1) div den: integer-exact on any engine.
+DYADIC_QUANTILES = (
+    ("p25", 1, 4),
+    ("p50", 1, 2),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+)
+
+
+def dyadic_quantile_estimate(
+    sketch: DataFrame,
+    quantiles: tuple = DYADIC_QUANTILES,
+    eager: bool = True,
+) -> DataFrame:
+    """Quantile estimates from a dyadic sketch: for each (label, num,
+    den), rank r = ceil(q·N) (1-indexed over the sorted values) and the
+    first bucket whose cumulative count reaches r — that bucket PROVABLY
+    contains the true rank-r value, so the output brackets it:
+    one row (q_label, target_rank, bucket_idx, lo, hi, est) per
+    quantile with lo ≤ q_true ≤ hi and est = (lo + hi) div 2 off by
+    ≤ (hi − lo)/2 — a ≤ 2^−sub_bits relative error.  All-integer
+    (ranks, cumulative counts, midpoint) — bit-stable on any engine.
+
+    The sketch has two consumers (the N aggregate and the cumulative
+    walk), so ``eager=True`` materializes it once via localCheckpoint —
+    ≤ 2k rows held; the data-sized histogram build never re-executes.
+
+    Scale shape: everything here reads the ≤ 2k-row sketch; the window
+    is over the single ordered bucket axis of that tiny table (one
+    partition by construction — not a data-sized global window).
+    """
+    from pyspark.sql import Window
+
+    if eager:
+        sketch = sketch.localCheckpoint(eager=True)
+    spark = sketch.sparkSession
+    n = sketch.agg(F.sum("cnt").cast("long").alias("_n"))
+    w = Window.orderBy("bucket_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    qdf = spark.createDataFrame(
+        list(quantiles), "q_label string, num long, den long"
+    )
+    targets = qdf.crossJoin(F.broadcast(n)).select(
+        "q_label",
+        F.expr("(_n * num + den - 1) div den").cast("long")
+        .alias("target_rank"),
+    )
+    hit = (
+        targets.join(
+            F.broadcast(cum),
+            F.col("cum") >= F.col("target_rank"),
+            "inner",
+        )
+        .groupBy("q_label", "target_rank")
+        .agg(
+            F.min_by(
+                F.struct("bucket_idx", "lo", "hi"), F.col("bucket_idx")
+            ).alias("_b")
+        )
+    )
+    return hit.select(
+        "q_label",
+        "target_rank",
+        F.col("_b.bucket_idx").alias("bucket_idx"),
+        F.col("_b.lo").alias("lo"),
+        F.col("_b.hi").alias("hi"),
+        F.expr("(_b.lo + _b.hi) div 2").cast("long").alias("est"),
+    )

@@ -6557,6 +6557,107 @@ def q125_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(a, b, k=16)
 
 
+# Dyadic quantile sketch: fourth sketch-family member (count-min =
+# frequencies, HLL = cardinality, KMV = set ops, this = QUANTILES).
+# Power-of-two buckets (HDR-histogram form of DDSketch, Masson et al.
+# VLDB 2019) make every operation integer: bucket index is pure bit
+# arithmetic, lo/hi are observed per-bucket min/max, the quantile walk
+# is integer ranks over integer cumulative counts — both halves fully
+# oracle-replicable.
+_DYADIC_SQL_SKETCH = """
+    WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+    bl AS (SELECT v, length(bin(v)) - 1 AS b FROM v),
+    ix AS (
+      SELECT v,
+             CASE WHEN v < 64 THEN v
+                  ELSE CAST(b - 5 AS BIGINT) * 32
+                       + v // (CAST(1 AS BIGINT) << CAST(b - 5 AS INT))
+             END AS bucket_idx
+      FROM bl
+    ),
+    sk AS (
+      SELECT bucket_idx, CAST(min(v) AS BIGINT) AS lo,
+             CAST(max(v) AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ix GROUP BY bucket_idx
+    )
+"""
+
+
+@query(
+    "q126_quantile_sketch",
+    # bucket index = identical bit arithmetic (bin-length bitlen, shift,
+    # truncating div on positives); lo/hi/cnt are exact aggregates —
+    # DuckDB rebuilds the table row-for-row
+    oracle=_DYADIC_SQL_SKETCH
+    + "SELECT bucket_idx, lo, hi, cnt FROM sk",
+)
+def q126_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic quantile-sketch table (sub_bits=5 → ≤3.2% relative bucket
+    width) over document lengths — the bounded-memory, cell-wise-
+    MERGEABLE quantile summary (union across shards/days = sum cnt,
+    min lo, max hi; pytest pins merge ≡ whole-corpus).  The table is
+    exact and deterministic; the approximation lives only in what the
+    ESTIMATES (q127) claim about true order statistics.  Scale: one
+    hash agg into ≤ (64−s)·2^s ≈ 2k groups regardless of row count —
+    map-side partial sum/min/max does nearly all the work."""
+    from .operators.corpus import dyadic_histogram
+
+    docs = _t(spark, sf_dir, "documents").select("n_chars")
+    return dyadic_histogram(docs, "n_chars", sub_bits=5)
+
+
+@query(
+    "q127_quantile_estimate",
+    # rank r = ceil(q·N) as (N·num + den − 1) div den; first bucket with
+    # cumulative count ≥ r provably CONTAINS the true rank-r value; the
+    # midpoint estimate is all-integer — replayed exactly
+    oracle=_DYADIC_SQL_SKETCH
+    + """,
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+    cum AS (
+      SELECT bucket_idx, lo, hi,
+             CAST(sum(cnt) OVER (ORDER BY bucket_idx) AS BIGINT) AS cum
+      FROM sk
+    ),
+    q AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+                                ('p90', 9, 10), ('p99', 99, 100))
+          t(q_label, num, den)),
+    t AS (
+      SELECT q_label,
+             CAST((n.n * num + den - 1) // den AS BIGINT) AS target_rank
+      FROM q, n
+    ),
+    hit AS (
+      SELECT t.q_label, t.target_rank,
+             min(c.bucket_idx) AS bucket_idx
+      FROM t JOIN cum c ON c.cum >= t.target_rank
+      GROUP BY t.q_label, t.target_rank
+    )
+    SELECT h.q_label AS q_label, h.target_rank AS target_rank,
+           h.bucket_idx AS bucket_idx, c.lo AS lo, c.hi AS hi,
+           CAST((c.lo + c.hi) // 2 AS BIGINT) AS est
+    FROM hit h JOIN cum c USING (bucket_idx)
+    """,
+)
+def q127_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates (p25/p50/p90/p99 of document length) from the
+    q126 sketch: rank r = ceil(q·N), first bucket whose cumulative count
+    reaches r.  That bucket provably contains the true rank-r value, so
+    lo ≤ q_true ≤ hi and est = (lo+hi) div 2 is off by ≤ 2^−5 relative
+    (pytest pins the bracket + bound vs exact order statistics); the
+    VALUES are deterministic integer functions of the sketch, so the
+    oracle replays them exactly.  Scale: the walk reads the ≤2k-row
+    sketch; its window orders that tiny table's single bucket axis —
+    never a data-sized global window; the expensive part is q126's one
+    agg."""
+    from .operators.corpus import dyadic_histogram, dyadic_quantile_estimate
+
+    docs = _t(spark, sf_dir, "documents").select("n_chars")
+    sk = dyadic_histogram(docs, "n_chars", sub_bits=5)
+    return dyadic_quantile_estimate(sk)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

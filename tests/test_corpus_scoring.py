@@ -791,3 +791,79 @@ def test_kmv_set_ops_overlap_accuracy(spark):
     assert abs(r.jaccard_est - 1 / 3) / (1 / 3) < 0.35, r
     assert abs(r.intersect_est - 4000) / 4000 < 0.4, r
     assert abs(r.union_est - 12000) / 12000 < 0.25, r
+
+
+def test_dyadic_bucket_monotone_exact_region_and_width(spark):
+    """Dyadic bucket contract: the index is monotone in the value,
+    values below 2^(s+1) get their OWN bucket (exact region, incl. 0),
+    and above it every bucket's span obeys the <= 2^-s relative-width
+    bound that the quantile error guarantee rests on."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        with_dyadic_bucket,
+    )
+
+    vals = list(range(0, 300)) + [
+        2**k + d for k in range(8, 40, 3) for d in (0, 1, 12345 % (2**k))
+    ]
+    df = spark.createDataFrame([(v,) for v in sorted(set(vals))], "v long")
+    rows = (
+        with_dyadic_bucket(df, "v", "idx", sub_bits=5)
+        .orderBy("v")
+        .collect()
+    )
+    idxs = [r.idx for r in rows]
+    assert idxs == sorted(idxs)  # monotone
+    for r in rows:
+        if r.v < 64:
+            assert r.idx == r.v  # exact region, including 0
+    # relative width: group by idx, check (max-min)/min <= 2^-5 + slack
+    by_idx = {}
+    dense = spark.createDataFrame([(v,) for v in range(1, 5000)], "v long")
+    for r in with_dyadic_bucket(dense, "v", "idx", sub_bits=5).collect():
+        lo, hi = by_idx.get(r.idx, (r.v, r.v))
+        by_idx[r.idx] = (min(lo, r.v), max(hi, r.v))
+    for lo, hi in by_idx.values():
+        assert (hi - lo) / lo <= 2**-5
+
+
+def test_dyadic_quantiles_bracket_bound_and_merge(spark, docs):
+    """Quantile-estimate contract on a skewed synthetic distribution AND
+    the real corpus: the reported bucket brackets the true order
+    statistic (lo <= q_true <= hi), the midpoint is within 2^-5
+    relative, and the (sum, min, max) merge of two half sketches equals
+    the whole-corpus sketch exactly."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        dyadic_hist_merge,
+        dyadic_histogram,
+        dyadic_quantile_estimate,
+    )
+
+    # log-normal-ish skew: i^2 spans 1 .. 1e6 over 1000 rows
+    vals = [(i * i,) for i in range(1, 1001)]
+    df = spark.createDataFrame(vals, "v long")
+    sk = dyadic_histogram(df, "v", sub_bits=5)
+    est = {r.q_label: r for r in dyadic_quantile_estimate(sk).collect()}
+    ordered = sorted(v for (v,) in vals)
+    for label, r in est.items():
+        true = ordered[r.target_rank - 1]
+        assert r.lo <= true <= r.hi, (label, r, true)
+        assert abs(r.est - true) / true <= 2**-5, (label, r, true)
+
+    # real corpus lengths + merge == full
+    lens = docs.select("n_chars")
+    full = dyadic_histogram(lens, "n_chars")
+    a = dyadic_histogram(
+        docs.filter(F.col("doc_id") % 2 == 0).select("n_chars"), "n_chars"
+    )
+    b = dyadic_histogram(
+        docs.filter(F.col("doc_id") % 2 != 0).select("n_chars"), "n_chars"
+    )
+    merged = dyadic_hist_merge(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    ordered = sorted(r.n_chars for r in lens.collect())
+    for r in dyadic_quantile_estimate(full).collect():
+        true = ordered[r.target_rank - 1]
+        assert r.lo <= true <= r.hi
+        assert abs(r.est - true) / max(true, 1) <= 2**-5
