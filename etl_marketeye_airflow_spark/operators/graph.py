@@ -147,3 +147,96 @@ def pagerank_fixed_point(
     if dangling is not None:
         dangling.unpersist()
     return out
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    eager: bool = True,
+) -> DataFrame:
+    """Exact per-node triangle counts over an UNDIRECTED simple graph
+    given as canonical edges (src < dst, already distinct) — the other
+    classic one-shot graph kernel next to PageRank (clustering
+    coefficient / community-density building block).
+
+    Algorithm: degree-ordered orientation (the MapReduce-era standard —
+    Suri & Vassilvitskii WWW'11 / Cohen's MR triangle counting).  Every
+    edge is oriented from its lower-(degree, id) endpoint to the higher
+    one; a triangle {a,b,c} then materializes EXACTLY ONCE as the wedge
+    (u→v, u→w) at its lowest-ranked corner u plus the closing oriented
+    edge (v→w).  Out-degrees under this orientation are bounded by
+    O(sqrt(m)) on any graph (arboricity argument), so the wedge join is
+    Σ outdeg² ≪ Σ deg² — the skew-killer that makes the self-join safe
+    where a naive adjacency join explodes on hub nodes.
+
+    Returns (node, tri_cnt) for EVERY node of the graph (zeros kept) —
+    per-node counts are orientation-independent, so any engine can
+    verify against a canonical-order enumeration.
+
+    Scale shape: two hash joins on node keys (wedge build + closure
+    probe) + one explode-3 groupBy; no global sort, no window, no
+    driver-side state.  The rank key packs (deg, node) into one long
+    (deg·2^32 + node — node ids must fit 32 bits unsigned), so the
+    orientation costs one projection, not an extra join.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    )
+    if eager:
+        e = e.localCheckpoint(eager=True)  # edge build never re-executes
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # rank = deg·2^32 + node: one long, total order, ties broken by id
+    rank = deg.select(
+        "node",
+        (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("rk"),
+    )
+    ru = rank.select(F.col("node").alias("u"), F.col("rk").alias("rku"))
+    rv = rank.select(F.col("node").alias("v"), F.col("rk").alias("rkv"))
+    oriented = (
+        e.join(ru, "u").join(rv, "v")
+        .select(
+            F.when(F.col("rku") < F.col("rkv"), F.col("u"))
+            .otherwise(F.col("v")).alias("src"),
+            F.when(F.col("rku") < F.col("rkv"), F.col("v"))
+            .otherwise(F.col("u")).alias("dst"),
+            F.when(F.col("rku") < F.col("rkv"), F.col("rkv"))
+            .otherwise(F.col("rku")).alias("rk_dst"),
+        )
+    )
+    if eager:
+        oriented = oriented.localCheckpoint(eager=True)  # 3 consumers
+    w1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("rk_dst").alias("rkb"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("rk_dst").alias("rkc"),
+    )
+    wedges = w1.join(w2, "a").filter(F.col("rkb") < F.col("rkc"))
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"], "inner").select("a", "b", "c")
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    )
+    return (
+        deg.select("node")
+        .join(corners, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_t"), F.lit(0).cast("long")).alias("tri_cnt"),
+        )
+    )

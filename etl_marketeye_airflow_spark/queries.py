@@ -6658,6 +6658,74 @@ def q127_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dyadic_quantile_estimate(sk)
 
 
+@query(
+    "q128_triangle_counts",
+    # per-node triangle counts are orientation-independent, so the oracle
+    # enumerates canonically by partkey (a<b<c) while Spark enumerates by
+    # degree rank — same triangle set, same counts.  Edges: parts
+    # co-ordered with l_quantity > 40 on both sides, distinct u<v.
+    oracle="""
+    WITH q AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM q a JOIN q b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      )
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT n.node AS node, CAST(coalesce(c.t, 0) AS BIGINT) AS tri_cnt
+    FROM nodes n LEFT JOIN corners c USING (node)
+    """,
+)
+def q128_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts over the part co-purchase graph
+    (parts co-ordered with l_quantity > 40 on both lineitems; distinct
+    canonical edges) — degree-ordered orientation so every triangle
+    materializes once at its lowest-(deg,id) corner and the wedge
+    self-join is bounded by Σ outdeg² = O(m^1.5) on ANY graph (the
+    hub-skew killer; a naive adjacency join is Σ deg² and explodes on
+    hot parts).  Edge build is a per-order self-join — order size is
+    bounded, so it stays linear in lineitem.  Scale: two node-keyed
+    hash joins + one explode-3 groupBy; no window, no global sort."""
+    from .operators.graph import triangle_counts
+
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = l.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("u")
+    )
+    b = l.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "_ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_counts(edges, "u", "v")
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

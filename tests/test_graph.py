@@ -114,3 +114,37 @@ def test_pagerank_dangling_conserves_more_mass(spark):
     )
     n_scale = 3 * PR_SCALE
     assert abs(redis - n_scale) < abs(plain - n_scale)
+
+
+def test_triangle_counts_hand_computed(spark):
+    """K4 plus a pendant and an isolated-from-triangles star: K4 gives
+    each of its 4 nodes exactly 3 triangles (4 triangles total, 3 per
+    corner), the pendant node and star nodes get 0, and a brute-force
+    replica over all node triples agrees on a second, irregular graph."""
+    from itertools import combinations
+
+    from etl_marketeye_airflow_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}; pendant 5-1; star 6-{7,8,9} (no triangles)
+    k4 = list(combinations([1, 2, 3, 4], 2))
+    edges = k4 + [(1, 5), (6, 7), (6, 8), (6, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.tri_cnt for r in triangle_counts(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0, 8: 0, 9: 0}
+
+    # irregular graph vs brute force over triples
+    edges2 = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5),
+              (5, 6), (1, 6), (2, 6), (1, 7)]
+    es = set(edges2)
+    nodes = sorted({n for ed in edges2 for n in ed})
+    brute = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if all(
+            (x, y) in es or (y, x) in es
+            for x, y in [(a, b), (b, c), (a, c)]
+        ):
+            for n in (a, b, c):
+                brute[n] += 1
+    e2 = spark.createDataFrame(edges2, "src long, dst long")
+    got2 = {r.node: r.tri_cnt for r in triangle_counts(e2).collect()}
+    assert got2 == brute
