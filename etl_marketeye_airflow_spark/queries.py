@@ -6726,6 +6726,81 @@ def q128_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges, "u", "v")
 
 
+@query(
+    "q129_cohort_retention",
+    # integer day index = epoch_us div 86400e6 (exact integer both
+    # engines — the ts_us contract); cohort = each user's first active
+    # day; retention per-mille = truncating integer division
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+    ),
+    a AS (
+      SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+             CAST(count(*) AS BIGINT) AS active_users
+      FROM ud JOIN c USING (user_id)
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM c GROUP BY 1
+    )
+    SELECT CAST(a.cohort_day AS BIGINT) AS cohort_day,
+           CAST(a.day_offset AS BIGINT) AS day_offset,
+           s.cohort_size AS cohort_size,
+           a.active_users AS active_users,
+           CAST((1000 * a.active_users) // s.cohort_size AS BIGINT)
+             AS retention_pm
+    FROM a JOIN s USING (cohort_day)
+    """,
+)
+def q129_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event stream: users grouped by
+    first-active day, then for every (cohort_day, day_offset) the
+    distinct active users and the retention per-mille (exact truncating
+    integer — float ratios are engine-rounding bait).  The product-
+    analytics staple the reference's daily batch never had.  Scale:
+    distinct (user, day) reduction first (collapses the raw stream),
+    then a user-keyed min + rejoin that REUSES the user partitioning,
+    then a groupBy on the small (cohort × offset) grid; cohort sizes are
+    a ≤#days-row broadcast.  No windows, no global sorts."""
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    ud = (
+        ev.select(
+            "user_id", F.expr("ts_us div 86400000000").alias("day")
+        )
+        .distinct()
+    )
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        ud.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return act.join(F.broadcast(sizes), "cohort_day").select(
+        F.col("cohort_day").cast("long"),
+        F.col("day_offset").cast("long"),
+        "cohort_size",
+        "active_users",
+        F.expr("(1000 * active_users) div cohort_size")
+        .cast("long")
+        .alias("retention_pm"),
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
