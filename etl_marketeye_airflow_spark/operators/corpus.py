@@ -1333,3 +1333,107 @@ def dyadic_quantile_estimate(
         F.col("_b.hi").alias("hi"),
         F.expr("(_b.lo + _b.hi) div 2").cast("long").alias("est"),
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """PMI-ranked bigram collocations (word2phrase-style phrase mining,
+    Mikolov et al. 2013) — the LLM-pipeline pass that finds multiword
+    units worth fusing before tokenizer training.
+
+    score ≈ PMI(a,b) = log2( c_ab·N² / (B·c_a·c_b) ), held in the
+    repo's fixed-point dyadic log2 so it is bit-stable cross-engine:
+    pmi_fx = fx(c_ab) + 2·fx(N) − fx(B) − fx(c_a) − fx(c_b) with
+    fx = flog2_fx.  fx is a chord approximation (≤0.086 bits per term,
+    so ≤0.43 bits vs true PMI — ranking noise, not ranking bias) and is
+    NOT log-additive, so the decomposition is the DEFINITION of the
+    score, identically computed by any engine; exact for every operand
+    < 2^42 (same documented bound as unigram_surprisal).
+
+    Returns the top-``topk`` bigrams with count ≥ ``min_count`` by
+    (pmi_fx DESC, bigram ASC) — a total order, so the cut is
+    deterministic.  Output: (bigram, c_ab, c_a, c_b, pmi_fx, pmi); the
+    one float is the display division pmi_fx / 2^20.
+
+    Scale shape: one vocab-sized unigram agg + one bigram-vocab-sized
+    agg (both map-side combined), two token-keyed joins of the
+    min_count-filtered bigram table against the unigram table, 1-row
+    N/B broadcasts, and a distributed top-k (TakeOrderedAndProject) —
+    no global sort, no window.  Bigrams are built with zip_with over
+    shifted slices (convention 6b — never transform-over-positions).
+    """
+    from .dedup import spread, words
+
+    toks = spread(docs).select(
+        F.filter(words(F.col(text_col)), lambda t: t != "").alias("w")
+    )
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(
+                    F.col("w"), 1,
+                    F.greatest(F.size("w") - 1, F.lit(0)),
+                ),
+                F.slice(
+                    F.col("w"), 2,
+                    F.greatest(F.size("w") - 1, F.lit(0)),
+                ),
+                lambda a, b: F.struct(
+                    a.alias("t1"), b.alias("t2")
+                ),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    bc = pairs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    n_tot = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
+    b_tot = bc.agg(F.sum("c_ab").cast("long").alias("n_bigrams"))
+    ua = uni.select(F.col("t").alias("t1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("t2"), F.col("c").alias("c_b"))
+    joined = (
+        bc.filter(F.col("c_ab") >= min_count)
+        .join(ua, "t1")
+        .join(ub, "t2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(b_tot))
+    )
+    staged = joined
+    for src, dst in [
+        ("c_ab", "_fx_ab"),
+        ("n_tokens", "_fx_n"),
+        ("n_bigrams", "_fx_b"),
+        ("c_a", "_fx_a"),
+        ("c_b", "_fx_cb"),
+    ]:
+        staged = with_flog2_fx(staged, src, dst)
+    scored = staged.withColumn(
+        "pmi_fx",
+        (
+            F.col("_fx_ab")
+            + F.lit(2) * F.col("_fx_n")
+            - F.col("_fx_b")
+            - F.col("_fx_a")
+            - F.col("_fx_cb")
+        ).cast("long"),
+    ).withColumn(
+        "bigram", F.concat_ws(" ", F.col("t1"), F.col("t2"))
+    )
+    return (
+        scored.select(
+            "bigram", "c_ab", "c_a", "c_b", "pmi_fx",
+            (F.col("pmi_fx").cast("double") / F.lit(float(FLOG2_SCALE)))
+            .alias("pmi"),
+        )
+        .orderBy(F.col("pmi_fx").desc(), F.col("bigram").asc())
+        .limit(topk)
+    )

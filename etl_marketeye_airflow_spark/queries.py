@@ -6801,6 +6801,65 @@ def q129_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q130_pmi_bigrams",
+    # pmi_fx = fx(c_ab) + 2·fx(N) − fx(B) − fx(c_a) − fx(c_b): the
+    # fixed-point dyadic log2 decomposition IS the score definition
+    # (identical integer arithmetic both engines); top-50 under the
+    # total order (pmi_fx DESC, bigram ASC) is a deterministic cut
+    oracle=f"""
+    WITH ws0 AS (SELECT {_SQL_TOKENIZE} AS w0 FROM documents),
+    ws AS (SELECT list_filter(w0, t -> t <> '') AS w FROM ws0),
+    uni AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(w) AS t FROM ws) GROUP BY t
+    ),
+    bg AS (
+      SELECT w[i] AS t1, w[i + 1] AS t2
+      FROM ws, unnest(range(1, len(w))) AS u(i)
+    ),
+    bc AS (
+      SELECT t1, t2, CAST(count(*) AS BIGINT) AS c_ab
+      FROM bg GROUP BY t1, t2
+    ),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+    bt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bigrams FROM bc),
+    j AS (
+      SELECT bc.t1, bc.t2, bc.c_ab, ua.c AS c_a, ub.c AS c_b,
+             nt.n_tokens, bt.n_bigrams
+      FROM bc JOIN uni ua ON bc.t1 = ua.t
+              JOIN uni ub ON bc.t2 = ub.t, nt, bt
+      WHERE bc.c_ab >= 5
+    ),
+    s AS (
+      SELECT t1 || ' ' || t2 AS bigram, c_ab, c_a, c_b,
+             CAST({_sql_flog2_fx('c_ab')}
+                  + 2 * {_sql_flog2_fx('n_tokens')}
+                  - {_sql_flog2_fx('n_bigrams')}
+                  - {_sql_flog2_fx('c_a')}
+                  - {_sql_flog2_fx('c_b')} AS BIGINT) AS pmi_fx
+      FROM j
+    )
+    SELECT bigram, c_ab, c_a, c_b, pmi_fx,
+           CAST(pmi_fx AS DOUBLE) / 1048576.0 AS pmi
+    FROM s ORDER BY pmi_fx DESC, bigram ASC LIMIT 50
+    """,
+)
+def q130_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked bigram collocations (word2phrase-style phrase mining)
+    over the corpus: top-50 bigrams with count ≥ 5 by fixed-point
+    dyadic-log2 PMI — the multiword-unit discovery pass before
+    tokenizer training.  Scale: one unigram agg + one bigram agg (both
+    map-side combined), token-keyed joins of the count-filtered bigram
+    table, 1-row N/B broadcasts, distributed top-k.  See
+    operators/corpus.py:pmi_bigrams for the bit-stability contract."""
+    from .operators.corpus import pmi_bigrams
+
+    return pmi_bigrams(
+        _t(spark, sf_dir, "documents"), min_count=5, topk=50
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

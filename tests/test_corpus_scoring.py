@@ -867,3 +867,32 @@ def test_dyadic_quantiles_bracket_bound_and_merge(spark, docs):
         true = ordered[r.target_rank - 1]
         assert r.lo <= true <= r.hi
         assert abs(r.est - true) / max(true, 1) <= 2**-5
+
+
+def test_pmi_bigrams_planted_collocation_and_bound(spark):
+    """A planted always-together pair ranks above independent fillers,
+    and the fixed-point score is within the documented 0.43 bits of
+    true PMI for every emitted bigram."""
+    from etl_marketeye_airflow_spark.operators.corpus import pmi_bigrams
+
+    # "san francisco" always together; fillers drawn independently
+    rows = []
+    fill = ["alpha", "beta", "gamma", "delta"]
+    for d in range(40):
+        toks = []
+        for i in range(10):
+            if i % 5 == 2:
+                toks += ["san", "francisco"]
+            else:
+                toks.append(fill[(d * 7 + i) % 4])
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_bigrams(docs, min_count=5, topk=10).collect()
+    assert out[0].bigram == "san francisco"
+    # exact recomputation: fetch N and B from the corpus itself
+    toks = [t for _, text in rows for t in text.split()]
+    N = len(toks)
+    B = sum(len(text.split()) - 1 for _, text in rows)
+    for r in out:
+        true_pmi = math.log2(r.c_ab * N * N / (B * r.c_a * r.c_b))
+        assert abs(r.pmi - true_pmi) <= 0.43 + 1e-9, (r, true_pmi)
