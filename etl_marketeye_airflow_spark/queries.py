@@ -6860,6 +6860,45 @@ def q130_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q131_skyline_pareto",
+    # dominance is pure comparison on raw column values (no arithmetic)
+    # — the NOT EXISTS scan verifies the distributed prefix-min answer
+    # row-for-row, ties on both criteria included
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_retailprice, p_size FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    )
+    SELECT a.p_partkey AS p_partkey,
+           a.p_retailprice AS p_retailprice,
+           a.p_size AS p_size
+    FROM p a WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+)
+def q131_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto front of parts: cheapest-for-their-size (minimize
+    p_retailprice, maximize p_size) — the classic tradeoff operator
+    (Börzsönyi et al. ICDE 2001).  The textbook plan is a global sort +
+    running min (single-partition window — the scale-killer); this runs
+    the two-pass distributed prefix-min instead: per-x reduction, range
+    partition on x, per-partition minima to the driver (numPartitions
+    rows, config-bounded), broadcast offsets + bounded local windows.
+    See operators/skyline.py."""
+    from .operators.skyline import skyline_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(
+        p, F.col("p_retailprice"), -F.col("p_size")
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

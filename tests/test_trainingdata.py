@@ -1342,3 +1342,36 @@ def test_substring_dedup_degenerate_docs(spark):
     assert got[3] == (11, 0) and got[4] == (11, 10)
     spans = substring_dup_spans(docs, min_len=10, eager=True).collect()
     assert sorted(r.doc_id for r in spans) == [3, 4]
+
+
+def test_skyline_2d_brute_force_ties_and_nulls(spark):
+    """Distributed prefix-min skyline == brute-force dominance scan on
+    an adversarial set: duplicate criteria pairs (both must survive),
+    same-x different-y (higher y dominated), a null row (excluded),
+    and enough rows to spread across many range partitions."""
+    from etl_marketeye_airflow_spark.operators.skyline import skyline_2d
+
+    rows = []
+    for i in range(200):
+        x = 10 + (i * 37) % 97
+        y = 10 + (i * 53) % 89
+        rows.append((i, x, y))
+    rows += [(900, 5, 7), (901, 5, 7)]   # exact tie pair
+    rows += [(902, 5, 9)]                # same x, worse y
+    rows += [(903, None, 1), (904, 3, None)]  # null criteria
+    df = spark.createDataFrame(rows, "id long, x int, y int")
+    out = skyline_2d(df, F.col("x"), F.col("y"), num_partitions=7)
+    got = sorted(r.id for r in out.collect())
+
+    pts = [(i, x, y) for (i, x, y) in rows if x is not None and y is not None]
+    expect = sorted(
+        i
+        for (i, x, y) in pts
+        if not any(
+            bx <= x and by <= y and (bx < x or by < y)
+            for (_, bx, by) in pts
+        )
+    )
+    assert got == expect
+    assert 900 in got and 901 in got and 902 not in got
+    assert 903 not in got and 904 not in got
