@@ -6899,6 +6899,115 @@ def q131_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q132_rrf_hybrid_fusion",
+    # both input rankings are bit-stable (bm25: integer rationals +
+    # fixed-order COALESCE chain; cosine: identical left-fold dot) and
+    # totally ordered (score desc, id asc), so ranks replay exactly;
+    # RRF contribution = 2^20 div (60 + rank) — truncating integer div
+    oracle=f"""
+    WITH bm AS (
+      SELECT doc_id, score FROM ({_sql_bm25(_BM25_TERMS)})
+    ),
+    ra AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS BIGINT) AS rank_bm25
+      FROM bm
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT vec_id,
+             list_reduce(list_transform(list_zip(embedding, qv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                 (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                 (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(list_zip(qv, qv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                 (a, b) -> a + b))) AS c
+      FROM embeddings, qv
+      ORDER BY c DESC, vec_id LIMIT 20
+    ),
+    rb AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (ORDER BY c DESC, vec_id ASC)
+                  AS BIGINT) AS rank_cos
+      FROM cs
+    ),
+    j AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             ra.rank_bm25, rb.rank_cos
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, rank_bm25, rank_cos,
+           CAST(COALESCE(1048576 // (60 + rank_bm25), 0)
+                + COALESCE(1048576 // (60 + rank_cos), 0)
+                AS BIGINT) AS rrf_fx,
+           CAST(COALESCE(1048576 // (60 + rank_bm25), 0)
+                + COALESCE(1048576 // (60 + rank_cos), 0)
+                AS DOUBLE) / 1048576.0 AS rrf
+    FROM j
+    """,
+)
+def q132_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of sparse and dense retrieval (Cormack et
+    al. SIGIR 2009; the standard hybrid-search combiner): BM25 top-20
+    (q106's scorer) ⊕ exact-cosine top-20 vs the vec_id=0 query
+    (q24's scorer), fused by Σ 2^20 div (60 + rank) — integer
+    fixed-point, so the fused scores are bit-stable where float
+    1/(60+r) sums would be association-order bait.  Missing-from-one-
+    list docs contribute 0 from that list.  Scale: both inputs are
+    distributed top-k's; everything downstream (rank windows, full
+    outer join, fusion) runs on ≤20-row frames — the windows order a
+    bounded frame, never data.  Output: the fused union list."""
+    from pyspark.sql import Window as W
+
+    from .operators.corpus import bm25_topk
+    from .operators.similarity import cosine
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    a = bm25_topk(docs, list(_BM25_TERMS), k=20, eager=True)
+    ra = a.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank_bm25"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    cs = (
+        emb.select("vec_id", cosine(F.col("embedding"), q).alias("_c"))
+        .orderBy(F.desc("_c"), "vec_id")
+        .limit(20)
+        .localCheckpoint(eager=True)  # freeze the top-k before ranking
+    )
+    rb = cs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("_c"), F.asc("vec_id")))
+        .cast("long")
+        .alias("rank_cos"),
+    )
+    j = ra.join(rb, "doc_id", "full_outer")
+    fx = F.coalesce(
+        F.expr("1048576 div (60 + rank_bm25)"), F.lit(0).cast("long")
+    ) + F.coalesce(
+        F.expr("1048576 div (60 + rank_cos)"), F.lit(0).cast("long")
+    )
+    return j.select(
+        "doc_id",
+        "rank_bm25",
+        "rank_cos",
+        fx.cast("long").alias("rrf_fx"),
+        (fx.cast("double") / F.lit(1048576.0)).alias("rrf"),
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
