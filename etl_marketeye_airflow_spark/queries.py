@@ -7008,6 +7008,56 @@ def q132_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q133_stream_static_join",
+    # stateless append-mode stream-static inner join: every stream row
+    # is enriched and emitted EXACTLY ONCE regardless of micro-batch
+    # layout (convention-9 exempt class — no per-batch snapshots, no
+    # state), so the drained sink equals the batch join
+    oracle="""
+    SELECT e.event_id AS event_id, e.user_id AS user_id,
+           epoch_us(e.ts) AS ts_us, e.value AS value,
+           c.c_mktsegment AS c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q133_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining Structured
+    Streaming join shape next to stream-stream (q63): the purchase
+    stream inner-joined per micro-batch to the static customer
+    dimension (broadcast — the dim rescans per batch, so keeping it
+    broadcast-shaped is the 100 TB posture), appended to a memory sink
+    under Trigger.AvailableNow.  Stateless: no watermark, no state
+    store; each stream row emits exactly once, so a raw sink read is
+    correct for ANY batch count (unlike update-mode aggregations —
+    convention 9).  The oracle is the batch join."""
+    import uuid
+
+    from .sources.tables import load_events_stream
+    from .streaming.ingest import drain_available_now
+
+    stream = load_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    ).select("event_id", "user_id", "ts_us", "value", "c_mktsegment")
+    name = f"q133_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_available_now(q)
+    return spark.table(name)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

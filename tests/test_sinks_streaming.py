@@ -705,3 +705,47 @@ def test_stream_interval_join_exactly_once_multi_batch(spark, tmp_path_factory):
     # p2@1200 matches [600,1200] -> c100, c101.  NO duplicates even
     # though the click file is in scope for both purchase batches.
     assert got == [(1, 100), (2, 100), (2, 101)]
+
+
+def test_stream_static_join_exactly_once_multi_batch(spark, tmp_path_factory):
+    """Stateless append-mode stream-static join: every stream row is
+    enriched and emitted exactly once regardless of micro-batch layout
+    (convention-9 exempt class).  Two files + maxFilesPerTrigger=1
+    forces two batches; the drained sink must equal the batch join with
+    no duplicates and no drops."""
+    import uuid
+
+    from pyspark.sql import Row
+
+    d = tmp_path_factory.mktemp("ss_join")
+    dim = spark.createDataFrame(
+        [Row(k=1, seg="A"), Row(k=2, seg="B"), Row(k=3, seg="C")]
+    )
+    spark.createDataFrame(
+        [Row(ev=10, k=1, v=1.5), Row(ev=11, k=2, v=2.5)]
+    ).coalesce(1).write.parquet(str(d / "b1.parquet"))
+    spark.createDataFrame(
+        [Row(ev=12, k=1, v=3.5), Row(ev=13, k=9, v=4.5)]  # k=9 unmatched
+    ).coalesce(1).write.parquet(str(d / "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema("ev long, k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*.parquet")
+    )
+    joined = stream.join(F.broadcast(dim), "k").select("ev", "k", "v", "seg")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    assert got == [
+        (10, 1, 1.5, "A"),
+        (11, 2, 2.5, "B"),
+        (12, 1, 3.5, "A"),
+    ]
