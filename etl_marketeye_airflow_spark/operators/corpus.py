@@ -1340,6 +1340,7 @@ def pmi_bigrams(
     text_col: str = "text",
     min_count: int = 5,
     topk: int = 50,
+    eager: bool = True,
 ) -> DataFrame:
     """PMI-ranked bigram collocations (word2phrase-style phrase mining,
     Mikolov et al. 2013) — the LLM-pipeline pass that finds multiword
@@ -1365,12 +1366,20 @@ def pmi_bigrams(
     N/B broadcasts, and a distributed top-k (TakeOrderedAndProject) —
     no global sort, no window.  Bigrams are built with zip_with over
     shifted slices (convention 6b — never transform-over-positions).
+    The token-array frame has TWO consumers (unigram agg, bigram agg),
+    so ``eager=True`` (default) persists it and materializes the ≤topk
+    result via localCheckpoint — tokenize runs once; ``eager=False``
+    returns the lazy plan (for plan inspection / tests).
     """
+    from pyspark import StorageLevel
+
     from .dedup import spread, words
 
     toks = spread(docs).select(
         F.filter(words(F.col(text_col)), lambda t: t != "").alias("w")
     )
+    if eager:
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     uni = (
         toks.select(F.explode("w").alias("t"))
         .groupBy("t")
@@ -1428,7 +1437,7 @@ def pmi_bigrams(
     ).withColumn(
         "bigram", F.concat_ws(" ", F.col("t1"), F.col("t2"))
     )
-    return (
+    out = (
         scored.select(
             "bigram", "c_ab", "c_a", "c_b", "pmi_fx",
             (F.col("pmi_fx").cast("double") / F.lit(float(FLOG2_SCALE)))
@@ -1437,3 +1446,7 @@ def pmi_bigrams(
         .orderBy(F.col("pmi_fx").desc(), F.col("bigram").asc())
         .limit(topk)
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        toks.unpersist()
+    return out

@@ -38,6 +38,12 @@ EXECUTES_ON_BUILD = {
     "q108_semdedup": "eager (quantizer trained at call; checkpointed kept set)",
     "q99_prefix_filter_similarity_join": "eager (persisted shingle base; checkpointed pair set)",
     "q125_kmv_set_ops": "eager (checkpointed input sketches)",
+    "q127_quantile_estimate": "eager (checkpointed sketch base)",
+    "q128_triangle_counts": "eager (checkpointed edge/orientation bases)",
+    "q130_pmi_bigrams": "eager (persisted token arrays; checkpointed result)",
+    "q131_skyline_pareto": "eager two-pass (checkpointed result)",
+    "q132_rrf_hybrid_fusion": "eager (checkpointed input rankings)",
+    "q133_stream_static_join": "streaming (drained; plan = memory sink)",
     "q114_pagerank": "iterative (checkpointed per-iteration ranks)",
     "q100_unigram_surprisal": "eager (persisted token stream; checkpointed result)",
     "q103_tfidf_topk": "eager (persisted tf base; checkpointed result)",
