@@ -1219,7 +1219,10 @@ def with_dyadic_bucket(
 
 
 def dyadic_histogram(
-    values: DataFrame, value_col: str, sub_bits: int = 5
+    values: DataFrame,
+    value_col: str,
+    sub_bits: int = 5,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Dyadic quantile-sketch table (bucket_idx, lo, hi, cnt) over a
     non-negative integer column — the bounded-memory quantile summary
@@ -1235,19 +1238,23 @@ def dyadic_histogram(
     lo ≤ q_true ≤ hi with (hi − lo)/lo ≤ 2^−sub_bits.
 
     Scale shape: ONE hash aggregation into ≤ (64 − s)·2^s ≈ 2k groups
-    regardless of row count; map-side combine (partial sum/min/max)
-    does nearly all the work and the sketch broadcasts anywhere it's
-    consumed.
+    regardless of row count (× group cardinality when ``group_cols``
+    is set — one sketch per group from the same single agg); map-side
+    combine (partial sum/min/max) does nearly all the work and the
+    sketch broadcasts anywhere it's consumed.
     """
     staged = with_dyadic_bucket(values, value_col, "bucket_idx", sub_bits)
-    return staged.groupBy("bucket_idx").agg(
+    keys = list(group_cols or []) + ["bucket_idx"]
+    return staged.groupBy(*keys).agg(
         F.min(F.col(value_col).cast("long")).alias("lo"),
         F.max(F.col(value_col).cast("long")).alias("hi"),
         F.count(F.lit(1)).cast("long").alias("cnt"),
     )
 
 
-def dyadic_hist_merge(*sketches: DataFrame) -> DataFrame:
+def dyadic_hist_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Union of dyadic sketches = cell-wise (min lo, max hi, sum cnt) —
     the merge that makes per-shard/per-day sketches composable."""
     if not sketches:
@@ -1255,7 +1262,8 @@ def dyadic_hist_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for t in sketches[1:]:
         out = out.unionByName(t)
-    return out.groupBy("bucket_idx").agg(
+    keys = list(group_cols or []) + ["bucket_idx"]
+    return out.groupBy(*keys).agg(
         F.min("lo").alias("lo"),
         F.max("hi").alias("hi"),
         F.sum("cnt").cast("long").alias("cnt"),
@@ -1276,6 +1284,7 @@ def dyadic_quantile_estimate(
     sketch: DataFrame,
     quantiles: tuple = DYADIC_QUANTILES,
     eager: bool = True,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantile estimates from a dyadic sketch: for each (label, num,
     den), rank r = ceil(q·N) (1-indexed over the sorted values) and the
@@ -1290,42 +1299,55 @@ def dyadic_quantile_estimate(
     walk), so ``eager=True`` materializes it once via localCheckpoint —
     ≤ 2k rows held; the data-sized histogram build never re-executes.
 
-    Scale shape: everything here reads the ≤ 2k-row sketch; the window
-    is over the single ordered bucket axis of that tiny table (one
-    partition by construction — not a data-sized global window).
+    ``group_cols`` (matching the histogram's): one estimate row per
+    (group, quantile); the walk partitions by group, every per-group
+    frame still ≤ 2k buckets.
+
+    Scale shape: everything here reads the ≤ 2k-row-per-group sketch;
+    the window is over the ordered bucket axis of that tiny table
+    (bounded per partition by construction — not a data-sized global
+    window); grouped targets join the cumulative table on the group
+    key (a keyed hash join, never a broadcast of data-sized state).
     """
     from pyspark.sql import Window
 
+    gc = list(group_cols or [])
     if eager:
         sketch = sketch.localCheckpoint(eager=True)
     spark = sketch.sparkSession
-    n = sketch.agg(F.sum("cnt").cast("long").alias("_n"))
-    w = Window.orderBy("bucket_idx").rowsBetween(
+    n = sketch.groupBy(*gc).agg(F.sum("cnt").cast("long").alias("_n"))
+    w = (
+        Window.partitionBy(*gc) if gc else Window.partitionBy()
+    ).orderBy("bucket_idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = sketch.withColumn("cum", F.sum("cnt").over(w).cast("long"))
     qdf = spark.createDataFrame(
         list(quantiles), "q_label string, num long, den long"
     )
-    targets = qdf.crossJoin(F.broadcast(n)).select(
+    targets = n.crossJoin(F.broadcast(qdf)).select(
+        *gc,
         "q_label",
         F.expr("(_n * num + den - 1) div den").cast("long")
         .alias("target_rank"),
     )
-    hit = (
-        targets.join(
+    if gc:
+        hit = targets.join(cum, gc, "inner").filter(
+            F.col("cum") >= F.col("target_rank")
+        )
+    else:
+        hit = targets.join(
             F.broadcast(cum),
             F.col("cum") >= F.col("target_rank"),
             "inner",
         )
-        .groupBy("q_label", "target_rank")
-        .agg(
-            F.min_by(
-                F.struct("bucket_idx", "lo", "hi"), F.col("bucket_idx")
-            ).alias("_b")
-        )
+    hit = hit.groupBy(*gc, "q_label", "target_rank").agg(
+        F.min_by(
+            F.struct("bucket_idx", "lo", "hi"), F.col("bucket_idx")
+        ).alias("_b")
     )
     return hit.select(
+        *gc,
         "q_label",
         "target_rank",
         F.col("_b.bucket_idx").alias("bucket_idx"),

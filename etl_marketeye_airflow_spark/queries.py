@@ -6564,11 +6564,20 @@ def q125_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic, lo/hi are observed per-bucket min/max, the quantile walk
 # is integer ranks over integer cumulative counts — both halves fully
 # oracle-replicable.
-_DYADIC_SQL_SKETCH = """
-    WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
-    bl AS (SELECT v, length(bin(v)) - 1 AS b FROM v),
+def _sql_dyadic_sketch(grp: list[str] | None = None) -> str:
+    """DuckDB twin of operators.corpus.dyadic_histogram over
+    documents.n_chars — identical bit arithmetic (bin-length bitlen,
+    shift, truncating div on positives), optionally grouped.  ONE
+    generator for q126/q127/q135 so the bucket algebra can never
+    drift between the grouped and ungrouped oracles."""
+    g = ", ".join(grp or [])
+    gsel = (g + ", ") if g else ""
+    gby = f" GROUP BY {gsel}bucket_idx" if g else " GROUP BY bucket_idx"
+    return f"""
+    WITH v AS (SELECT {gsel}CAST(n_chars AS BIGINT) AS v FROM documents),
+    bl AS (SELECT {gsel}v, length(bin(v)) - 1 AS b FROM v),
     ix AS (
-      SELECT v,
+      SELECT {gsel}v,
              CASE WHEN v < 64 THEN v
                   ELSE CAST(b - 5 AS BIGINT) * 32
                        + v // (CAST(1 AS BIGINT) << CAST(b - 5 AS INT))
@@ -6576,12 +6585,15 @@ _DYADIC_SQL_SKETCH = """
       FROM bl
     ),
     sk AS (
-      SELECT bucket_idx, CAST(min(v) AS BIGINT) AS lo,
+      SELECT {gsel}bucket_idx, CAST(min(v) AS BIGINT) AS lo,
              CAST(max(v) AS BIGINT) AS hi,
              CAST(count(*) AS BIGINT) AS cnt
-      FROM ix GROUP BY bucket_idx
+      FROM ix{gby}
     )
 """
+
+
+_DYADIC_SQL_SKETCH = _sql_dyadic_sketch()
 
 
 @query(
@@ -7056,6 +7068,157 @@ def q133_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drain_available_now(q)
     return spark.table(name)
+
+
+@query(
+    "q134_market_basket_pairs",
+    # support counts are exact integers; lift is ONE double expression
+    # over exact integer operands with identical op order both engines;
+    # top-25 under (c_ab DESC, pa, pb) is a deterministic cut
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ic AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+      FROM items GROUP BY 1
+    ),
+    freq AS (SELECT l_partkey, c FROM ic WHERE c >= 3),
+    fitems AS (
+      SELECT i.l_orderkey, i.l_partkey
+      FROM items i JOIN freq f USING (l_partkey)
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM fitems a JOIN fitems b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.pa, p.pb, p.c_ab, fa.c AS c_a, fb.c AS c_b, n.n_orders
+      FROM pairs p JOIN freq fa ON p.pa = fa.l_partkey
+                   JOIN freq fb ON p.pb = fb.l_partkey, n
+      WHERE p.c_ab >= 3
+    )
+    SELECT pa, pb, c_ab, c_a, c_b, n_orders,
+           (CAST(n_orders AS DOUBLE) * CAST(c_ab AS DOUBLE))
+           / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) AS lift
+    FROM scored
+    ORDER BY c_ab DESC, pa ASC, pb ASC LIMIT 25
+    """,
+)
+def q134_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining with apriori pruning (Agrawal
+    & Srikant VLDB'94): top-25 co-ordered part pairs with support ≥ 3,
+    scored by lift = N·c_ab/(c_a·c_b).  The apriori step is the scale
+    argument: items are filtered to frequent ones BEFORE the per-order
+    pair join (every frequent pair has frequent members — lossless),
+    so the quadratic-per-order pair build runs only over survivors and
+    per-order item count bounds it linearly in lineitem.  Lift is one
+    double expression over exact integer operands (identical op order
+    both engines).  Scale: distinct reduction → item-count agg →
+    semi-join prune → bounded per-order self-join → pair agg →
+    distributed top-k.  No windows, no global sorts."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    ic = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    freq = ic.filter(F.col("c") >= 3)
+    fitems = items.join(freq.select("l_partkey"), "l_partkey")
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    a = fitems.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("pa")
+    )
+    b = fitems.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "_ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    fa = freq.select(F.col("l_partkey").alias("pa"), F.col("c").alias("c_a"))
+    fb = freq.select(F.col("l_partkey").alias("pb"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(fa, "pa")
+        .join(fb, "pb")
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        scored.select(
+            "pa", "pb", "c_ab", "c_a", "c_b", "n_orders",
+            (
+                (F.col("n_orders").cast("double") * F.col("c_ab").cast("double"))
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("c_ab"), F.asc("pa"), F.asc("pb"))
+        .limit(25)
+    )
+
+
+@query(
+    "q135_grouped_quantiles",
+    # same bucket algebra as q126/q127 (one SQL generator), partitioned
+    # by lang: per-group ranks, cumulative walk, and midpoints are all
+    # integers — replayed exactly
+    oracle=_sql_dyadic_sketch(["lang"])
+    + """,
+    n AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY lang),
+    cum AS (
+      SELECT lang, bucket_idx, lo, hi,
+             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bucket_idx)
+                  AS BIGINT) AS cum
+      FROM sk
+    ),
+    q AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+                                ('p90', 9, 10), ('p99', 99, 100))
+          t(q_label, num, den)),
+    t AS (
+      SELECT n.lang, q_label,
+             CAST((n.n * num + den - 1) // den AS BIGINT) AS target_rank
+      FROM q, n
+    ),
+    hit AS (
+      SELECT t.lang, t.q_label, t.target_rank,
+             min(c.bucket_idx) AS bucket_idx
+      FROM t JOIN cum c
+        ON c.lang = t.lang AND c.cum >= t.target_rank
+      GROUP BY 1, 2, 3
+    )
+    SELECT h.lang AS lang, h.q_label AS q_label,
+           h.target_rank AS target_rank, h.bucket_idx AS bucket_idx,
+           c.lo AS lo, c.hi AS hi,
+           CAST((c.lo + c.hi) // 2 AS BIGINT) AS est
+    FROM hit h JOIN cum c
+      ON c.lang = h.lang AND c.bucket_idx = h.bucket_idx
+    """,
+)
+def q135_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles from ONE grouped dyadic
+    sketch (p25/p50/p90/p99 per lang) — the grouped form of q126/q127:
+    the single hash agg gains a group key (≤2k buckets × #groups), the
+    quantile walk partitions by group, and grouped targets join the
+    cumulative table on the group key (keyed hash join — never a
+    broadcast of data-sized state).  Same bracket guarantee per group.
+    The per-group percentile dashboard every corpus-curation pipeline
+    wants, at sketch cost."""
+    from .operators.corpus import dyadic_histogram, dyadic_quantile_estimate
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    sk = dyadic_histogram(
+        docs, "n_chars", sub_bits=5, group_cols=["lang"]
+    )
+    return dyadic_quantile_estimate(sk, group_cols=["lang"])
 
 
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a

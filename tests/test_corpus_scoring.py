@@ -896,3 +896,48 @@ def test_pmi_bigrams_planted_collocation_and_bound(spark):
     for r in out:
         true_pmi = math.log2(r.c_ab * N * N / (B * r.c_a * r.c_b))
         assert abs(r.pmi - true_pmi) <= 0.43 + 1e-9, (r, true_pmi)
+
+
+def test_dyadic_grouped_sketch_and_quantiles(spark, docs):
+    """Grouped sketch contract: per-group sketches equal per-group
+    ungrouped sketches, the grouped merge composes, and every group's
+    estimates keep the bracket + 2^-5 bound vs that group's exact
+    order statistics."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        dyadic_hist_merge,
+        dyadic_histogram,
+        dyadic_quantile_estimate,
+    )
+
+    lens = docs.select("lang", "n_chars")
+    g = dyadic_histogram(lens, "n_chars", group_cols=["lang"])
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    for lang in langs:
+        solo = dyadic_histogram(
+            docs.filter(F.col("lang") == lang).select("n_chars"), "n_chars"
+        )
+        grp = g.filter(F.col("lang") == lang).drop("lang")
+        assert sorted(map(tuple, grp.collect())) == sorted(
+            map(tuple, solo.collect())
+        )
+    a = dyadic_histogram(
+        lens.filter(F.col("n_chars") % 2 == 0), "n_chars",
+        group_cols=["lang"],
+    )
+    b = dyadic_histogram(
+        lens.filter(F.col("n_chars") % 2 != 0), "n_chars",
+        group_cols=["lang"],
+    )
+    merged = dyadic_hist_merge(a, b, group_cols=["lang"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, g.collect())
+    )
+    by_lang = {}
+    for r in lens.collect():
+        by_lang.setdefault(r.lang, []).append(r.n_chars)
+    for vals in by_lang.values():
+        vals.sort()
+    for r in dyadic_quantile_estimate(g, group_cols=["lang"]).collect():
+        true = by_lang[r.lang][r.target_rank - 1]
+        assert r.lo <= true <= r.hi, (r, true)
+        assert abs(r.est - true) / max(true, 1) <= 2**-5
