@@ -7221,6 +7221,62 @@ def q135_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dyadic_quantile_estimate(sk, group_cols=["lang"])
 
 
+@query(
+    "q136_streaming_quantile_sketch",
+    # drained streaming sketch ≡ the batch sketch: the update-mode sink
+    # is compacted per bucket with cell-wise monotone aggregates
+    # (min lo / max hi / max cnt — convention 9) before comparison
+    oracle=_DYADIC_SQL_SKETCH + "SELECT bucket_idx, lo, hi, cnt FROM sk",
+)
+def q136_streaming_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dyadic quantile sketch AS A STREAM: documents arrive as a
+    file stream, bucket indices are the same bit arithmetic (one shared
+    operator with q126), and the sketch accumulates as an update-mode
+    stateful aggregation — state is the ≤2k-bucket table itself, so
+    state size is bounded by the sketch, not the stream.  The sink read
+    is compacted per bucket with cell-wise MONOTONE aggregates (min lo,
+    max hi, max cnt — convention 9: update mode emits one row per
+    changed bucket per micro-batch; pinned by a 2-batch pytest), after
+    which the drained result equals the batch sketch exactly — that
+    equality is the oracle.  This is the mergeable-sketch contract in
+    streaming form: per-day batch sketches and a live stream sketch
+    compose interchangeably."""
+    import uuid
+
+    from .operators.corpus import with_dyadic_bucket
+    from .streaming.ingest import drain_available_now
+    from .streaming.stateful import compact_sketch_sink
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    staged = with_dyadic_bucket(
+        stream.select("n_chars"), "n_chars", "bucket_idx", 5
+    )
+    sketch = staged.groupBy("bucket_idx").agg(
+        F.min(F.col("n_chars").cast("long")).alias("lo"),
+        F.max(F.col("n_chars").cast("long")).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    name = f"q136_out_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sketch.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available_now(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return compact_sketch_sink(spark.table(name))
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

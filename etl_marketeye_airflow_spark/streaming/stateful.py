@@ -168,3 +168,24 @@ def compact_cdc_sink(sink_df: DataFrame) -> DataFrame:
             F.col("_st.price").alias("price"),
         )
     )
+
+
+def compact_sketch_sink(sink_df: DataFrame) -> DataFrame:
+    """Compact an update-mode dyadic-sketch sink read to final per-bucket
+    state.
+
+    Update mode emits one row per CHANGED bucket per micro-batch, so the
+    raw sink equals the final sketch only for a single-batch drain (the
+    same hazard class as ``compact_cdc_sink`` / convention 9).  Every
+    per-bucket aggregate here is MONOTONE across a bucket's emissions —
+    cnt strictly increases, lo only falls, hi only rises — so cell-wise
+    (min lo, max hi, max cnt) per bucket reconstructs the final state
+    exactly, with no batch-id column needed.
+    """
+    from pyspark.sql import functions as F
+
+    return sink_df.groupBy("bucket_idx").agg(
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.max("cnt").alias("cnt"),
+    )

@@ -749,3 +749,57 @@ def test_stream_static_join_exactly_once_multi_batch(spark, tmp_path_factory):
         (11, 2, 2.5, "B"),
         (12, 1, 3.5, "A"),
     ]
+
+
+def test_streaming_sketch_compaction_multi_batch(spark, tmp_path_factory):
+    """Update-mode sketch sink: one row per CHANGED bucket per
+    micro-batch — a raw read after a 2-batch drain holds stale
+    first-batch snapshots next to final ones.  compact_sketch_sink's
+    cell-wise monotone aggregates must reconstruct the final sketch
+    exactly (== the batch sketch over all rows)."""
+    import uuid
+
+    from pyspark.sql import Row
+
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        dyadic_histogram,
+        with_dyadic_bucket,
+    )
+    from etl_marketeye_airflow_spark.streaming.stateful import (
+        compact_sketch_sink,
+    )
+
+    d = tmp_path_factory.mktemp("sk_stream")
+    b1 = [Row(v=10), Row(v=100), Row(v=101)]
+    b2 = [Row(v=10), Row(v=99), Row(v=120), Row(v=3000)]
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(d / "b1.parquet"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(d / "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*.parquet")
+    )
+    staged = with_dyadic_bucket(stream, "v", "bucket_idx", 5)
+    sketch = staged.groupBy("bucket_idx").agg(
+        F.min(F.col("v").cast("long")).alias("lo"),
+        F.max(F.col("v").cast("long")).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    name = f"skstr_{uuid.uuid4().hex[:8]}"
+    q = (
+        sketch.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    raw = spark.table(name)
+    batch = spark.createDataFrame([(r.v,) for r in b1 + b2], "v long")
+    expect = sorted(map(tuple, dyadic_histogram(batch, "v").collect()))
+    # precondition: the hazard is real — the bucket touched in both
+    # batches (v=10x region) left a stale first-batch snapshot behind
+    assert raw.count() > len(expect)
+    got = sorted(map(tuple, compact_sketch_sink(raw).collect()))
+    assert got == expect
