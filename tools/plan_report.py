@@ -44,6 +44,7 @@ EXECUTES_ON_BUILD = {
     "q131_skyline_pareto": "eager two-pass (checkpointed result)",
     "q132_rrf_hybrid_fusion": "eager (checkpointed input rankings)",
     "q133_stream_static_join": "streaming (drained; plan = memory sink)",
+    "q136_streaming_quantile_sketch": "streaming stateful sketch (drained; compacted sink read)",
     "q114_pagerank": "iterative (checkpointed per-iteration ranks)",
     "q100_unigram_surprisal": "eager (persisted token stream; checkpointed result)",
     "q103_tfidf_topk": "eager (persisted tf base; checkpointed result)",
