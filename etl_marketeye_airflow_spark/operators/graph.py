@@ -192,9 +192,25 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
-    # rank = deg·2^32 + node: one long, total order, ties broken by id
+    # rank = deg·2^32 + node: one long, total order, ties broken by id.
+    # The packing REQUIRES node ids in [0, 2^32) — a silent collision
+    # would drop or mis-corner triangles, so oversized ids fail LOUD
+    # (same contract discipline as sources/tables.py:events_ts_divisor).
+    in_range = (F.col("node") >= 0) & (F.col("node") < F.lit(1 << 32))
     rank = deg.select(
-        "node",
+        F.when(in_range, F.col("node"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "triangle_counts: node id outside [0, 2^32) "
+                        "breaks the (deg,id) rank packing: "
+                    ),
+                    F.col("node").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("node"),
         (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("rk"),
     )
     ru = rank.select(F.col("node").alias("u"), F.col("rk").alias("rku"))

@@ -52,14 +52,22 @@ def skyline_2d(
     """Rows of ``df`` on the (minimize x, minimize y) Pareto front.
 
     ``x`` / ``y`` are Column expressions (negate to maximize).  Rows
-    where either criterion is NULL are excluded — dominance is
-    undefined on missing values.  Returns the full input rows (plus
-    nothing else); exact ties on BOTH criteria all survive.
+    where either criterion is NULL — or NaN for floating criteria —
+    are excluded: dominance is undefined on missing values, and NaN
+    would poison the driver-side Python ``min`` (NaN propagates
+    positionally there) while Spark sorts it greatest — two different
+    wrong answers.  Returns the full input rows (plus nothing else);
+    exact ties on BOTH criteria all survive.
     """
+    from pyspark.sql.types import DoubleType, FloatType
+
     spark = df.sparkSession
     staged = df.withColumn("_sx", x).withColumn("_sy", y).filter(
         F.col("_sx").isNotNull() & F.col("_sy").isNotNull()
     )
+    for c in ("_sx", "_sy"):
+        if isinstance(staged.schema[c].dataType, (DoubleType, FloatType)):
+            staged = staged.filter(~F.isnan(F.col(c)))
     pts = staged.select("_sx", "_sy").groupBy("_sx").agg(
         F.min("_sy").alias("_sy")
     )

@@ -2182,11 +2182,10 @@ def q50_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested in tests/test_sinks_streaming.py)."""
     import uuid
 
+    from .sources.tables import load_documents_stream
     from .streaming.ingest import streaming_exact_dedup
 
-    stream = spark.readStream.schema(
-        "doc_id long, text string, lang string, source string, n_chars long"
-    ).option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+    stream = load_documents_stream(spark, sf_dir)
     name = f"q50_out_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -6929,17 +6928,9 @@ def q131_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     cs AS (
-      SELECT vec_id,
-             list_reduce(list_transform(list_zip(embedding, qv),
-                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-                 (a, b) -> a + b)
-             / (sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
-                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-                 (a, b) -> a + b))
-                * sqrt(list_reduce(list_transform(list_zip(qv, qv),
-                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-                 (a, b) -> a + b))) AS c
-      FROM embeddings, qv
+      SELECT e.vec_id,
+             {_SQL_COS.format(a="e.embedding", b="q.qv")} AS c
+      FROM embeddings e, qv q
       ORDER BY c DESC, vec_id LIMIT 20
     ),
     rb AS (
@@ -7245,20 +7236,16 @@ def q136_streaming_quantile_sketch(
     compose interchangeably."""
     import uuid
 
-    from .operators.corpus import with_dyadic_bucket
+    from .operators.corpus import dyadic_histogram
+    from .sources.tables import load_documents_stream
     from .streaming.ingest import drain_available_now
     from .streaming.stateful import compact_sketch_sink
 
-    stream = spark.readStream.schema(
-        "doc_id long, text string, lang string, source string, n_chars long"
-    ).option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
-    staged = with_dyadic_bucket(
-        stream.select("n_chars"), "n_chars", "bucket_idx", 5
-    )
-    sketch = staged.groupBy("bucket_idx").agg(
-        F.min(F.col("n_chars").cast("long")).alias("lo"),
-        F.max(F.col("n_chars").cast("long")).alias("hi"),
-        F.count(F.lit(1)).cast("long").alias("cnt"),
+    stream = load_documents_stream(spark, sf_dir)
+    # the operator body is pure groupBy/agg — it compiles unchanged on a
+    # streaming DataFrame, so the stream sketch IS q126's operator
+    sketch = dyadic_histogram(
+        stream.select("n_chars"), "n_chars", sub_bits=5
     )
     name = f"q136_out_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -34,6 +34,22 @@ EVENTS_STREAM_SCHEMA = (
     " value double, props string"
 )
 
+DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def load_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file stream — ONE definition of the
+    schema string for every documents-streaming query (q50/q136), same
+    single-copy rule as ``load_events_stream``: a testdata column-type
+    change must be fixed in exactly one place."""
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")  # file source needs a DIR
+        .parquet(sf_dir)
+    )
+
 
 def events_ts_divisor(sf_dir: str) -> int:
     """ts-to-microseconds divisor for the events table at ``sf_dir``.

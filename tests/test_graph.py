@@ -148,3 +148,18 @@ def test_triangle_counts_hand_computed(spark):
     e2 = spark.createDataFrame(edges2, "src long, dst long")
     got2 = {r.node: r.tri_cnt for r in triangle_counts(e2).collect()}
     assert got2 == brute
+
+
+def test_triangle_counts_rejects_oversized_node_ids(spark):
+    """The (deg,id) rank packing requires ids < 2^32 — oversized ids
+    must fail LOUD, never silently corrupt counts."""
+    import pytest
+
+    from etl_marketeye_airflow_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, (1 << 32) + 7), (1, (1 << 32) + 7)],
+        "src long, dst long",
+    )
+    with pytest.raises(Exception, match="2\\^32|node id outside"):
+        triangle_counts(e).collect()

@@ -763,7 +763,6 @@ def test_streaming_sketch_compaction_multi_batch(spark, tmp_path_factory):
 
     from etl_marketeye_airflow_spark.operators.corpus import (
         dyadic_histogram,
-        with_dyadic_bucket,
     )
     from etl_marketeye_airflow_spark.streaming.stateful import (
         compact_sketch_sink,
@@ -780,12 +779,9 @@ def test_streaming_sketch_compaction_multi_batch(spark, tmp_path_factory):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d) + "/*.parquet")
     )
-    staged = with_dyadic_bucket(stream, "v", "bucket_idx", 5)
-    sketch = staged.groupBy("bucket_idx").agg(
-        F.min(F.col("v").cast("long")).alias("lo"),
-        F.max(F.col("v").cast("long")).alias("hi"),
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-    )
+    # the BATCH operator compiles unchanged on the stream — one body,
+    # no copy to drift (same contract q136 relies on)
+    sketch = dyadic_histogram(stream, "v", sub_bits=5)
     name = f"skstr_{uuid.uuid4().hex[:8]}"
     q = (
         sketch.writeStream.format("memory")

@@ -1375,3 +1375,27 @@ def test_skyline_2d_brute_force_ties_and_nulls(spark):
     assert got == expect
     assert 900 in got and 901 in got and 902 not in got
     assert 903 not in got and 904 not in got
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", _GATE_SF, "/root/testdata/sf0.1"],
+)
+def test_q132_cosine_rank_margins(spark, sf_dir):
+    """q132 consumes the EXACT ORDER of the cosine top-20 (ranks feed
+    rrf_fx), so adjacent margins across the whole consumed prefix —
+    including the rank-20 cut — must sit far above fold-order ulp
+    noise at every gate SF (the q25 margin-pin discipline, conv. 7)."""
+    import numpy as np
+
+    ids, X = _emb_matrix(spark, sf_dir)
+    qpos = int(np.where(ids == 0)[0][0])
+    q = X[qpos]
+    cos = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ (
+        q / np.linalg.norm(q)
+    )
+    order = np.lexsort((ids, -cos))
+    cs = cos[order][:21]  # top-20 + the first excluded row
+    gaps = np.diff(cs)
+    assert float(-gaps.max()) > 1e-7 or float(np.abs(gaps).min()) > 1e-7
+    assert float(np.abs(gaps).min()) > 1e-7, cs
