@@ -154,6 +154,7 @@ def triangle_counts(
     src_col: str = "src",
     dst_col: str = "dst",
     eager: bool = True,
+    include_degree: bool = False,
 ) -> DataFrame:
     """Exact per-node triangle counts over an UNDIRECTED simple graph
     given as canonical edges (src < dst, already distinct) — the other
@@ -170,9 +171,11 @@ def triangle_counts(
     Σ outdeg² ≪ Σ deg² — the skew-killer that makes the self-join safe
     where a naive adjacency join explodes on hub nodes.
 
-    Returns (node, tri_cnt) for EVERY node of the graph (zeros kept) —
-    per-node counts are orientation-independent, so any engine can
-    verify against a canonical-order enumeration.
+    Returns (node, tri_cnt) for EVERY node of the graph (zeros kept;
+    ``include_degree=True`` adds deg for ratio consumers like
+    ``clustering_coefficient``) — per-node counts are orientation-
+    independent, so any engine can verify against a canonical-order
+    enumeration.
 
     Scale shape: two hash joins on node keys (wedge build + closure
     probe) + one explode-3 groupBy; no global sort, no window, no
@@ -248,11 +251,50 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("_t"))
     )
+    cols = ["node"] + (["deg"] if include_degree else [])
     return (
-        deg.select("node")
+        deg.select(*cols)
         .join(corners, "node", "left")
         .select(
-            "node",
+            *cols,
             F.coalesce(F.col("_t"), F.lit(0).cast("long")).alias("tri_cnt"),
         )
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    eager: bool = True,
+) -> DataFrame:
+    """Exact local clustering coefficient per node: the fraction of a
+    node's neighbor pairs that are themselves connected —
+    2·tri / (deg·(deg−1)) — the standard community-density score on top
+    of ``triangle_counts``.
+
+    Determinism: the ratio is held as an exact truncating-integer
+    parts-per-million (lcc_ppm = 2·10^6·tri div (deg·(deg−1)); 0 for
+    deg < 2) plus one display double from identical operands — no
+    float accumulation anywhere.  Overflow-safe to tri < 2^43.
+
+    Scale shape: triangle_counts' shape plus one projection.
+    """
+    t = triangle_counts(
+        edges, src_col, dst_col, eager=eager, include_degree=True
+    )
+    pairs = F.col("deg") * (F.col("deg") - 1)
+    lcc_ppm = F.when(
+        F.col("deg") >= 2,
+        F.expr("(2 * 1000000 * tri_cnt) div (deg * (deg - 1))"),
+    ).otherwise(F.lit(0)).cast("long")
+    return t.select(
+        "node",
+        "deg",
+        "tri_cnt",
+        lcc_ppm.alias("lcc_ppm"),
+        F.when(pairs > 0, (F.lit(2.0) * F.col("tri_cnt").cast("double"))
+               / pairs.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
     )

@@ -6669,6 +6669,32 @@ def q127_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dyadic_quantile_estimate(sk)
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical distinct edges of the part co-purchase graph (parts
+    co-ordered with l_quantity > 40 on both lineitems, u < v) — ONE
+    builder for q128/q137 so graph and oracle can never drift.  The
+    per-order self-join is bounded by order size, so it stays linear in
+    lineitem."""
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = l.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("u")
+    )
+    b = l.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("v")
+    )
+    return (
+        a.join(b, "_ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+
 @query(
     "q128_triangle_counts",
     # per-node triangle counts are orientation-independent, so the oracle
@@ -6717,24 +6743,7 @@ def q128_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash joins + one explode-3 groupBy; no window, no global sort."""
     from .operators.graph import triangle_counts
 
-    l = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") > 40)
-        .select("l_orderkey", "l_partkey")
-    )
-    a = l.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("u")
-    )
-    b = l.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("v")
-    )
-    edges = (
-        a.join(b, "_ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
-    return triangle_counts(edges, "u", "v")
+    return triangle_counts(_copurchase_edges(spark, sf_dir), "u", "v")
 
 
 @query(
@@ -7262,6 +7271,67 @@ def q136_streaming_quantile_sketch(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return compact_sketch_sink(spark.table(name))
+
+
+@query(
+    "q137_clustering_coefficient",
+    # same canonical triangle enumeration as q128 plus the exact degree;
+    # lcc_ppm is truncating-integer parts-per-million, lcc one double
+    # division of identical operands
+    oracle="""
+    WITH q AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM q a JOIN q b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    j AS (
+      SELECT d.node, d.deg, CAST(coalesce(c.t, 0) AS BIGINT) AS tri_cnt
+      FROM deg d LEFT JOIN corners c USING (node)
+    )
+    SELECT node, deg, tri_cnt,
+           CAST(CASE WHEN deg >= 2
+                THEN (2 * 1000000 * tri_cnt) // (deg * (deg - 1))
+                ELSE 0 END AS BIGINT) AS lcc_ppm,
+           CASE WHEN deg >= 2
+                THEN (2.0 * CAST(tri_cnt AS DOUBLE))
+                     / CAST(deg * (deg - 1) AS DOUBLE)
+                ELSE 0.0 END AS lcc
+    FROM j
+    """,
+)
+def q137_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact local clustering coefficient over the q128 co-purchase
+    graph: 2·tri/(deg·(deg−1)) per part — how clique-like each part's
+    co-purchase neighborhood is.  Exact truncating-integer ppm plus one
+    display double of identical operands; triangle_counts' scale shape
+    plus one projection."""
+    from .operators.graph import clustering_coefficient
+
+    return clustering_coefficient(
+        _copurchase_edges(spark, sf_dir), "u", "v"
+    )
 
 
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a

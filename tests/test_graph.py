@@ -1,6 +1,7 @@
 """Fixed-point PageRank: hand-computed ranks, ordering sanity, and
 rerun determinism (the properties behind q114's exact-integer oracle)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_marketeye_airflow_spark.operators.graph import (
@@ -163,3 +164,41 @@ def test_triangle_counts_rejects_oversized_node_ids(spark):
     )
     with pytest.raises(Exception, match="2\\^32|node id outside"):
         triangle_counts(e).collect()
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    """K4: every node has deg 3, 3 triangles, lcc = 1. A path graph:
+    middle node deg 2, no triangle, lcc 0. Triangle-with-tail: the
+    tail-attachment node has deg 3, 1 triangle → lcc = 1/3 (ppm
+    333333 by truncation)."""
+    from itertools import combinations
+
+    from etl_marketeye_airflow_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    k4 = list(combinations([1, 2, 3, 4], 2))
+    got = {
+        r.node: r
+        for r in clustering_coefficient(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    assert all(
+        (got[n].deg, got[n].tri_cnt, got[n].lcc_ppm, got[n].lcc)
+        == (3, 3, 1_000_000, 1.0)
+        for n in (1, 2, 3, 4)
+    )
+
+    tri_tail = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    got = {
+        r.node: r
+        for r in clustering_coefficient(
+            spark.createDataFrame(tri_tail, "src long, dst long")
+        ).collect()
+    }
+    assert (got[3].deg, got[3].tri_cnt, got[3].lcc_ppm) == (3, 1, 333_333)
+    assert got[3].lcc == pytest.approx(1 / 3)
+    assert (got[4].deg, got[4].tri_cnt, got[4].lcc_ppm, got[4].lcc) == (
+        1, 0, 0, 0.0,
+    )
