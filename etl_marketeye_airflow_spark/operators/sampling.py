@@ -295,6 +295,7 @@ def weighted_sample(
     k: int = 100,
     key_col: str = "doc_id",
     seed: str = "wsample-v1",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis
     A-ES (public: Inf. Proc. Letters 97(5), 2006): each row draws a
@@ -313,6 +314,11 @@ def weighted_sample(
     Scale shape: the sample key is a pure map; top-k compiles to
     TakeOrderedAndProject (per-partition top-k + driver merge — never a
     global sort).  Changing ``seed`` redraws; re-running never does.
+
+    ``group_col``: k-per-GROUP sampling instead (balanced per-stratum
+    draws — the corpus-mixing shape); the cut becomes a rank window
+    partitioned by the group, sorting each group's rows once — the
+    standard top-k-per-group shape (q15/heavy_hitters), never global.
     """
     from .corpus import FLOG2_SCALE, with_flog2_fx
 
@@ -334,12 +340,25 @@ def weighted_sample(
         .filter(F.col("_w") > 0)
     )
     base = with_flog2_fx(base, "_u", "_flu")
-    return (
-        base.withColumn(
-            "skey",
-            F.expr(f"((40 * {FLOG2_SCALE} - _flu) * {FLOG2_SCALE}) div _w"),
+    keyed = base.withColumn(
+        "skey",
+        F.expr(f"((40 * {FLOG2_SCALE} - _flu) * {FLOG2_SCALE}) div _w"),
+    )
+    if group_col is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.asc("skey"), F.asc(key_col)
         )
-        .select(key_col, F.col("_w").alias("weight"), "skey")
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(
+                group_col, key_col, F.col("_w").alias("weight"), "skey"
+            )
+        )
+    return (
+        keyed.select(key_col, F.col("_w").alias("weight"), "skey")
         .orderBy(F.asc("skey"), F.asc(key_col))
         .limit(k)
     )

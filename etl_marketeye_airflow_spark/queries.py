@@ -7334,6 +7334,53 @@ def q137_clustering_coefficient(
     )
 
 
+@query(
+    "q138_stratified_weighted_sample",
+    # identical seeded 60→40-bit draw, identical fixed-point skey
+    # (q115's algebra), cut by a per-source rank window — replayed with
+    # the same PARTITION BY row_number
+    oracle=f"""
+    WITH h AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(('0x' || substring(
+               md5('wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 10))
+               AS BIGINT) + 1 AS u
+      FROM documents WHERE n_chars > 0
+    ),
+    s AS (
+      SELECT source, doc_id, weight,
+             ((40 * 1048576 - {_sql_flog2_fx('u')}) * 1048576) // weight
+               AS skey
+      FROM h
+    ),
+    r AS (
+      SELECT source, doc_id, weight, skey,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY skey ASC, doc_id ASC) AS rn
+      FROM s
+    )
+    SELECT source, doc_id, weight, skey FROM r WHERE rn <= 20
+    """,
+)
+def q138_stratified_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Balanced per-stratum weighted sampling: 20 docs PER SOURCE by
+    the A-ES priority key (q115's bit-identical integer algebra) —
+    the corpus-mixing draw that keeps every stratum represented
+    regardless of stratum size skew.  Scale: the draw is a pure map;
+    the cut is a rank window partitioned by source — each stratum
+    sorts once, never a global sort (the q15 top-k-per-group shape)."""
+    from .operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        k=20,
+        group_col="source",
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

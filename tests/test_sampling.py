@@ -151,3 +151,35 @@ def test_temperature_mix_source_isolation(spark):
         ).collect()
     }
     assert both == only_a
+
+
+def test_weighted_sample_grouped_matches_per_group_runs(spark):
+    """group_col sampling == running the global sampler per stratum
+    with k = stratum cut (same seed, same keys): the grouped window cut
+    must select exactly the per-group top-k sets."""
+    from etl_marketeye_airflow_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    grouped = weighted_sample(docs, "n_chars", k=5, group_col="source")
+    got = {
+        src: sorted(r.doc_id for r in rows)
+        for src, rows in (
+            (s, [r for r in grouped.collect() if r.source == s])
+            for s in {r.source for r in grouped.collect()}
+        )
+    }
+    for src in got:
+        solo = weighted_sample(
+            docs.filter(F.col("source") == src), "n_chars", k=5
+        )
+        assert got[src] == sorted(r.doc_id for r in solo.collect()), src
+    # every stratum present with exactly min(5, stratum size) rows
+    sizes = {
+        r.source: r.n
+        for r in docs.filter(F.col("n_chars") > 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = {s: len(v) for s, v in got.items()}
+    assert counts == {s: min(5, n) for s, n in sizes.items()}
