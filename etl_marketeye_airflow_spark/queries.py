@@ -7381,6 +7381,89 @@ def q138_stratified_weighted_sample(
     )
 
 
+@query(
+    "q139_ema_fold",
+    # identical ordered left fold both engines: list_sort of (ts_us,
+    # event_id, cents) structs, first element as init, then
+    # v' = (7v + c·2^20) >> 3 — all-positive integer ops (the >> form
+    # avoids the Spark-truncates vs DuckDB-floors negative-div trap);
+    # cents = floor(value·100) (floor is IEEE-exact; a bare double→int
+    # cast ROUNDS on DuckDB but truncates on Spark)
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    l AS (
+      SELECT user_id,
+             list_sort(list({'ts_us': ts_us, 'event_id': event_id,
+                             'cents': cents})) AS lst
+      FROM c GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, CAST(len(lst) AS BIGINT) AS n_events,
+             CAST(list_reduce(
+               list_transform(lst, x -> x.cents * 1048576),
+               (acc, x) -> (7 * acc + x) >> 3
+             ) AS BIGINT) AS ema_fx
+      FROM l
+    )
+    SELECT user_id, n_events, ema_fx,
+           CAST(ema_fx AS DOUBLE) / 104857600.0 AS ema
+    FROM f
+    """,
+)
+def q139_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average of purchase value per user — the
+    ordered per-key RECURRENCE no window function expresses (each state
+    depends on the previous state, not on a frame aggregate), run as an
+    event-time-ordered left fold: v' = (7·v + cents·2^20) div 8
+    (α = 1/8, fixed point 2^20).  The all-positive shift form sidesteps
+    the negative-division engine divergence, and both engines execute
+    the IDENTICAL fold order (array_sort/list_sort of (ts_us, event_id)
+    structs — a total order), so ema_fx is bit-identical.
+
+    Scale shape: one groupBy(user) collect + a per-row linear fold —
+    state never shuffles, the fold is ONE pass per user.  Per-user
+    event count bounds the collected array (the same documented
+    known-limit as sessionization/merge: a pathological million-event
+    key should be range-chunked upstream); for bounded keys this is
+    the canonical distributed shape for sequential recurrences."""
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    c = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = c.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "cents"))
+        ).alias("lst")
+    )
+    vals = F.transform(F.col("lst"), lambda x: x["cents"] * F.lit(1048576))
+    staged = g.withColumn("_vals", vals)
+    ema_fx = F.aggregate(
+        F.slice(
+            F.col("_vals"), 2,
+            F.greatest(F.size("_vals") - 1, F.lit(0)),
+        ),
+        F.element_at(F.col("_vals"), 1).cast("long"),
+        lambda acc, x: F.shiftright(acc * F.lit(7) + x, 3),
+    )
+    return staged.select(
+        "user_id",
+        F.size("lst").cast("long").alias("n_events"),
+        ema_fx.cast("long").alias("ema_fx"),
+        (ema_fx.cast("double") / F.lit(104857600.0)).alias("ema"),
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -941,3 +941,38 @@ def test_dyadic_grouped_sketch_and_quantiles(spark, docs):
         true = by_lang[r.lang][r.target_rank - 1]
         assert r.lo <= true <= r.hi, (r, true)
         assert abs(r.est - true) / max(true, 1) <= 2**-5
+
+
+def test_ema_fold_matches_python_recurrence(spark):
+    """q139's fold == the hand recurrence v' = (7v + c*2^20) >> 3 over
+    events sorted by (ts, id), including an out-of-order arrival and a
+    single-event user; ema decodes to fx / (100*2^20)."""
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    out = {
+        r.user_id: r
+        for r in QUERIES["q139_ema_fold"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    from etl_marketeye_airflow_spark.sources.tables import load_events
+
+    rows = (
+        load_events(spark, "/root/testdata/sf0.001")  # convention 4
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts_us", "event_id", "value")
+        .collect()
+    )
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(
+            (r.ts_us, r.event_id, int(math.floor(r.value * 100)))
+        )
+    for uid, evs in per_user.items():
+        evs.sort()
+        v = evs[0][2] * 1048576
+        for _, _, c in evs[1:]:
+            v = (7 * v + c * 1048576) >> 3
+        assert out[uid].ema_fx == v, uid
+        assert out[uid].n_events == len(evs)
+        assert out[uid].ema == v / 104857600.0
