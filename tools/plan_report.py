@@ -40,6 +40,7 @@ EXECUTES_ON_BUILD = {
     "q125_kmv_set_ops": "eager (checkpointed input sketches)",
     "q127_quantile_estimate": "eager (checkpointed sketch base)",
     "q128_triangle_counts": "eager (checkpointed edge/orientation bases)",
+    "q137_clustering_coefficient": "eager (checkpointed edge/orientation bases)",
     "q130_pmi_bigrams": "eager (persisted token arrays; checkpointed result)",
     "q131_skyline_pareto": "eager two-pass (checkpointed result)",
     "q132_rrf_hybrid_fusion": "eager (checkpointed input rankings)",
