@@ -1,0 +1,159 @@
+"""Grouped closed-form linear modeling — per-group OLS trend fit and
+Pearson correlation from exact-integer sufficient statistics.
+
+Reference scope: the reference's analytics stop at per-group mean/std
+(`dags/marketeye_etl_dag.py` group market stats feeding the anomaly
+detector); this module extends the same "sufficient statistics per
+group" shape one order up, to first-order model fitting — the per-key
+trend / correlation features a large-scale pipeline derives everywhere
+(user spend drift, feature drift monitors, per-segment price/quantity
+coupling).
+
+Determinism contract (CLAUDE.md conv 1/11): callers pass INTEGER-valued
+long columns (quantize upstream: epoch days, cents, floor'd units — use
+``floor()`` on both engines, never a bare double→int cast, which rounds
+on DuckDB but truncates on Spark).  All sufficient statistics are then
+exact: n/Sx/Sy as BIGINT (bounded by rows·value, documented per call
+site), the second-order Sxx/Sxy/Syy as decimal(38,0) sums of
+decimal(19,0)-operand products (products exact under Spark's decimal
+rules, sums order-free).  The normal-equation numerators/denominators
+are decimal(38,0) combinations of those sums — (19,0)×(38,0) stays
+(38,0) and is exact while the VALUE fits 38 digits, which holds with
+huge headroom at the 100 TB posture (n ≈ 1e5 rows/key, |x| ≤ 2e4 days,
+|y| ≤ 5e7 cents → n·Sxy ≈ 1e22 ≪ 1e38).  The ONLY doubles are final
+per-row casts and one division (or a sqrt·sqrt product of identical
+operands) — both engines see the identical IEEE op sequence, so the
+doubles are bit-identical too (JVM and libm sqrt are both correctly
+rounded per IEEE 754).
+
+Scale shape: ONE map-side-combined groupBy over the fact table, then
+pure per-row expressions on the (small) group frame.  No windows, no
+second pass over the data; the decimal sums are order-free, so partial
+aggregates merge exactly (the incremental-maintenance property q116
+proves for first moments extends to these second moments unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+D19 = "decimal(19,0)"
+D38 = "decimal(38,0)"
+
+
+def _d19(c: Column) -> Column:
+    return c.cast(D19)
+
+
+def _suffstats(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    min_n: int,
+    with_syy: bool,
+) -> DataFrame:
+    """Exact per-group sufficient statistics (n, sx, sy, sxx, sxy[,
+    syy]) for integer-valued long columns ``x_col``/``y_col``."""
+    x, y = F.col(x_col), F.col(y_col)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum((_d19(x) * _d19(x)).cast(D38)).cast(D38).alias("sxx"),
+        F.sum((_d19(x) * _d19(y)).cast(D38)).cast(D38).alias("sxy"),
+    ]
+    if with_syy:
+        aggs.append(F.sum((_d19(y) * _d19(y)).cast(D38)).cast(D38).alias("syy"))
+    return (
+        df.groupBy(*group_cols).agg(*aggs).filter(F.col("n") >= F.lit(min_n))
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    min_n: int = 3,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit y ≈ slope·x + intercept.
+
+    Returns one row per group with ≥ ``min_n`` points:
+    (group…, n, slope_num, slope_den, slope, intercept) where
+    slope_num = n·Sxy − Sx·Sy and slope_den = n·Sxx − Sx² are the EXACT
+    decimal(38,0) normal-equation terms (the oracle-checked payload;
+    slope = slope_num/slope_den), and slope/intercept are display
+    doubles from one division of identical operands.  Groups with zero
+    x-variance (slope_den = 0 — every point at the same x) yield NULL
+    slope/intercept but keep their exact row.
+    """
+    a = _suffstats(df, group_cols, x_col, y_col, min_n, with_syy=False)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope_num = (_d19(n) * sxy - _d19(sx) * _d19(sy)).cast(D38)
+    slope_den = (_d19(n) * sxx - _d19(sx) * _d19(sx)).cast(D38)
+    icept_num = (_d19(sy) * sxx - _d19(sx) * sxy).cast(D38)
+    staged = a.withColumn("slope_num", slope_num).withColumn(
+        "slope_den", slope_den
+    ).withColumn("_icept_num", icept_num)
+    nz = F.col("slope_den") != F.lit(0).cast(D38)
+    return staged.select(
+        *group_cols,
+        "n",
+        "slope_num",
+        "slope_den",
+        F.when(
+            nz,
+            F.col("slope_num").cast("double")
+            / F.col("slope_den").cast("double"),
+        ).alias("slope"),
+        F.when(
+            nz,
+            F.col("_icept_num").cast("double")
+            / F.col("slope_den").cast("double"),
+        ).alias("intercept"),
+    )
+
+
+def grouped_pearson(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-group Pearson correlation of two integer-valued columns.
+
+    Returns (group…, n, corr_num, var_x_n, var_y_n, corr): corr_num =
+    n·Sxy − Sx·Sy, var_x_n = n·Sxx − Sx², var_y_n = n·Syy − Sy² — exact
+    decimal(38,0) — and corr = corr_num / (√var_x_n · √var_y_n) as the
+    one display double (NULL when either variance term is 0: a constant
+    column has no defined correlation).  Bit-stable cross-engine: sqrt
+    is correctly rounded on both JVMs and libm, and the operand order
+    is fixed (sqrt(x)·sqrt(y), then divide).
+    """
+    a = _suffstats(df, group_cols, x_col, y_col, min_n, with_syy=True)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    staged = (
+        a.withColumn("corr_num", (_d19(n) * sxy - _d19(sx) * _d19(sy)).cast(D38))
+        .withColumn("var_x_n", (_d19(n) * sxx - _d19(sx) * _d19(sx)).cast(D38))
+        .withColumn("var_y_n", (_d19(n) * syy - _d19(sy) * _d19(sy)).cast(D38))
+    )
+    pos = (F.col("var_x_n") > F.lit(0).cast(D38)) & (
+        F.col("var_y_n") > F.lit(0).cast(D38)
+    )
+    corr = F.col("corr_num").cast("double") / (
+        F.sqrt(F.col("var_x_n").cast("double"))
+        * F.sqrt(F.col("var_y_n").cast("double"))
+    )
+    return staged.select(
+        *group_cols,
+        "n",
+        "corr_num",
+        "var_x_n",
+        "var_y_n",
+        F.when(pos, corr).alias("corr"),
+    )

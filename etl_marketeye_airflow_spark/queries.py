@@ -7464,6 +7464,147 @@ def q139_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q140_grouped_ols_trend",
+    # identical exact integer inputs (epoch-day x via epoch_us div,
+    # cent y via floor — never a bare double→int cast) and identical
+    # decimal(38,0) normal-equation algebra; the two display doubles
+    # are one division each of identical operands
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    a AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxy
+      FROM o GROUP BY o_custkey HAVING count(*) >= 3
+    ),
+    d AS (
+      SELECT o_custkey, n,
+             CAST(CAST(n AS DECIMAL(19,0)) * sxy
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                  AS DECIMAL(38,0)) AS slope_num,
+             CAST(CAST(n AS DECIMAL(19,0)) * sxx
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                  AS DECIMAL(38,0)) AS slope_den,
+             CAST(CAST(sy AS DECIMAL(19,0)) * sxx
+                  - CAST(sx AS DECIMAL(19,0)) * sxy
+                  AS DECIMAL(38,0)) AS icept_num
+      FROM a
+    )
+    SELECT o_custkey, n, slope_num, slope_den,
+           CASE WHEN slope_den <> 0
+                THEN CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE)
+           END AS slope,
+           CASE WHEN slope_den <> 0
+                THEN CAST(icept_num AS DOUBLE) / CAST(slope_den AS DOUBLE)
+           END AS intercept
+    FROM d
+    """,
+)
+def q140_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend-trend OLS fit: cents of o_totalprice regressed
+    on the epoch-day of the order — the per-key drift feature (is this
+    customer spending more or less over time?) a churn/LTV pipeline
+    computes for every key.  Exact decimal(38,0) normal equations from
+    integer (epoch-day, cent) inputs; the closed-form-per-group shape
+    the reference's group stats use, one order up (operators/regress.py
+    — vs reference dags/marketeye_etl_dag.py per-group mean/std).
+
+    Scale: ONE map-side-combined groupBy over orders, per-row algebra on
+    the group frame after — no windows, no second pass; decimal sums
+    merge exactly across partials."""
+    from .operators.regress import grouped_ols
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        # o_orderdate is parquet TIMESTAMP_NTZ: NTZ→DATE drops the time
+        # part with NO session-TZ involvement (a plain driver session in
+        # any TZ reads the same integer day — conv 5)
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    return grouped_ols(o, ["o_custkey"], "x", "y", min_n=3)
+
+
+@query(
+    "q141_grouped_pearson",
+    # same suff-stat algebra; corr = num / (sqrt(vx)·sqrt(vy)) with the
+    # identical operand order — sqrt is correctly rounded on both engines
+    oracle="""
+    WITH o AS (
+      SELECT l_suppkey,
+             CAST(floor(l_quantity) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    a AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS syy
+      FROM o GROUP BY l_suppkey HAVING count(*) >= 2
+    ),
+    d AS (
+      SELECT l_suppkey, n,
+             CAST(CAST(n AS DECIMAL(19,0)) * sxy
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                  AS DECIMAL(38,0)) AS corr_num,
+             CAST(CAST(n AS DECIMAL(19,0)) * sxx
+                  - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                  AS DECIMAL(38,0)) AS var_x_n,
+             CAST(CAST(n AS DECIMAL(19,0)) * syy
+                  - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                  AS DECIMAL(38,0)) AS var_y_n
+      FROM a
+    )
+    SELECT l_suppkey, n, corr_num, var_x_n, var_y_n,
+           CASE WHEN var_x_n > 0 AND var_y_n > 0
+                THEN CAST(corr_num AS DOUBLE)
+                     / (sqrt(CAST(var_x_n AS DOUBLE))
+                        * sqrt(CAST(var_y_n AS DOUBLE)))
+           END AS corr
+    FROM d
+    """,
+)
+def q141_grouped_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier Pearson correlation between line quantity and
+    extended price (integer units × cents) — the per-segment coupling /
+    drift-monitor statistic, from the same exact sufficient statistics
+    as q140.  NULL where either column is constant within the group.
+
+    Scale: identical shape to q140 — one grouped pass, exact mergeable
+    decimal sums, per-row closed form."""
+    from .operators.regress import grouped_pearson
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_quantity")).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return grouped_pearson(li, ["l_suppkey"], "x", "y", min_n=2)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -1,0 +1,103 @@
+"""Grouped OLS / Pearson (q140/q141 operators): hand-computed fits,
+degenerate-variance NULLs, and partition-layout invariance (the
+exact-mergeable-partials property the decimal sums guarantee)."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_marketeye_airflow_spark.operators.regress import (
+    grouped_ols,
+    grouped_pearson,
+)
+
+
+def _fit(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    return grouped_ols(df, ["g"], "x", "y", **kw).collect()
+
+
+def test_ols_exact_line_recovered(spark):
+    """y = 3x + 7 exactly → slope 3, intercept 7, den = n·Sxx − Sx²."""
+    rows = [("a", x, 3 * x + 7) for x in (1, 2, 5, 9)]
+    [r] = _fit(spark, rows)
+    assert r.n == 4
+    assert r.slope == pytest.approx(3.0, abs=0)
+    assert r.intercept == pytest.approx(7.0, abs=0)
+    # hand: Sx=17, Sy=79, Sxx=111, Sxy=452 → num=465, den=155 (=3 exactly)
+    assert r.slope_num == Decimal(4 * 452 - 17 * 79)
+    assert r.slope_den == Decimal(4 * 111 - 17 * 17)
+
+
+def test_ols_hand_computed_scatter(spark):
+    """(0,1),(1,3),(2,4): slope_num=2·? — worked by hand:
+    n=3 Sx=3 Sy=8 Sxx=5 Sxy=11 → num=33−24=9, den=15−9=6 → slope 1.5,
+    icept_num = 8·5 − 3·11 = 7 → intercept 7/6."""
+    [r] = _fit(spark, [("a", 0, 1), ("a", 1, 3), ("a", 2, 4)])
+    assert (r.slope_num, r.slope_den) == (Decimal(9), Decimal(6))
+    assert r.slope == 9.0 / 6.0
+    assert r.intercept == 7.0 / 6.0
+
+
+def test_ols_zero_x_variance_null_fit_row_kept(spark):
+    [r] = _fit(spark, [("a", 4, 1), ("a", 4, 2), ("a", 4, 9)])
+    assert r.slope_den == Decimal(0)
+    assert r.slope is None and r.intercept is None
+
+
+def test_ols_min_n_filters_small_groups(spark):
+    rows = [("big", x, x) for x in range(5)] + [("tiny", 1, 1), ("tiny", 2, 2)]
+    got = _fit(spark, rows, min_n=3)
+    assert [r.g for r in got] == ["big"]
+
+
+def test_ols_partition_layout_invariant(spark):
+    """Same exact decimals from 1 and 7 input partitions — partial
+    aggregates merge exactly (order-free decimal sums)."""
+    rows = [("g%d" % (i % 3), i, i * i - 5 * i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    one = {
+        r.g: (r.slope_num, r.slope_den)
+        for r in grouped_ols(df.coalesce(1), ["g"], "x", "y").collect()
+    }
+    many = {
+        r.g: (r.slope_num, r.slope_den)
+        for r in grouped_ols(df.repartition(7), ["g"], "x", "y").collect()
+    }
+    assert one == many
+
+
+def test_pearson_perfect_and_anti(spark):
+    rows = [("up", x, 2 * x + 1) for x in range(4)] + [
+        ("down", x, -3 * x + 50) for x in range(4)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r.corr for r in grouped_pearson(df, ["g"], "x", "y").collect()}
+    assert got["up"] == pytest.approx(1.0, abs=1e-12)
+    assert got["down"] == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_pearson_constant_column_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 5), ("a", 3, 5)], "g string, x long, y long"
+    )
+    [r] = grouped_pearson(df, ["g"], "x", "y").collect()
+    assert r.var_y_n == Decimal(0) and r.corr is None
+
+
+def test_pearson_hand_value(spark):
+    """(1,2),(2,1),(3,4),(4,3) — hand: Sx=10 Sy=10 Sxx=30 Syy=30
+    Sxy=28 → num = 112−100 = 12, vx = vy = 120−100 = 20
+    → corr = 12/20 = 0.6."""
+    df = spark.createDataFrame(
+        [("a", 1, 2), ("a", 2, 1), ("a", 3, 4), ("a", 4, 3)],
+        "g string, x long, y long",
+    )
+    [r] = grouped_pearson(df, ["g"], "x", "y").collect()
+    assert (r.corr_num, r.var_x_n, r.var_y_n) == (
+        Decimal(12),
+        Decimal(20),
+        Decimal(20),
+    )
+    assert r.corr == pytest.approx(0.6, abs=1e-15)
