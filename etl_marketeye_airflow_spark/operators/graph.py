@@ -298,3 +298,72 @@ def clustering_coefficient(
         .otherwise(F.lit(0.0))
         .alias("lcc"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 50,
+    eager: bool = True,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every node whose degree in the CURRENT subgraph is < k until none
+    remains, and return the surviving nodes with their core-subgraph
+    degree — the standard dense-region extractor (community seeds,
+    spam/bot rings, "structurally important" entity filtering) the
+    graph family was missing next to PageRank / triangles / CC.
+
+    Input contract matches ``triangle_counts``: canonical UNDIRECTED
+    simple edges (src < dst, distinct).  Output: (node, deg), deg ≥ k.
+    Semantics are purely set/integer-valued — no floats anywhere — so
+    the result is engine- and partitioning-independent by construction
+    (the peeling fixed point is unique regardless of deletion order:
+    classic result, cf. Batagelj & Zaversnik cs/0310049).
+
+    Each round is one degree groupBy (map-side combined) + two
+    left-semi joins restricting the edge list to surviving endpoints;
+    the new edge frame is localCheckpoint'd so the plan never deepens
+    (convention 2; swap for reliable checkpoint on a cluster) and the
+    previous round's frame is unpersisted.  Termination is a driver
+    SCALAR comparison (surviving-node count vs node count — never a
+    data collect).  Rounds needed = peeling depth of the graph, small
+    in practice (each round removes every currently-sub-k node at
+    once); ``max_iters`` is a loud guard, not a silent truncation.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .persist()
+        )
+        n_nodes = deg.count()
+        keep = deg.filter(F.col("deg") >= F.lit(k)).select("node")
+        n_keep = keep.count()
+        if n_keep == n_nodes:
+            out = deg  # fixed point: every remaining node has deg >= k
+            if eager:
+                out = out.localCheckpoint()
+            deg.unpersist()
+            e.unpersist()
+            return out
+        e2 = (
+            e.join(keep, e["u"] == keep["node"], "left_semi")
+            .join(keep.select(F.col("node").alias("_n2")),
+                  F.col("v") == F.col("_n2"), "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        deg.unpersist()
+        e.unpersist()
+        e = e2
+    raise RuntimeError(
+        f"kcore did not converge in {max_iters} rounds - raise max_iters"
+    )

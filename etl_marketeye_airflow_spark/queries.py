@@ -7605,6 +7605,75 @@ def q141_grouped_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_pearson(li, ["l_suppkey"], "x", "y", min_n=2)
 
 
+def _sql_kcore(k: int, rounds: int) -> str:
+    """DuckDB twin of operators.graph.kcore: peeling unrolled as
+    chained CTEs (aggregation inside a recursive CTE term is not
+    portable).  ``rounds`` must be >= the graph's peeling depth — the
+    Spark side iterates to the TRUE fixed point, and extra unrolled
+    rounds are no-ops once converged, so a generous constant is safe
+    (depth measured 3/5/7 at sf0.001/0.01/0.1 for k=3; 16 is the
+    documented margin, re-probe if the edge rule changes).  Pure
+    integer/set algebra — no floats to diverge.  Every chained CTE is
+    MATERIALIZED: each round references the previous one 3x, and
+    DuckDB's default inlining would multiply the base parquet scan
+    3^rounds times (observed as an fd-exhaustion blowup)."""
+    blocks = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM q a JOIN q b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        blocks.append(f"""d{i} AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1}
+      ) GROUP BY node
+    )""")
+        blocks.append(f"""e{i} AS MATERIALIZED (
+      SELECT u, v FROM e{i - 1}
+      WHERE u IN (SELECT node FROM d{i} WHERE d >= {k})
+        AND v IN (SELECT node FROM d{i} WHERE d >= {k})
+    )""")
+    chain = ",\n    ".join(blocks)
+    return f"""
+    WITH q AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40
+    ),
+    {chain}
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+    ) GROUP BY node
+    """
+
+
+@query(
+    "q142_kcore",
+    # Spark peels to the TRUE fixed point (driver-scalar termination);
+    # the oracle unrolls 16 rounds — a no-op past convergence, and 16
+    # is >2x the deepest measured depth (7 at sf0.1).  Set/integer
+    # semantics only, so the fixed point is engine-independent.
+    oracle=_sql_kcore(3, 16),
+)
+def q142_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase part graph (q137's edge rule: parts
+    sharing a high-quantity order): iteratively peel every part with
+    fewer than 3 surviving co-purchase partners, keeping the densely
+    cross-sold region — the dense-subgraph extractor (community seeds,
+    bot-ring mining, importance filtering) completing the graph family
+    (PageRank q114, CC q43, triangles q128, LCC q137).
+
+    Scale shape: per round ONE map-side-combined degree groupBy + two
+    left-semi joins on node keys; frames localCheckpoint'd so the plan
+    never deepens; termination compares two driver scalars.  Rounds =
+    peeling depth (each round removes ALL currently-sub-k nodes), not
+    node count."""
+    from .operators.graph import kcore
+
+    return kcore(_copurchase_edges(spark, sf_dir), k=3, src_col="u",
+                 dst_col="v")
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -202,3 +202,74 @@ def test_clustering_coefficient_hand_computed(spark):
     assert (got[4].deg, got[4].tri_cnt, got[4].lcc_ppm, got[4].lcc) == (
         1, 0, 0, 0.0,
     )
+
+
+# ---------------------------------------------------------------- kcore
+
+
+def _peel_reference(edges, k):
+    """Pure-python peeling reference: returns {node: final degree}."""
+    cur = set(edges)
+    while True:
+        deg = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        cur = {(u, v) for u, v in cur if u not in drop and v not in drop}
+
+
+def test_kcore_hand_computed(spark):
+    """K4 on {1,2,3,4} plus a tail 4-5-6: the 3-core is exactly the K4
+    (every tail node peels: 6 first, then 5, then the 4-side edge is
+    already gone) — each survivor has degree 3."""
+    from etl_marketeye_airflow_spark.operators.graph import kcore
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6)]
+    e = spark.createDataFrame(k4 + tail, "src long, dst long")
+    got = {r.node: r.deg for r in kcore(e, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_cascade_matches_python_reference(spark):
+    """A long chain hanging off a clique peels one node per round (the
+    deep-cascade case); result matches the pure-python reference and
+    rerun is bit-identical (set/integer semantics)."""
+    from etl_marketeye_airflow_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12), (12, 13), (13, 14)]
+    edges = clique + chain
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want = _peel_reference(edges, 2)
+    got = {r.node: r.deg for r in kcore(e, k=2).collect()}
+    got2 = {r.node: r.deg for r in kcore(e, k=2).collect()}
+    assert got == want and got2 == got
+
+
+def test_kcore_fully_peeled_graph_is_empty(spark):
+    """A tree has no 2-core: every node eventually peels and the result
+    is empty (the n_keep==0 -> empty fixed-point path)."""
+    from etl_marketeye_airflow_spark.operators.graph import kcore
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4), (3, 5)], "src long, dst long"
+    )
+    assert kcore(e, k=2).count() == 0
+
+
+def test_kcore_guards(spark):
+    """k < 1 and non-convergence-within-budget both fail loudly."""
+    from etl_marketeye_airflow_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        kcore(e, k=0)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(chain, k=2, max_iters=2)
