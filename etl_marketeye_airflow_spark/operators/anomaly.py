@@ -163,3 +163,102 @@ def render_anomaly_report(
             f"(ecart {r['deviation_percent']:.1f}%)"
         )
     return "\n".join(lines)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold_ppm: int = 3_000_000,
+    min_n: int = 5,
+) -> DataFrame:
+    """Robust (median/MAD) outlier detection — the breakdown-resistant
+    sibling of the z-score rule above: a few extreme prices shift mean
+    and std (masking themselves), but not the median of absolute
+    deviations, which tolerates up to 50% contamination.
+
+    Determinism doctrine (CLAUDE.md conv 1): ``value_col`` must be an
+    INTEGER-valued long (cents — quantize upstream with floor()).  All
+    medians are then held EXACT as doubled integers via order
+    statistics, never an engine median() (whose even-n interpolation
+    and return type differ across engines):
+
+        med2 = v[(n+1) div 2] + v[(n+2) div 2]       (2x the median)
+        dev2 = |2·v − med2|                          (2x |v − median|)
+        mad4 = dev2[(n+1) div 2] + dev2[(n+2) div 2] (4x the MAD)
+
+    (for odd n both picks land on the same row, summed twice — still
+    2x the middle value).  The score is the truncating-integer
+    parts-per-million ratio r_ppm = 10^6·2·dev2 div mad4
+    (= 10^6·|v−med|/MAD): all-positive integer ops, bit-identical on
+    any engine/partitioning.  Rows with r_ppm > ``threshold_ppm``
+    (default 3 MADs) are returned; zero-MAD groups (a majority at one
+    exact value) and groups with < ``min_n`` rows yield no rows — the
+    scale-free rule can't rank deviation there.
+
+    Scale shape: two per-group sort windows (rank for the value median,
+    rank for the deviation median — per-GROUP sorts, never global) and
+    two joins back of tiny per-group frames; one shuffle key
+    throughout, so AQE reuses the exchange.  Known-limit: a
+    pathological mega-group bounds the window sort, same documented
+    limit as sessionization/EMA.
+    """
+    g = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    w = Window.partitionBy(*g).orderBy(v.asc())
+    wn = Window.partitionBy(*g)
+    r = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_n") >= F.lit(min_n))
+    )
+    p1 = F.expr("(_n + 1) div 2")
+    p2 = F.expr("(_n + 2) div 2")
+    med = (
+        r.groupBy(*group_cols)
+        .agg(
+            (
+                F.sum(F.when(F.col("_rn") == p1, v).otherwise(F.lit(0)))
+                + F.sum(F.when(F.col("_rn") == p2, v).otherwise(F.lit(0)))
+            )
+            .cast("long")
+            .alias("med2"),
+            F.max("_n").cast("long").alias("n"),
+        )
+    )
+    d = r.select(*group_cols, value_col).join(med, group_cols).withColumn(
+        "dev2", F.abs(F.lit(2) * v - F.col("med2")).cast("long")
+    )
+    w2 = Window.partitionBy(*g).orderBy(F.col("dev2").asc())
+    r2 = d.withColumn("_rn", F.row_number().over(w2))
+    q1 = F.expr("(n + 1) div 2")
+    q2 = F.expr("(n + 2) div 2")
+    mad = (
+        r2.groupBy(*group_cols)
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("_rn") == q1, F.col("dev2")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                + F.sum(
+                    F.when(F.col("_rn") == q2, F.col("dev2")).otherwise(
+                        F.lit(0)
+                    )
+                )
+            )
+            .cast("long")
+            .alias("mad4")
+        )
+    )
+    scored = (
+        d.join(mad, group_cols)
+        .filter(F.col("mad4") > 0)
+        .withColumn(
+            "r_ppm", F.expr("(1000000 * 2 * dev2) div mad4").cast("long")
+        )
+    )
+    return scored.filter(F.col("r_ppm") > F.lit(threshold_ppm)).select(
+        *group_cols, value_col, "n", "med2", "mad4", "dev2", "r_ppm"
+    )

@@ -7674,6 +7674,83 @@ def q142_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dst_col="v")
 
 
+@query(
+    "q143_mad_outliers",
+    # identical rank-based order statistics both sides: doubled-integer
+    # medians (med2/mad4) from row_number picks — engine median() is
+    # never called (even-n interpolation + return types differ) — and
+    # the score is an all-positive truncating-integer ppm ratio
+    oracle="""
+    WITH b AS (
+      SELECT l_partkey,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_partkey, price_cents,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY price_cents ASC) AS rn,
+             count(*) OVER (PARTITION BY l_partkey) AS n
+      FROM b
+    ),
+    rr AS (SELECT * FROM r WHERE n >= 5),
+    med AS (
+      SELECT l_partkey,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN price_cents ELSE 0 END)
+                + sum(CASE WHEN rn = (n + 2) // 2 THEN price_cents ELSE 0 END)
+               AS BIGINT) AS med2,
+             CAST(max(n) AS BIGINT) AS n
+      FROM rr GROUP BY l_partkey
+    ),
+    d AS (
+      SELECT rr.l_partkey, rr.price_cents, med.n, med.med2,
+             CAST(abs(2 * rr.price_cents - med.med2) AS BIGINT) AS dev2
+      FROM rr JOIN med USING (l_partkey)
+    ),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                   ORDER BY dev2 ASC) AS rn2
+      FROM d
+    ),
+    mad AS (
+      SELECT l_partkey,
+             CAST(sum(CASE WHEN rn2 = (n + 1) // 2 THEN dev2 ELSE 0 END)
+                + sum(CASE WHEN rn2 = (n + 2) // 2 THEN dev2 ELSE 0 END)
+               AS BIGINT) AS mad4
+      FROM r2 GROUP BY l_partkey
+    ),
+    s AS (
+      SELECT d.l_partkey, d.price_cents, d.n, d.med2, mad.mad4, d.dev2,
+             CAST((1000000 * 2 * d.dev2) // mad.mad4 AS BIGINT) AS r_ppm
+      FROM d JOIN mad USING (l_partkey)
+      WHERE mad.mad4 > 0
+    )
+    SELECT * FROM s WHERE r_ppm > 3000000
+    """,
+)
+def q143_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-part price outliers: lineitems whose extended price
+    sits more than 3 MADs from their part's median — the
+    breakdown-resistant counterpart of q04's z-score rule (extremes
+    shift mean/std and mask themselves; the median of absolute
+    deviations tolerates 50% contamination).  Exact doubled-integer
+    order statistics on cents; score is a truncating-integer ppm.
+
+    Scale shape: two per-GROUP sort windows + two tiny group-frame
+    joins, one shuffle key throughout — never a global sort."""
+    from .operators.anomaly import mad_outliers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return mad_outliers(
+        li, ["l_partkey"], "price_cents", threshold_ppm=3_000_000, min_n=5
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

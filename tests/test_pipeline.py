@@ -160,3 +160,55 @@ def test_anomaly_report_rendering(spark, offers_anomaly):
     assert "Total anomalies: 1" in report
     assert "TROP_HAUT: 1 (100.0%)" in report
     assert "2000 MAD vs moyenne 417 MAD" in report
+
+
+# ------------------------------------------------------- mad_outliers
+
+
+def test_mad_outliers_hand_computed_odd_group(spark):
+    """Group of 7 values 100..100,1000: median 100 (med2=200), devs are
+    six 0s and one 1800 (doubled), mad4=0+0 -> zero-MAD group emits
+    NOTHING (majority at one value).  A spread group [10,12,14,16,100]:
+    med2=28, dev2=(8,4,0,4,172), sorted (0,4,4,8,172) -> mad4=8,
+    r_ppm for 100 = 2*172*1e6 // 8 = 43e6 > 3e6 -> exactly one flag."""
+    from etl_marketeye_airflow_spark.operators.anomaly import mad_outliers
+
+    rows = [("a", v) for v in [100, 100, 100, 100, 100, 100, 1000]]
+    rows += [("b", v) for v in [10, 12, 14, 16, 100]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = mad_outliers(df, ["g"], "v", min_n=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.g, r.v, r.n, r.med2, r.mad4, r.dev2, r.r_ppm) == (
+        "b", 100, 5, 28, 8, 172, 43_000_000
+    )
+
+
+def test_mad_outliers_even_group_and_min_n(spark):
+    """Even n=6 [10,10,20,20,30,1000]: med2=40 (20+20), dev2 =
+    (20,20,0,0,20,1960) sorted (0,0,20,20,20,1960), picks rn 3,4 ->
+    mad4=40, outlier r_ppm = 2*1960*1e6//40 = 98e6.  The inliers score
+    2*20*1e6//40 = 1e6 < 3e6 (no flag).  A 4-row group is dropped by
+    min_n=5 entirely."""
+    from etl_marketeye_airflow_spark.operators.anomaly import mad_outliers
+
+    rows = [("a", v) for v in [10, 10, 20, 20, 30, 1000]]
+    rows += [("small", v) for v in [1, 2, 3, 4000]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = mad_outliers(df, ["g"], "v", min_n=5).collect()
+    assert len(got) == 1 and got[0].g == "a"
+    assert (got[0].med2, got[0].mad4, got[0].r_ppm) == (40, 40, 98_000_000)
+
+
+def test_mad_outliers_masking_resistance_vs_zscore_shape(spark):
+    """Two extremes in a group of 10 are BOTH flagged (each is ~45 MADs
+    out) even though together they inflate a std enough to mask each
+    other at z=2 — the robustness motivation.  Rerun is bit-identical
+    (pure integer algebra)."""
+    from etl_marketeye_airflow_spark.operators.anomaly import mad_outliers
+
+    vals = [100, 102, 104, 106, 108, 110, 112, 114, 5000, 5200]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    got = {r.v: r.r_ppm for r in mad_outliers(df, ["g"], "v").collect()}
+    got2 = {r.v: r.r_ppm for r in mad_outliers(df, ["g"], "v").collect()}
+    assert set(got) == {5000, 5200} and got == got2
