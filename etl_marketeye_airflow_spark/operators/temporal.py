@@ -143,3 +143,83 @@ def range_join_count(
         .agg(F.count("_rt").alias(count_alias))
         .drop("_uid")
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    slack: int = 0,
+    threshold: int = 0,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-key CUSUM upward-drift detection over an ordered event
+    stream — the classic sequential changepoint statistic
+    (Page 1954): with d_t = x_t − baseline − slack,
+
+        S_t = max(0, S_{t−1} + d_t)
+
+    alarms when S_t > threshold.  The recurrence looks like a fold
+    (q139's shape), but the clamp admits a WINDOW form: with prefix
+    sums P_t = Σ_{i≤t} d_i,
+
+        S_t = P_t − min(0, min_{j≤t} P_j)
+
+    (the clamp resets exactly at the running-minimum prefix), so both
+    engines compute it with one per-key sort window — prefix sum +
+    running min — never an actual sequential fold.
+
+    Determinism contract (CLAUDE.md conv 1): ``value_col`` is an
+    INTEGER long (cents); ``order_cols`` must be a TOTAL order per key
+    (e.g. ts_us, event_id).  The per-key baseline is the truncating
+    integer mean sum(x) div n (all-window, no second pass); every
+    statistic is then exact BIGINT algebra — bit-identical on any
+    engine/partitioning.
+
+    Returns one row per key with ≥ ``min_n`` events: (key…, n_events,
+    baseline, s_max, alarm_rn, alarm_<order_cols[0]>) where s_max is
+    the peak CUSUM value, alarm_rn the 1-based position of the FIRST
+    alarm (NULL if never), and alarm_<first order col> that event's
+    order value (NULL if never).
+
+    Scale shape: ONE shuffle on the key; the sort window computes
+    row_number, prefix sum, running min, and the full-partition
+    baseline in the same exchange; the final groupBy reuses the key
+    partitioning.  Mega-key limit is the per-key sort, as documented
+    for sessionization/EMA.
+    """
+    k = [F.col(c) for c in key_cols]
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*k).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*k)
+    x = F.col(value_col)
+    base = (
+        df.withColumn("_n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("_n") >= F.lit(min_n))
+        .withColumn("_sx", F.sum(x).over(wall).cast("long"))
+        # truncating integer mean — all values non-negative cents, so
+        # Spark div == DuckDB // (the negative-div trap never applies)
+        .withColumn("baseline", F.expr("_sx div _n").cast("long"))
+        .withColumn("_d", (x - F.col("baseline") - F.lit(slack)).cast("long"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_p", F.sum("_d").over(wrun).cast("long"))
+        .withColumn("_m", F.min("_p").over(wrun).cast("long"))
+        .withColumn(
+            "_s", (F.col("_p") - F.least(F.col("_m"), F.lit(0))).cast("long")
+        )
+    )
+    alarm = F.when(F.col("_s") > F.lit(threshold), F.col("_rn"))
+    # rows are ordered ts-major, so min over alarmed rows of the first
+    # order column IS the first alarm's value (ties share the value)
+    alarm_order = F.when(
+        F.col("_s") > F.lit(threshold), F.col(order_cols[0])
+    )
+    return base.groupBy(*key_cols).agg(
+        F.max("_n").cast("long").alias("n_events"),
+        F.max("baseline").cast("long").alias("baseline"),
+        F.max("_s").cast("long").alias("s_max"),
+        F.min(alarm).cast("long").alias("alarm_rn"),
+        F.min(alarm_order).alias(f"alarm_{order_cols[0]}"),
+    )

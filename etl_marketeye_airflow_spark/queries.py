@@ -7751,6 +7751,97 @@ def q143_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q144_cusum_drift",
+    # identical window algebra both sides: the clamped CUSUM fold
+    # S_t = max(0, S_{t-1}+d_t) is computed via its prefix-sum identity
+    # S_t = P_t − min(0, running-min P) — one per-key sort window, all
+    # BIGINT (cents; truncating integer baseline on all-positive sums)
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT user_id, ts_us, event_id, cents,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS sx
+      FROM c
+    ),
+    f AS (SELECT * FROM w WHERE n >= 2),
+    b AS (
+      SELECT *, CAST(sx // n AS BIGINT) AS baseline,
+             CAST(cents - sx // n AS BIGINT) AS d
+      FROM f
+    ),
+    p0 AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS rn,
+             CAST(sum(d) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS pp
+      FROM b
+    ),
+    p AS (
+      SELECT *, CAST(min(pp) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT) AS mm
+      FROM p0
+    ),
+    s AS (
+      SELECT *, CAST(pp - CASE WHEN mm < 0 THEN mm ELSE 0 END AS BIGINT) AS sv
+      FROM p
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(baseline) AS BIGINT) AS baseline,
+           CAST(max(sv) AS BIGINT) AS s_max,
+           CAST(min(CASE WHEN sv > 10000 THEN rn END) AS BIGINT) AS alarm_rn,
+           min(CASE WHEN sv > 10000 THEN ts_us END) AS alarm_ts_us
+    FROM s GROUP BY user_id
+    """,
+)
+def q144_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM upward spend-drift alarm (Page 1954) over the
+    purchase event stream: with d_t = cents − per-user integer mean,
+    the sequential statistic S_t = max(0, S_{t−1} + d_t) trips at
+    100 units (10000 cents) — the drift monitor (feature drift, spend
+    shift, quality regression) every production pipeline runs per key.
+    The clamped recurrence is NOT folded: S_t = P_t − min(0, min_{j≤t}
+    P_j), so one ordered window (prefix sum + running min) computes the
+    entire statistic in exact BIGINT cents on both engines.
+
+    Scale shape: ONE shuffle on user_id; row_number, prefix sum,
+    running min, and the full-partition baseline all share that
+    exchange; the final groupBy reuses the key partitioning.  No fold,
+    no collect, no global sort."""
+    from .operators.temporal import cusum_drift
+    from .sources.tables import load_events
+
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return cusum_drift(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        value_col="cents",
+        slack=0,
+        threshold=10_000,
+        min_n=2,
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

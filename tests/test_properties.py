@@ -353,3 +353,72 @@ def test_sequence_packing_tiling_property(spark, lens, window):
     assert all(
         tot == window or p == last[s] for (s, p), tot in packs.items()
     )
+
+
+def _cusum_reference(vals, slack=0, threshold=0):
+    """Direct sequential fold of the clamped CUSUM recurrence — the
+    definition cusum_drift's window identity must reproduce."""
+    n = len(vals)
+    baseline = sum(vals) // n  # all-positive truncating mean
+    s = 0
+    s_max = 0
+    alarm_rn = None
+    for i, v in enumerate(vals, 1):
+        s = max(0, s + (v - baseline - slack))
+        s_max = max(s_max, s)
+        if alarm_rn is None and s > threshold:
+            alarm_rn = i
+    return baseline, s_max, alarm_rn
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10_000),
+                 min_size=2, max_size=30),
+        min_size=1, max_size=8,
+    )
+)
+def test_cusum_drift_matches_sequential_fold(spark, seqs):
+    """The window form S_t = P_t − min(0, running-min P) equals the
+    literal sequential fold for every random sequence (the identity
+    q144 rides on), including baseline, peak, and first-alarm index."""
+    from etl_marketeye_airflow_spark.operators.temporal import cusum_drift
+
+    rows = [
+        (k, i, int(v))
+        for k, seq in enumerate(seqs)
+        for i, v in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    got = {
+        r.k: (r.baseline, r.s_max, r.alarm_rn)
+        for r in cusum_drift(
+            df, ["k"], ["t"], "v", slack=0, threshold=500, min_n=2
+        ).collect()
+    }
+    want = {
+        k: _cusum_reference(seq, slack=0, threshold=500)
+        for k, seq in enumerate(seqs)
+    }
+    assert got == want
+
+
+def test_cusum_drift_alarm_columns_and_min_n(spark):
+    """Hand case: values (10,10,10,1000,10) baseline=208, d=(−198,−198,
+    −198,792,−198): S=(0,0,0,792,594) → with threshold 500 the first
+    alarm is rn=4 at t=40; a 1-row key is dropped by min_n=2; a flat
+    key never alarms (NULL alarm columns)."""
+    from etl_marketeye_airflow_spark.operators.temporal import cusum_drift
+
+    rows = [(1, 10 * i, v) for i, v in enumerate([10, 10, 10, 1000, 10], 1)]
+    rows += [(2, 0, 5)]
+    rows += [(3, 0, 7), (3, 1, 7)]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    out = {r.k: r for r in cusum_drift(
+        df, ["k"], ["t"], "v", threshold=500, min_n=2).collect()}
+    assert set(out) == {1, 3}
+    assert (out[1].baseline, out[1].s_max, out[1].alarm_rn,
+            out[1].alarm_t) == (208, 792, 4, 40)
+    assert out[3].alarm_rn is None and out[3].alarm_t is None
+    assert out[3].s_max == 0
