@@ -88,3 +88,48 @@ def salted_group_stats(
             "value_max",
         )
     )
+
+
+def replicated_salt_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join by small-side replication: the big
+    (skewed) side gets a per-ROW salt, the small side is replicated
+    once per salt value (explode over 0..n_salts−1), and the join runs
+    on (key, salt) — a hot key's rows now land on ``n_salts`` reducers
+    instead of one straggler.
+
+    Each big row carries exactly ONE salt and every (key, salt) slice
+    of the small side is a full copy, so the result multiset is
+    IDENTICAL to the plain join (the oracle for the registry entry is
+    the plain SQL join) for ``how`` in {inner, left} — the only cost
+    is n_salts× the small side's shuffle volume, which is the explicit
+    trade this operator exists to make.
+
+    When to use over AQE's automatic skew-join split
+    (spark.sql.adaptive.skewJoin): AQE only rebalances SORT-MERGE join
+    partitions at runtime; it cannot help a streaming-static join, a
+    broadcast that does not fit, or an engine with AQE disabled.  The
+    per-row salt is monotonically_increasing_id-based for the same
+    reason as ``salted_group_stats``: it spreads identical duplicate
+    rows and the salt never reaches the output.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner or left, got {how!r}")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    b = big.withColumn(
+        "_salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+    )
+    # explode() cannot nest inside another expression (generator rule);
+    # sequence of int literals already yields int elements
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = b.join(s, on=[key_col, "_salt"], how=how)
+    return out.drop("_salt")

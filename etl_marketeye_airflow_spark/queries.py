@@ -7842,6 +7842,58 @@ def q144_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q145_salted_replicate_join",
+    # salting never reaches the result: the oracle is the PLAIN join —
+    # same multiset by construction (one salt per big row, full small
+    # copy per salt) — with the q33 proof pattern; decimal revenue sum
+    # is order-free exact, count is integer
+    oracle=f"""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_SQL_REV} AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q145_salted_replicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation item count + revenue where the lineitem⋈supplier
+    equi-join runs SALTED: big side salted per row, small side
+    replicated 8×, joined on (suppkey, salt) — the manual skew-join
+    for the regimes AQE's runtime skew split cannot reach (stream-
+    static joins, non-sort-merge plans, AQE off).  q33 proved salting
+    exact for aggregation; this entry proves it for joins — the oracle
+    is the plain join.
+
+    Scale shape: the hot key's rows fan across 8 reducers; the cost is
+    8× the SMALL side's shuffle volume (the explicit trade).  The
+    follow-up nation join is a broadcast; the final groupBy is
+    map-side combined decimal sums."""
+    from .operators.skew import replicated_salt_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = replicated_salt_join(li, sup, "l_suppkey", n_salts=8)
+    return (
+        j.join(
+            F.broadcast(nat),
+            j["s_nationkey"] == nat["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            _rev_spark().alias("revenue"),
+        )
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -218,3 +218,47 @@ def test_approx_numeric_quantiles_bounds_and_shape(spark):
             lo = np.searchsorted(vals, v, side="left") / n
             hi = np.searchsorted(vals, v, side="right") / n
             assert lo - eps <= p <= hi + eps, (c, p, v, lo, hi)
+
+
+def test_replicated_salt_join_equals_plain_join(spark):
+    """Inner and left salted joins reproduce the plain join's exact
+    multiset on a skewed big side (one hot key with duplicates, one
+    unmatched key), for n_salts both below and above the row count."""
+    from etl_marketeye_airflow_spark.operators.skew import (
+        replicated_salt_join,
+    )
+
+    big = spark.createDataFrame(
+        [(1, "a")] * 7 + [(2, "b"), (3, "c")], "k long, payload string"
+    )
+    small = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (9, "z")], "k long, dim string"
+    )
+    for n_salts in (2, 16):
+        for how in ("inner", "left"):
+            want = sorted(
+                map(tuple, big.join(small, "k", how).collect())
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    replicated_salt_join(
+                        big, small, "k", n_salts=n_salts, how=how
+                    ).collect(),
+                )
+            )
+            assert got == want, (n_salts, how)
+
+
+def test_replicated_salt_join_guards(spark):
+    from etl_marketeye_airflow_spark.operators.skew import (
+        replicated_salt_join,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        replicated_salt_join(df, df, "k", how="full")
+    with _pytest.raises(ValueError):
+        replicated_salt_join(df, df, "k", n_salts=0)
