@@ -159,3 +159,67 @@ def scd2_merge(
         .select(*[F.col(c) for c in [key_col, *compare_cols, "valid_from", "valid_to"]])
     )
     return closed.unionByName(now_closed).unionByName(unchanged).unionByName(fresh)
+
+
+def fd_profile(
+    df: DataFrame, candidates: list[tuple[list[str], str]]
+) -> DataFrame:
+    """Functional-dependency conformance profiling: for each candidate
+    rule lhs → rhs, how close the data comes to "every lhs group has
+    exactly one rhs value" — the schema-rule miner behind key
+    discovery, denormalization checks, and drift alarms on a fresh
+    data drop (a rule that held at 999993 ppm yesterday and 870000
+    today is an ingestion bug, found without a single hand-written
+    constraint).
+
+    Returns ONE row per candidate: (lhs, rhs, n_groups,
+    violating_groups, max_rhs_variants, conformance_ppm) where
+    conformance_ppm = 10^6·(n_groups − violating) div n_groups — a
+    truncating-integer ratio (CLAUDE.md conv 1), 10^6 iff the FD holds
+    exactly.  NULL rhs values are ignored by the distinct count (both
+    engines' COUNT(DISTINCT) semantics); all-NULL groups count as
+    conforming (0 variants ≤ 1).
+
+    Scale shape: one map-side-combined groupBy per candidate over the
+    fact table, each reduced to a 1-row summary before the union —
+    k candidates = k scans of the SAME cached/columnar source with
+    full column pruning (each scan reads only lhs+rhs), never a
+    cross-candidate shuffle.  Candidate count is config-bounded, not
+    data-bounded.
+    """
+    if not candidates:
+        raise ValueError("need at least one candidate FD")
+    parts = []
+    for lhs, rhs in candidates:
+        if rhs in lhs:
+            raise ValueError(f"rhs {rhs!r} may not appear in lhs {lhs!r}")
+        per_group = df.groupBy(*[F.col(c) for c in lhs]).agg(
+            F.countDistinct(F.col(rhs)).cast("long").alias("_variants")
+        )
+        summary = per_group.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(
+                F.when(F.col("_variants") > 1, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("violating_groups"),
+            F.max("_variants").cast("long").alias("max_rhs_variants"),
+        )
+        parts.append(
+            summary.select(
+                F.lit(",".join(lhs)).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_groups",
+                "violating_groups",
+                "max_rhs_variants",
+                F.expr(
+                    "(1000000 * (n_groups - violating_groups)) div n_groups"
+                )
+                .cast("long")
+                .alias("conformance_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -7894,6 +7894,79 @@ def q145_salted_replicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q146_fd_profile",
+    # one block per candidate FD, identical algebra: per-lhs distinct
+    # rhs counts -> 1-row summary; conformance is a truncating-integer
+    # ppm of all-positive values (Spark div == DuckDB //)
+    oracle="""
+    SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(max(v) AS BIGINT) AS max_rhs_variants,
+           CAST((1000000 * (count(*) - sum(CASE WHEN v > 1 THEN 1 ELSE 0 END)))
+                // count(*) AS BIGINT) AS conformance_ppm
+    FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS v
+          FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'l_partkey', 'l_suppkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(v) AS BIGINT),
+           CAST((1000000 * (count(*) - sum(CASE WHEN v > 1 THEN 1 ELSE 0 END)))
+                // count(*) AS BIGINT)
+    FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS v
+          FROM lineitem GROUP BY l_partkey)
+    UNION ALL
+    SELECT 'l_orderkey,l_linenumber', 'l_quantity',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(v) AS BIGINT),
+           CAST((1000000 * (count(*) - sum(CASE WHEN v > 1 THEN 1 ELSE 0 END)))
+                // count(*) AS BIGINT)
+    FROM (SELECT l_orderkey, l_linenumber, count(DISTINCT l_quantity) AS v
+          FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'c_nationkey', 'c_mktsegment',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(max(v) AS BIGINT),
+           CAST((1000000 * (count(*) - sum(CASE WHEN v > 1 THEN 1 ELSE 0 END)))
+                // count(*) AS BIGINT)
+    FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS v
+          FROM customer GROUP BY c_nationkey)
+    """,
+)
+def q146_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency conformance over four candidate rules —
+    two that must hold (o_orderkey→o_custkey; (l_orderkey,
+    l_linenumber)→l_quantity: key-based FDs) and two that measure
+    real denormalization (l_partkey→l_suppkey, c_nationkey→
+    c_mktsegment) — the schema-rule miner a pipeline runs on every
+    fresh drop to catch ingestion bugs as conformance drift, without
+    hand-written constraints.
+
+    Scale shape: one map-side-combined groupBy per candidate, each
+    collapsing to ONE summary row before the union; every scan prunes
+    to lhs+rhs columns only."""
+    from .operators.profile import fd_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    a = fd_profile(orders, [(["o_orderkey"], "o_custkey")])
+    b = fd_profile(
+        li,
+        [
+            (["l_partkey"], "l_suppkey"),
+            (["l_orderkey", "l_linenumber"], "l_quantity"),
+        ],
+    )
+    c = fd_profile(cust, [(["c_nationkey"], "c_mktsegment")])
+    return a.unionByName(b).unionByName(c)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -262,3 +262,41 @@ def test_replicated_salt_join_guards(spark):
         replicated_salt_join(df, df, "k", how="full")
     with _pytest.raises(ValueError):
         replicated_salt_join(df, df, "k", n_salts=0)
+
+
+def test_fd_profile_hand_computed(spark):
+    """k->v holds on key 'a' (1 variant), breaks on 'b' (2 variants),
+    all-NULL group 'c' conforms (0 variants); composite lhs holds.
+    conformance = 1e6*(3-1)//3 = 666666."""
+    from etl_marketeye_airflow_spark.operators.profile import fd_profile
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10),
+            ("a", 1, 11),
+            ("b", 2, 20),
+            ("b", 3, 21),
+            ("c", None, 30),
+        ],
+        "k string, v int, w int",
+    )
+    rows = {r.lhs: r for r in fd_profile(df, [(["k"], "v"),
+                                              (["k", "w"], "v")]).collect()}
+    r1 = rows["k"]
+    assert (r1.rhs, r1.n_groups, r1.violating_groups,
+            r1.max_rhs_variants, r1.conformance_ppm) == ("v", 3, 1, 2, 666666)
+    r2 = rows["k,w"]
+    assert (r2.n_groups, r2.violating_groups, r2.conformance_ppm) == (
+        5, 0, 1000000
+    )
+
+
+def test_fd_profile_guards(spark):
+    from etl_marketeye_airflow_spark.operators.profile import fd_profile
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with _pytest.raises(ValueError):
+        fd_profile(df, [])
+    with _pytest.raises(ValueError):
+        fd_profile(df, [(["a", "b"], "b")])
