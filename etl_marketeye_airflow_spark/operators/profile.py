@@ -223,3 +223,91 @@ def fd_profile(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def psi_drift(
+    df_a: DataFrame, df_b: DataFrame, bucket_col: str
+) -> DataFrame:
+    """Population Stability Index between two snapshots of the same
+    feature, pre-bucketed: per bucket i, term_i = (p_i − q_i)·
+    log2(p_i/q_i) ≥ 0, and Σ term_i is the PSI drift score every
+    production ML monitor alarms on (rule of thumb: > 0.2 bits ⇒
+    investigate the drop).
+
+    Determinism doctrine (CLAUDE.md conv 6d): log2 is the fixed-point
+    dyadic form (corpus.with_flog2_fx — integer-only, bit-identical on
+    both engines), never libm.  With add-one smoothing n' = n+1 over
+    the UNION of observed buckets (zero-count buckets stay defined),
+    totals N' = Σn', M' = Σm':
+
+        x = n'·M',  y = m'·N'           (p/q = x/y)
+        L_fx = flog2_fx(x) − flog2_fx(y)
+        term_fx = (x − y)·L_fx          -- decimal(38,0), exact
+        term = term_fx / (N'·M'·2^20)   -- one display division
+
+    flog2_fx is monotone nondecreasing, so sign(L_fx) agrees with
+    sign(x − y) and every term_fx ≥ 0 like the true PSI.  Exactness
+    bound (documented, pytest-pinned): x, y < 2^42 — i.e. snapshot
+    row-counts up to ~2 M per side; past that, pre-aggregate counts at
+    a coarser unit upstream (the statistic is scale-free in p, q).
+
+    Returns one row per bucket: (bucket, n_a, n_b, term_fx, term);
+    Σ term over rows is the PSI (do the sum on the exact term_fx side
+    when bit-stability matters).
+
+    Scale shape: each snapshot collapses to per-bucket counts with
+    map-side combine (shuffle = bucket cardinality, not rows); the
+    full-outer join and the 1-row totals broadcast are bucket-sized.
+    """
+    from .corpus import with_flog2_fx
+
+    a = df_a.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    b = df_b.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    j = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+        .withColumn("na1", (F.col("n_a") + 1).cast("long"))
+        .withColumn("mb1", (F.col("n_b") + 1).cast("long"))
+    )
+    totals = j.agg(
+        F.sum("na1").cast("long").alias("N1"),
+        F.sum("mb1").cast("long").alias("M1"),
+    )
+    staged = (
+        j.crossJoin(F.broadcast(totals))
+        .withColumn("x", (F.col("na1") * F.col("M1")).cast("long"))
+        .withColumn("y", (F.col("mb1") * F.col("N1")).cast("long"))
+    )
+    staged = with_flog2_fx(staged, "x", "fx_x")
+    staged = with_flog2_fx(staged, "y", "fx_y")
+    staged = staged.withColumn(
+        "L_fx", (F.col("fx_x") - F.col("fx_y")).cast("long")
+    ).withColumn(
+        "term_fx",
+        (
+            (F.col("x").cast("decimal(19,0)") - F.col("y").cast("decimal(19,0)"))
+            * F.col("L_fx").cast("decimal(19,0)")
+        ).cast("decimal(38,0)"),
+    )
+    return staged.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "term_fx",
+        (
+            F.col("term_fx").cast("double")
+            / (
+                F.col("N1").cast("double")
+                * F.col("M1").cast("double")
+                * F.lit(1048576.0)
+            )
+        ).alias("term"),
+    )

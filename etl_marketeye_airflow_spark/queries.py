@@ -7967,6 +7967,81 @@ def q146_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c)
 
 
+@query(
+    "q147_psi_drift",
+    # identical integer algebra both sides: add-one-smoothed bucket
+    # counts, 1-row totals, x=n'·M' / y=m'·N', fixed-point dyadic log2
+    # (conv 6d — never libm), decimal(38,0) term product, one display
+    # division of identical operands
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_a
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_b
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(a.bucket, b.bucket) AS bucket,
+             CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+             CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    ),
+    t AS (
+      SELECT CAST(sum(n_a + 1) AS BIGINT) AS N1,
+             CAST(sum(n_b + 1) AS BIGINT) AS M1
+      FROM j
+    ),
+    s AS (
+      SELECT bucket, n_a, n_b, N1, M1,
+             CAST((n_a + 1) * M1 AS BIGINT) AS x,
+             CAST((n_b + 1) * N1 AS BIGINT) AS y
+      FROM j CROSS JOIN t
+    ),
+    l AS (
+      SELECT *,
+             CAST({_sql_flog2_fx('x')} - {_sql_flog2_fx('y')} AS BIGINT)
+               AS L_fx
+      FROM s
+    ),
+    f AS (
+      SELECT bucket, n_a, n_b, N1, M1,
+             CAST((CAST(x AS DECIMAL(19,0)) - CAST(y AS DECIMAL(19,0)))
+                  * CAST(L_fx AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS term_fx
+      FROM l
+    )
+    SELECT bucket, n_a, n_b, term_fx,
+           CAST(term_fx AS DOUBLE)
+             / (CAST(N1 AS DOUBLE) * CAST(M1 AS DOUBLE) * 1048576.0) AS term
+    FROM f
+    """,
+)
+def q147_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift of the order-value distribution
+    between two snapshots (orders before vs since 1997): per price
+    band, the PSI term (p−q)·log2(p/q) — the standard production
+    drift alarm on a fresh data drop, in the exact fixed-point-log2
+    form (conv 6d) so the score is bit-identical on any engine.
+
+    Scale shape: each snapshot collapses to bucket counts map-side;
+    everything after is bucket-cardinality-sized (full-outer join +
+    1-row totals broadcast)."""
+    from .operators.profile import psi_drift
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "bucket",
+        F.floor(F.col("o_totalprice") / F.lit(25000)).cast("long"),
+    )
+    df_a = o.filter(F.col("o_orderdate") < "1997-01-01")
+    df_b = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    return psi_drift(df_a, df_b, "bucket")
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

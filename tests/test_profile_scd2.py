@@ -300,3 +300,44 @@ def test_fd_profile_guards(spark):
         fd_profile(df, [])
     with _pytest.raises(ValueError):
         fd_profile(df, [(["a", "b"], "b")])
+
+
+def _flog2_fx_py(n):
+    b = n.bit_length() - 1
+    return b * 1048576 + ((n - (1 << b)) * 1048576) // (1 << b)
+
+
+def test_psi_drift_identical_snapshots_zero(spark):
+    """Same multiset on both sides -> x == y in every bucket -> every
+    term_fx is exactly 0."""
+    from etl_marketeye_airflow_spark.operators.profile import psi_drift
+
+    df = spark.createDataFrame([(i % 4,) for i in range(40)], "bucket int")
+    rows = psi_drift(df, df, "bucket").collect()
+    assert len(rows) == 4
+    assert all(int(r.term_fx) == 0 and r.term == 0.0 for r in rows)
+
+
+def test_psi_drift_matches_python_reference_and_nonnegative(spark):
+    """Skewed drift incl. a bucket absent from one side: every term
+    matches the pure-python fixed-point reference and is >= 0 (flog2
+    monotonicity makes sign(L) agree with sign(x - y))."""
+    from etl_marketeye_airflow_spark.operators.profile import psi_drift
+
+    a_counts = {0: 50, 1: 30, 2: 20}
+    b_counts = {0: 10, 1: 30, 3: 60}
+    mk = lambda cnts: spark.createDataFrame(
+        [(b,) for b, n in cnts.items() for _ in range(n)], "bucket int"
+    )
+    got = {r.bucket: (int(r.term_fx), r.n_a, r.n_b)
+           for r in psi_drift(mk(a_counts), mk(b_counts), "bucket").collect()}
+    buckets = sorted(set(a_counts) | set(b_counts))
+    N1 = sum(a_counts.get(k, 0) + 1 for k in buckets)
+    M1 = sum(b_counts.get(k, 0) + 1 for k in buckets)
+    for k in buckets:
+        na1 = a_counts.get(k, 0) + 1
+        mb1 = b_counts.get(k, 0) + 1
+        x, y = na1 * M1, mb1 * N1
+        want = (x - y) * (_flog2_fx_py(x) - _flog2_fx_py(y))
+        assert got[k] == (want, a_counts.get(k, 0), b_counts.get(k, 0)), k
+        assert want >= 0
