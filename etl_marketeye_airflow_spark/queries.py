@@ -8042,6 +8042,76 @@ def q147_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(df_a, df_b, "bucket")
 
 
+@query(
+    "q148_ivm_delta_join",
+    # the IVM claim: stored-view partials merged with partials over
+    # Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB must equal the FULL recompute —
+    # so the oracle IS the full join+aggregate; decimal sums keep the
+    # merge order-free exact (q116's discipline, now across a join)
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_SQL_REV} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q148_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: per-priority item count
+    + revenue over orders⋈lineitem, computed as stored-view partials
+    (old orders ⋈ old lineitems) MERGED with partials over the
+    delta-join Δ(A⋈B) — new orders (since 2001) and late lineitems
+    (linenumber ≥ 5) never trigger an old⋈old rescan.  The gate proves
+    maintained ≡ recomputed bit-for-bit (operators/ivm.py; q116 proved
+    the aggregate half, this proves the join half).
+
+    Scale shape: the two mixed delta joins broadcast the SMALL delta
+    against the base (map-side hash join, base scanned once, shuffled
+    never); partials merge on the group key only."""
+    from .operators.ivm import delta_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    )
+    a_old = orders.filter(F.col("o_orderdate") < "2001-01-01").drop(
+        "o_orderdate"
+    )
+    a_new = orders.filter(F.col("o_orderdate") >= "2001-01-01").drop(
+        "o_orderdate"
+    )
+    b_old = li.filter(F.col("l_linenumber") < 5).drop("l_linenumber")
+    b_new = li.filter(F.col("l_linenumber") >= 5).drop("l_linenumber")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (
+                    F.lit(1).cast("decimal(6,4)")
+                    - F.col("l_discount").cast("decimal(6,4)")
+                )
+            ).alias("_s"),
+        )
+
+    stored = partials(a_old.join(b_old, "k"))
+    delta = partials(delta_join(a_old, a_new, b_old, b_new, on="k"))
+    return (
+        stored.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("_n").cast("long").alias("n_items"),
+            F.sum("_s").cast("double").alias("revenue"),
+        )
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -422,3 +422,60 @@ def test_cusum_drift_alarm_columns_and_min_n(spark):
             out[1].alarm_t) == (208, 792, 4, 40)
     assert out[3].alarm_rn is None and out[3].alarm_t is None
     assert out[3].s_max == 0
+
+
+@SET
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99), st.booleans()),
+             min_size=0, max_size=25),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99), st.booleans()),
+             min_size=0, max_size=25),
+)
+def test_delta_join_identity(spark, a_rows, b_rows):
+    """Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB: old⋈old plus the delta frame
+    equals the full join's exact multiset for ANY split, including
+    duplicate keys (multiplicity matters) and empty deltas."""
+    from etl_marketeye_airflow_spark.operators.ivm import delta_join
+
+    a = spark.createDataFrame(
+        [(k, v) for k, v, _ in a_rows] or [(None, None)],
+        "k int, va int",
+    ).filter(F.col("k").isNotNull())
+    b = spark.createDataFrame(
+        [(k, v) for k, v, _ in b_rows] or [(None, None)],
+        "k int, vb int",
+    ).filter(F.col("k").isNotNull())
+    a_old = spark.createDataFrame(
+        [(k, v) for k, v, d in a_rows if not d] or [(None, None)],
+        "k int, va int").filter(F.col("k").isNotNull())
+    a_new = spark.createDataFrame(
+        [(k, v) for k, v, d in a_rows if d] or [(None, None)],
+        "k int, va int").filter(F.col("k").isNotNull())
+    b_old = spark.createDataFrame(
+        [(k, v) for k, v, d in b_rows if not d] or [(None, None)],
+        "k int, vb int").filter(F.col("k").isNotNull())
+    b_new = spark.createDataFrame(
+        [(k, v) for k, v, d in b_rows if d] or [(None, None)],
+        "k int, vb int").filter(F.col("k").isNotNull())
+    full = sorted(map(tuple, a.join(b, "k").collect()))
+    maintained = sorted(
+        map(
+            tuple,
+            a_old.join(b_old, "k")
+            .unionByName(delta_join(a_old, a_new, b_old, b_new, "k"))
+            .collect(),
+        )
+    )
+    assert maintained == full
+
+
+def test_delta_join_broadcasts_deltas(spark):
+    """broadcast_deltas=True must put BroadcastHashJoin on the mixed
+    delta⋈base branches — the no-base-shuffle claim."""
+    from etl_marketeye_airflow_spark.operators.ivm import delta_join
+
+    a = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), F.lit(2).alias("vb"))
+    d = delta_join(a, a.limit(5), b, b.limit(5), "k")
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
