@@ -367,3 +367,71 @@ def kcore(
     raise RuntimeError(
         f"kcore did not converge in {max_iters} rounds - raise max_iters"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over canonical undirected edges (src < dst, distinct),
+    made DETERMINISTIC: labels start as the node id; each round every
+    node adopts the most frequent label among its neighbors with ties
+    broken by the SMALLEST label; exactly ``iters`` rounds run.  The
+    async/random-order variants of LPA are irreproducible by design —
+    the fixed-round synchronous form is the one a distributed engine
+    can execute bit-identically on any partitioning (and the one an
+    oracle can replay; oscillation on bipartite-ish structures is
+    bounded by the fixed round count, the documented trade).
+
+    Returns (node, label) for every node of the graph.
+
+    Scale shape: per round ONE node-keyed hash join (neighbor label
+    lookup) + one map-side-combined groupBy(node, label) + one argmin
+    per node (min over (−count, label) structs — no window, no global
+    sort); frames localCheckpoint'd so the plan never deepens
+    (convention 2).  Σ deg bounds the join, exactly PageRank's cost
+    model.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    nbrs = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        nbrs.select("node")
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        cnt = (
+            nbrs.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        new_labels = cnt.groupBy("node").agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("_negcnt"),
+                    F.col("label").alias("_lbl"),
+                )
+            )["_lbl"].alias("label")
+        )
+        old = labels
+        labels = new_labels.localCheckpoint(eager=True)
+        old.unpersist()
+    nbrs.unpersist()
+    return labels

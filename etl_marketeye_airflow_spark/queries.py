@@ -8112,6 +8112,77 @@ def q148_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_label_propagation(iters: int) -> str:
+    """DuckDB twin of operators.graph.label_propagation over the
+    co-purchase graph: fixed synchronous rounds unrolled as chained
+    MATERIALIZED CTEs (each round references the previous 1x and the
+    neighbor frame 1x; MATERIALIZED per the q142 fd-blowup lesson).
+    The per-node pick is replayed with a row_number window (count
+    DESC, label ASC) — a different mechanism than Spark's
+    min-over-struct argmin, but the same unique deterministic result."""
+    blocks = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM q a JOIN q b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )""",
+        """nb AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v, u FROM e
+    )""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM nb)",
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(f"""c{i} AS MATERIALIZED (
+      SELECT nb.node, l{i - 1}.label, count(*) AS cnt
+      FROM nb JOIN l{i - 1} ON nb.nbr = l{i - 1}.node
+      GROUP BY nb.node, l{i - 1}.label
+    )""")
+        blocks.append(f"""l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )""")
+    chain = ",\n    ".join(blocks)
+    return f"""
+    WITH q AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40
+    ),
+    {chain}
+    SELECT node, CAST(label AS BIGINT) AS label FROM l{iters}
+    """
+
+
+@query(
+    "q149_label_propagation",
+    # fixed-round synchronous LPA is a deterministic function of the
+    # graph (min-label tie-break), so the oracle replays the identical
+    # rounds; pick mechanisms differ (row_number vs struct-argmin) but
+    # the result is the same unique argmin
+    oracle=_sql_label_propagation(4),
+)
+def q149_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels on the co-purchase part graph by 4 rounds of
+    deterministic synchronous label propagation (most-frequent
+    neighbor label, ties to the smallest) — near-linear community
+    detection complementing the global/structural graph family
+    (PageRank q114, components q43, k-core q142): LPA finds the
+    cross-sold product clusters a merchandiser actually acts on.
+
+    Scale shape: per round one node-keyed join + one map-side-combined
+    (node,label) count + a struct-argmin per node — no windows, no
+    global sort; Σ deg bounds each round, frames localCheckpoint'd
+    (conv 2)."""
+    from .operators.graph import label_propagation
+
+    return label_propagation(
+        _copurchase_edges(spark, sf_dir), iters=4, src_col="u", dst_col="v"
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

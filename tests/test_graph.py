@@ -273,3 +273,57 @@ def test_kcore_guards(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(chain, k=2, max_iters=2)
+
+
+# ----------------------------------------------------- label_propagation
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: labels converge to each
+    clique's minimum id; the bridge endpoints stay with their own
+    clique (3 internal neighbors beat 1 external)."""
+    from etl_marketeye_airflow_spark.operators.graph import (
+        label_propagation,
+    )
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    e = spark.createDataFrame(c1 + c2 + [(4, 10)], "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(e, iters=4).collect()}
+    assert all(got[n] == 1 for n in range(1, 5)), got
+    assert all(got[n] == 10 for n in range(10, 14)), got
+
+
+def test_lpa_matches_python_reference(spark):
+    """Synchronous fixed-round LPA vs a direct python replay on an
+    irregular graph — same labels after every round count 0..3, and
+    rerun is bit-identical."""
+    from etl_marketeye_airflow_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (5, 6), (6, 7),
+             (5, 7), (2, 7)]
+
+    def reference(iters):
+        nbrs = {}
+        for u, v in edges:
+            nbrs.setdefault(u, []).append(v)
+            nbrs.setdefault(v, []).append(u)
+        lbl = {n: n for n in nbrs}
+        for _ in range(iters):
+            new = {}
+            for n, ns in nbrs.items():
+                cnt = {}
+                for m in ns:
+                    cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+                best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                new[n] = best[0]
+            lbl = new
+        return lbl
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for iters in range(4):
+        got = {r.node: r.label
+               for r in label_propagation(e, iters=iters).collect()}
+        assert got == reference(iters), iters
