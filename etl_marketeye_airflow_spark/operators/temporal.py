@@ -223,3 +223,59 @@ def cusum_drift(
         F.min(alarm).cast("long").alias("alarm_rn"),
         F.min(alarm_order).alias(f"alarm_{order_cols[0]}"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition counts over per-key ordered event
+    sequences: for each observed (from_state, to_state) pair of
+    CONSECUTIVE events within a key, the global count, the from-state
+    outgoing total, and the transition probability — the user-journey
+    / funnel-generalization statistic (where do sessions go next?).
+
+    Determinism (CLAUDE.md conv 1): ``order_cols`` must be a total
+    order per key; counts are exact integers and the probability is
+    the truncating parts-per-million 10^6·n div n_from (one display
+    double derives from the same integers).  Sequences never cross
+    keys (lead() is per-partition), so the pair multiset is engine-
+    and partitioning-independent.
+
+    Scale shape: one shuffle on the key for the lead() window, then a
+    map-side-combined groupBy on (from,to) whose cardinality is
+    |states|² — tiny; the outgoing totals derive from the SAME pair
+    frame (sum over to-states), not a second scan.
+    """
+    k = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*k).orderBy(*[F.col(c).asc() for c in order_cols])
+    pairs = (
+        df.withColumn("_next", F.lead(F.col(state_col)).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"),
+            F.col("_next").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    out = (
+        pairs.join(totals, "from_state")
+        .filter(F.col("n") >= F.lit(min_count))
+        .withColumn("p_ppm", F.expr("(1000000 * n) div n_from").cast("long"))
+    )
+    return out.select(
+        "from_state",
+        "to_state",
+        "n",
+        "n_from",
+        "p_ppm",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "p"
+        ),
+    )

@@ -8183,6 +8183,60 @@ def q149_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q150_transition_matrix",
+    # identical lead() window over the (ts_us, event_id) total order;
+    # counts exact integers, probability = truncating ppm + one display
+    # division of identical operands
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events
+    ),
+    p AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS to_state
+      FROM c
+    ),
+    g AS (
+      SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE to_state IS NOT NULL GROUP BY from_state, to_state
+    ),
+    t AS (
+      SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from
+      FROM g GROUP BY from_state
+    )
+    SELECT g.from_state, g.to_state, g.n, t.n_from,
+           CAST((1000000 * g.n) // t.n_from AS BIGINT) AS p_ppm,
+           CAST(g.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+    FROM g JOIN t USING (from_state)
+    """,
+)
+def q150_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for every
+    consecutive event pair within a user's (ts, id)-ordered stream, the
+    exact count, outgoing total, and transition probability — the
+    where-do-sessions-go-next statistic generalizing q97's fixed
+    funnel to ALL paths.
+
+    Scale shape: one key shuffle for the lead() window, then a
+    |states|²-cardinality map-side-combined groupBy; outgoing totals
+    derive from the pair frame itself (no second scan)."""
+    from .operators.temporal import transition_matrix
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    return transition_matrix(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        state_col="event_type",
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -479,3 +479,25 @@ def test_delta_join_broadcasts_deltas(spark):
     d = delta_join(a, a.limit(5), b, b.limit(5), "k")
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_transition_matrix_hand_computed(spark):
+    """Key 1: a→b→a→b gives (a→b):2, (b→a):1; key 2: b→b gives
+    (b→b):1 — sequences never cross keys; p_ppm is the truncating
+    ratio over the from-state total."""
+    from etl_marketeye_airflow_spark.operators.temporal import (
+        transition_matrix,
+    )
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 1, "b"), (2, 2, "b")]
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    got = {(r.from_state, r.to_state): (r.n, r.n_from, r.p_ppm)
+           for r in transition_matrix(df, ["k"], ["t"], "s").collect()}
+    assert got == {
+        ("a", "b"): (2, 2, 1_000_000),
+        ("b", "a"): (1, 2, 500_000),
+        ("b", "b"): (1, 2, 500_000),
+    }
+    single = spark.createDataFrame([(9, 1, "x")], "k long, t long, s string")
+    assert transition_matrix(single, ["k"], ["t"], "s").count() == 0
