@@ -435,3 +435,64 @@ def label_propagation(
         old.unpersist()
     nbrs.unpersist()
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS over canonical undirected edges: the exact
+    hop distance from the NEAREST source for every node within
+    ``max_hops`` — the influence-radius / contamination-blast-radius /
+    "how far is every product from a recalled one" primitive.
+
+    ``sources`` must have a ``node`` column; sources not present in
+    the graph still appear at dist 0 (they are their own neighborhood).
+    Returns (node, dist), 0 ≤ dist ≤ max_hops; unreachable-within-k
+    nodes are absent.  Pure set/integer semantics — deterministic on
+    any engine/partitioning.
+
+    Scale shape: classic frontier expansion — per hop ONE node-keyed
+    join frontier⋈adjacency + distinct + anti-join against the visited
+    set, all localCheckpoint'd (conv 2); early-exit on an empty
+    frontier is a driver SCALAR.  Per-hop cost is bounded by the
+    frontier's edge incidence, never the whole graph; ``max_hops``
+    bounds the rounds (the 100 TB guard against high-diameter
+    runaways).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    nbrs = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = sources.select("node").distinct().localCheckpoint(eager=True)
+    visited = frontier.withColumn("dist", F.lit(0).cast("long"))
+    visited = visited.localCheckpoint(eager=True)
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(nbrs, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            frontier.unpersist()
+            break
+        old_v, old_f = visited, frontier
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(hop).cast("long"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+        old_v.unpersist()
+        old_f.unpersist()
+    nbrs.unpersist()
+    return visited

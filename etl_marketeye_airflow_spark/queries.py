@@ -8237,6 +8237,77 @@ def q150_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_bfs(hops: int) -> str:
+    """DuckDB twin of operators.graph.bfs_distances over the
+    co-purchase graph with sources = graph nodes ≡ 0 (mod 50):
+    frontier expansion unrolled as MATERIALIZED CTEs (q142's lesson).
+    Pure set semantics — the per-hop frontier is a unique set."""
+    blocks = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM q a JOIN q b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )""",
+        """nb AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v, u FROM e
+    )""",
+        """v0 AS MATERIALIZED (
+      SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist
+      FROM nb WHERE node % 50 = 0
+    )""",
+        "f0 AS MATERIALIZED (SELECT node FROM v0)",
+    ]
+    for i in range(1, hops + 1):
+        blocks.append(f"""f{i} AS MATERIALIZED (
+      SELECT DISTINCT nb.nbr AS node
+      FROM nb JOIN f{i - 1} ON nb.node = f{i - 1}.node
+      WHERE nb.nbr NOT IN (SELECT node FROM v{i - 1})
+    )""")
+        blocks.append(f"""v{i} AS MATERIALIZED (
+      SELECT node, dist FROM v{i - 1}
+      UNION ALL
+      SELECT node, CAST({i} AS BIGINT) FROM f{i}
+    )""")
+    chain = ",\n    ".join(blocks)
+    return f"""
+    WITH q AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40
+    ),
+    {chain}
+    SELECT node, dist FROM v{hops}
+    """
+
+
+@query(
+    "q151_bfs_distances",
+    # identical frontier-expansion set algebra; the Spark side may
+    # early-exit on an empty frontier — extra unrolled oracle rounds
+    # are then no-ops (empty frontier stays empty)
+    oracle=_sql_bfs(3),
+)
+def q151_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the nearest seed part (ids ≡ 0 mod 50 — the
+    'recalled SKU' stand-in) for every co-purchase-graph part within 3
+    hops — the blast-radius / influence-neighborhood primitive
+    completing the traversal corner of the graph family.
+
+    Scale shape: per hop one frontier⋈adjacency join + distinct +
+    anti-join vs visited, localCheckpoint'd; cost tracks the
+    frontier's edge incidence, never the whole graph; max_hops bounds
+    rounds, empty-frontier early-exit is a driver scalar."""
+    from .operators.graph import bfs_distances
+
+    e = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    sources = nodes.filter(F.col("node") % 50 == 0)
+    return bfs_distances(e, sources, max_hops=3, src_col="u", dst_col="v")
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -327,3 +327,37 @@ def test_lpa_matches_python_reference(spark):
         got = {r.node: r.label
                for r in label_propagation(e, iters=iters).collect()}
         assert got == reference(iters), iters
+
+
+# --------------------------------------------------------- bfs_distances
+
+
+def test_bfs_distances_hand_computed(spark):
+    """Path 1-2-3-4-5 with source {1}: dists 0..3 within max_hops=3,
+    node 5 absent; multi-source {1,5} floods from both ends."""
+    from etl_marketeye_airflow_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    src1 = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist
+           for r in bfs_distances(e, src1, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    src2 = spark.createDataFrame([(1,), (5,)], "node long")
+    got2 = {r.node: r.dist
+            for r in bfs_distances(e, src2, max_hops=3).collect()}
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_distances_early_exit_and_isolated_source(spark):
+    """A source disconnected from everything stays at dist 0; the
+    frontier empties before max_hops and the loop exits early with the
+    correct closure (nearest-source semantics on a triangle)."""
+    from etl_marketeye_airflow_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    src = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {r.node: r.dist
+           for r in bfs_distances(e, src, max_hops=10).collect()}
+    assert got == {1: 0, 99: 0, 2: 1, 3: 1}
