@@ -311,3 +311,81 @@ def psi_drift(
             )
         ).alias("term"),
     )
+
+
+def ind_profile(
+    pairs: list[tuple[DataFrame, str, DataFrame, str, str]],
+) -> DataFrame:
+    """Inclusion-dependency (foreign-key) conformance: for each
+    candidate rule child.col ⊆ parent.col, how much of the child's
+    value set actually resolves — fd_profile's cross-table sibling and
+    the other half of schema-rule mining (orphan detection, broken
+    ingestion joins, referential drift on a fresh drop).
+
+    ``pairs``: (child_df, child_col, parent_df, parent_col, label).
+    Returns ONE row per candidate: (ind, n_child_rows, n_child_distinct,
+    n_orphan_distinct, n_orphan_rows, containment_ppm) where orphans
+    are DISTINCT non-null child values absent from the parent and
+    containment_ppm = 10^6·(distinct − orphan_distinct) div distinct
+    (10^6 iff the IND holds; NULL child values are neither orphans nor
+    members, matching SQL FK semantics).
+
+    Scale shape per candidate: child collapses to (value, count) with
+    map-side combine (shuffle = child's DISTINCT cardinality, not
+    rows); parent side is a DISTINCT projection feeding a left-anti
+    join on the value; summaries are 1-row.  Never a row-level child
+    ⋈ parent join.
+    """
+    if not pairs:
+        raise ValueError("need at least one candidate IND")
+    parts = []
+    for child, ccol, parent, pcol, label in pairs:
+        cvals = (
+            child.select(F.col(ccol).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("_rows"))
+        )
+        pvals = (
+            parent.select(F.col(pcol).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+        )
+        orphans = cvals.join(pvals, "v", "left_anti")
+        tot = cvals.agg(
+            F.coalesce(F.sum("_rows"), F.lit(0))
+            .cast("long")
+            .alias("n_child_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+        )
+        orp = orphans.agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphan_distinct"),
+            F.coalesce(F.sum("_rows"), F.lit(0))
+            .cast("long")
+            .alias("n_orphan_rows"),
+        )
+        parts.append(
+            tot.crossJoin(orp).select(
+                F.lit(label).alias("ind"),
+                "n_child_rows",
+                "n_child_distinct",
+                "n_orphan_distinct",
+                "n_orphan_rows",
+                # empty child: vacuously contained (and Spark div 0 is
+                # NULL while DuckDB // 0 errors — don't reach either)
+                F.when(
+                    F.col("n_child_distinct") > 0,
+                    F.expr(
+                        "(1000000 * (n_child_distinct - n_orphan_distinct))"
+                        " div n_child_distinct"
+                    ),
+                )
+                .otherwise(F.lit(1_000_000))
+                .cast("long")
+                .alias("containment_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -8308,6 +8308,105 @@ def q151_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(e, sources, max_hops=3, src_col="u", dst_col="v")
 
 
+@query(
+    "q152_ind_profile",
+    # one block per candidate IND, identical distinct/anti-join
+    # algebra; containment is a truncating-integer ppm of all-positive
+    # values
+    oracle="""
+    SELECT 'lineitem.l_orderkey<orders.o_orderkey' AS ind,
+           CAST(sum(rows_) AS BIGINT) AS n_child_rows,
+           CAST(count(*) AS BIGINT) AS n_child_distinct,
+           CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan_distinct,
+           CAST(sum(CASE WHEN orphan THEN rows_ ELSE 0 END) AS BIGINT)
+             AS n_orphan_rows,
+           CAST((1000000 * (count(*)
+                 - sum(CASE WHEN orphan THEN 1 ELSE 0 END))) // count(*)
+             AS BIGINT) AS containment_ppm
+    FROM (
+      SELECT l_orderkey AS v, count(*) AS rows_,
+             l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderkey IS NOT NULL) AS orphan
+      FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey
+    )
+    UNION ALL
+    SELECT 'orders.o_custkey<customer.c_custkey',
+           CAST(sum(rows_) AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN orphan THEN rows_ ELSE 0 END) AS BIGINT),
+           CAST((1000000 * (count(*)
+                 - sum(CASE WHEN orphan THEN 1 ELSE 0 END))) // count(*)
+             AS BIGINT)
+    FROM (
+      SELECT o_custkey AS v, count(*) AS rows_,
+             o_custkey NOT IN (SELECT c_custkey FROM customer
+                               WHERE c_custkey IS NOT NULL) AS orphan
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+    )
+    UNION ALL
+    SELECT 'customer.c_custkey<orders.o_custkey',
+           CAST(sum(rows_) AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN orphan THEN rows_ ELSE 0 END) AS BIGINT),
+           CAST((1000000 * (count(*)
+                 - sum(CASE WHEN orphan THEN 1 ELSE 0 END))) // count(*)
+             AS BIGINT)
+    FROM (
+      SELECT c_custkey AS v, count(*) AS rows_,
+             c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_custkey IS NOT NULL) AS orphan
+      FROM customer WHERE c_custkey IS NOT NULL GROUP BY c_custkey
+    )
+    UNION ALL
+    SELECT 'lineitem.l_suppkey<supplier.s_suppkey',
+           CAST(sum(rows_) AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN orphan THEN rows_ ELSE 0 END) AS BIGINT),
+           CAST((1000000 * (count(*)
+                 - sum(CASE WHEN orphan THEN 1 ELSE 0 END))) // count(*)
+             AS BIGINT)
+    FROM (
+      SELECT l_suppkey AS v, count(*) AS rows_,
+             l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_suppkey IS NOT NULL) AS orphan
+      FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey
+    )
+    """,
+)
+def q152_ind_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (FK) conformance over four candidate rules
+    — three true foreign keys that must resolve fully, and the
+    REVERSED customer→orders rule whose orphans are exactly the
+    never-ordered customers (q10's anti-join, recast as a ratio) —
+    fd_profile's cross-table sibling: together they mine the schema's
+    rule surface from data alone, and conformance drift on a fresh
+    drop is an ingestion alarm.
+
+    Scale shape: each candidate collapses the child to distinct values
+    + counts (shuffle = distinct cardinality), anti-joins a distinct
+    parent projection, and reduces to ONE row — never a row-level
+    child⋈parent join."""
+    from .operators.profile import ind_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    return ind_profile(
+        [
+            (li, "l_orderkey", orders, "o_orderkey",
+             "lineitem.l_orderkey<orders.o_orderkey"),
+            (orders, "o_custkey", cust, "c_custkey",
+             "orders.o_custkey<customer.c_custkey"),
+            (cust, "c_custkey", orders, "o_custkey",
+             "customer.c_custkey<orders.o_custkey"),
+            (li, "l_suppkey", sup, "s_suppkey",
+             "lineitem.l_suppkey<supplier.s_suppkey"),
+        ]
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -341,3 +341,35 @@ def test_psi_drift_matches_python_reference_and_nonnegative(spark):
         want = (x - y) * (_flog2_fx_py(x) - _flog2_fx_py(y))
         assert got[k] == (want, a_counts.get(k, 0), b_counts.get(k, 0)), k
         assert want >= 0
+
+
+def test_ind_profile_hand_computed(spark):
+    """Child {1:2 rows, 2:1, 9:3, NULL:1} vs parent {1,2,5}: orphan
+    value 9 (3 rows); NULLs are neither members nor orphans.
+    containment = 1e6*(3-1)//3 = 666666.  A fully-contained child and
+    an empty child (vacuous 1e6) round out the branches."""
+    from etl_marketeye_airflow_spark.operators.profile import ind_profile
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (9,), (None,)], "v int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (5,)], "v int")
+    empty = child.filter("v > 100")
+    rows = {r.ind: r for r in ind_profile(
+        [
+            (child, "v", parent, "v", "c<p"),
+            (parent, "v", parent, "v", "p<p"),
+            (empty, "v", parent, "v", "e<p"),
+        ]
+    ).collect()}
+    r = rows["c<p"]
+    assert (r.n_child_rows, r.n_child_distinct, r.n_orphan_distinct,
+            r.n_orphan_rows, r.containment_ppm) == (6, 3, 1, 3, 666666)
+    assert rows["p<p"].containment_ppm == 1_000_000
+    e = rows["e<p"]
+    assert (e.n_child_rows, e.n_child_distinct,
+            e.containment_ppm) == (0, 0, 1_000_000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ind_profile([])
