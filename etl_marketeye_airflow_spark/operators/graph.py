@@ -496,3 +496,102 @@ def bfs_distances(
         old_f.unpersist()
     nbrs.unpersist()
     return visited
+
+
+HITS_SCALE = 1_000_000
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    list, ``iters`` synchronous rounds, exact integer fixed point —
+    the mutually-recursive ranking pair next to PageRank (on a
+    customer→supplier graph: hubby customers buy from authoritative
+    suppliers).
+
+    Float HITS needs L2 normalization (order-sensitive Σ of doubles);
+    the deterministic form here max-normalizes instead — each round
+
+        a(v) = Σ_{u→v} h(u);  a ← a·10^6 div max(a)
+        h(u) = Σ_{u→v} a(v);  h ← h·10^6 div max(h)
+
+    all truncating integer ops on non-negative values (Spark div ==
+    DuckDB //), so scores are bit-identical on any engine or
+    partitioning; max-norm keeps the same ranking as L2-norm HITS (the
+    iteration is the same linear map, only the scaling differs).
+    Overflow bound: max in-degree·10^12 < 2^63 ⇒ degrees to ~9·10^6
+    are safe — documented, plenty at any tested SF.
+
+    Returns (node, hub_fx, auth_fx) for every node, scale 10^6; pure
+    sinks have hub_fx = 0, pure sources auth_fx = 0.
+
+    Scale shape: per round two node-keyed join+groupBy passes (the
+    PageRank cost model ×2) + two 1-row max broadcasts; frames
+    localCheckpoint'd (conv 2).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "_src"), "_src")
+            .groupBy("_dst")
+            .agg(F.sum("h").cast("long").alias("_s"))
+        )
+        a_full = (
+            nodes.join(a_raw, nodes["node"] == a_raw["_dst"], "left")
+            .select("node", F.coalesce("_s", F.lit(0)).cast("long").alias("a"))
+        )
+        a_max = a_full.agg(F.max("a").alias("_m"))
+        auths = (
+            a_full.crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.expr(f"(a * {HITS_SCALE}) div _m").cast("long").alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auths.withColumnRenamed("node", "_dst"), "_dst")
+            .groupBy("_src")
+            .agg(F.sum("a").cast("long").alias("_s"))
+        )
+        h_full = (
+            nodes.join(h_raw, nodes["node"] == h_raw["_src"], "left")
+            .select("node", F.coalesce("_s", F.lit(0)).cast("long").alias("h"))
+        )
+        h_max = h_full.agg(F.max("h").alias("_m"))
+        hubs = (
+            h_full.crossJoin(F.broadcast(h_max))
+            .select(
+                "node",
+                F.expr(f"(h * {HITS_SCALE}) div _m").cast("long").alias("h"),
+            )
+            .localCheckpoint()
+        )
+    out = (
+        hubs.join(auths, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_fx"),
+            F.col("a").alias("auth_fx"),
+        )
+        .localCheckpoint()
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

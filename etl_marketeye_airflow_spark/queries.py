@@ -8407,6 +8407,84 @@ def q152_ind_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_hits(iters: int) -> str:
+    """DuckDB twin of operators.graph.hits_fixed_point on q114's
+    customer→supplier graph: synchronous rounds unrolled as
+    MATERIALIZED CTEs, max-normalized truncating-integer scores —
+    bit-identical to the Spark side by construction."""
+    blocks = [
+        "h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(f"""a{i}f AS MATERIALIZED (
+      SELECT n.node, CAST(coalesce(t.s, 0) AS BIGINT) AS a
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(h{i - 1}.h) AS s
+        FROM e JOIN h{i - 1} ON e.src = h{i - 1}.node GROUP BY e.dst
+      ) t ON n.node = t.node
+    )""")
+        blocks.append(f"""a{i} AS MATERIALIZED (
+      SELECT node,
+             CAST((a * 1000000) // (SELECT max(a) FROM a{i}f) AS BIGINT) AS a
+      FROM a{i}f
+    )""")
+        blocks.append(f"""h{i}f AS MATERIALIZED (
+      SELECT n.node, CAST(coalesce(t.s, 0) AS BIGINT) AS h
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, sum(a{i}.a) AS s
+        FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY e.src
+      ) t ON n.node = t.node
+    )""")
+        blocks.append(f"""h{i} AS MATERIALIZED (
+      SELECT node,
+             CAST((h * 1000000) // (SELECT max(h) FROM h{i}f) AS BIGINT) AS h
+      FROM h{i}f
+    )""")
+    chain = ",\n    ".join(blocks)
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    {chain}
+    SELECT node, h{iters}.h AS hub_fx, a{iters}.a AS auth_fx
+    FROM h{iters} JOIN a{iters} USING (node)
+    """
+
+
+@query(
+    "q153_hits",
+    # synchronous max-normalized integer HITS — all non-negative
+    # truncating ops, so Spark div ≡ DuckDB //; rounds unrolled
+    oracle=_sql_hits(3),
+)
+def q153_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the customer→supplier purchase graph
+    (q114's edge rule): 3 synchronous rounds of the mutually-recursive
+    pair in exact max-normalized integer fixed point — hubby customers
+    spread purchases across authoritative suppliers; the second classic
+    link-analysis ranking next to PageRank.
+
+    Scale shape: two PageRank-cost join+groupBy passes per round + two
+    1-row max broadcasts; localCheckpoint'd per round (conv 2)."""
+    from .operators.graph import hits_fixed_point
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return hits_fixed_point(e, iters=3)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

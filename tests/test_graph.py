@@ -361,3 +361,45 @@ def test_bfs_distances_early_exit_and_isolated_source(spark):
     got = {r.node: r.dist
            for r in bfs_distances(e, src, max_hops=10).collect()}
     assert got == {1: 0, 99: 0, 2: 1, 3: 1}
+
+
+# ----------------------------------------------------------------- HITS
+
+
+def _hits_reference(edges, iters):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {n: 1_000_000 for n in nodes}
+    a = {}
+    for _ in range(iters):
+        a = {n: 0 for n in nodes}
+        for u, v in edges:
+            a[v] += h[u]
+        m = max(a.values())
+        a = {n: (x * 1_000_000) // m for n, x in a.items()}
+        h = {n: 0 for n in nodes}
+        for u, v in edges:
+            h[u] += a[v]
+        m = max(h.values())
+        h = {n: (x * 1_000_000) // m for n, x in h.items()}
+    return h, a
+
+
+def test_hits_matches_python_reference(spark):
+    """Bipartite-ish directed graph with a shared authority: scores
+    match the integer reference for 1..3 rounds, rerun bit-identical,
+    and the shared authority dominates."""
+    from etl_marketeye_airflow_spark.operators.graph import (
+        hits_fixed_point,
+    )
+
+    edges = [(1, 10), (2, 10), (3, 10), (1, 11), (2, 12), (10, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        want_h, want_a = _hits_reference(edges, iters)
+        got = {r.node: (r.hub_fx, r.auth_fx)
+               for r in hits_fixed_point(e, iters=iters).collect()}
+        assert got == {n: (want_h[n], want_a[n]) for n in want_h}, iters
+    h, a = _hits_reference(edges, 3)
+    assert max(a, key=a.get) == 10
+    # pure sink 12: never a src -> hub 0; pure sources 1,2,3: auth 0
+    assert h[12] == 0 and a[1] == a[2] == a[3] == 0
