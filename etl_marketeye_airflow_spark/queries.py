@@ -2779,12 +2779,11 @@ def q64_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q65_session_windows",
-    # Spark's session_window == gaps-and-islands in SQL: a session ends
-    # 30 min after its LAST event (exclusive end).  Integer-µs bounds,
-    # exact-decimal value sums — no TZ or float surface.
-    oracle="""
+# Spark's session_window == gaps-and-islands in SQL: a session ends
+# 30 min after its LAST event (exclusive end).  Integer-µs bounds,
+# exact-decimal value sums — no TZ or float surface.  ONE oracle string
+# shared by q65 (batch) and q154 (streaming twin) — single-copy rule.
+_SQL_SESSION_WINDOWS = """
     WITH e AS (
       SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
     ),
@@ -2811,8 +2810,10 @@ def q64_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(19,4))) AS DOUBLE) AS total_value
     FROM s GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@query("q65_session_windows", oracle=_SQL_SESSION_WINDOWS)
 def q65_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window grouping (30-min inactivity gap): per-user
     sessions with integer-µs bounds and exact-decimal value totals —
@@ -8483,6 +8484,46 @@ def q153_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     return hits_fixed_point(e, iters=3)
+
+
+@query(
+    "q154_streaming_session_windows",
+    # the drained COMPLETE-mode table is the full current session set
+    # (sink replaced per batch — conv-9 exempt), so the oracle is
+    # q65's batch gaps-and-islands, the SAME shared string
+    oracle=_SQL_SESSION_WINDOWS,
+)
+def q154_streaming_session_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q65's per-user session windows computed ON THE STREAM: Spark
+    merges/extends session state in the aggregation as micro-batches
+    arrive; drained in complete mode, the final table equals the batch
+    session_window result exactly (one shared oracle string).  The
+    streaming corner q31/q34/q50/q63/q117/q133/q136 didn't cover:
+    gap-based (data-dependent) windows, where state merging — not just
+    accumulation — happens across batches.
+
+    State = open sessions (complete mode holds all; append mode's
+    watermark eviction is the infinite-stream variant, documented in
+    the operator)."""
+    import uuid
+
+    from .sources.tables import load_events_stream
+    from .streaming.ingest import session_event_totals
+
+    stream = load_events_stream(spark, sf_dir)
+    out = session_event_totals(stream, "30 minutes", "10 minutes", "_t")
+    name = f"q154_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_available_now(q)
+    return spark.table(name)
 
 
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a

@@ -221,3 +221,50 @@ def streaming_dedup_within_watermark(
         .withWatermark("_event_time", delay)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def session_event_totals(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "_t",
+) -> DataFrame:
+    """Per-user SESSION windows over the event stream (inactivity gap):
+    Spark merges/extends session state in the aggregation as events
+    arrive — the streaming twin of q65's batch session_window (same
+    bounds algebra: end = last event + gap, exclusive).
+
+    Run it in COMPLETE output mode into a memory sink: the sink table
+    is REPLACED every micro-batch, so the drained table is the full
+    current session set with no per-batch compaction hazard
+    (convention-9 exempt class) and equals the batch session_window
+    result on the same data.  Complete mode holds all sessions in
+    state — right for a bounded drain / dashboard; for an infinite
+    stream use append mode instead, where the watermark finalizes and
+    EVICTS old sessions (bounded state) but withholds any session the
+    watermark hasn't passed (the tail) until more data arrives.
+
+    Output: (user_id, session_start_us, session_end_us, n_events,
+    total_value) — integer-µs bounds, exact-decimal sum cast to double
+    (conv 1).
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            "user_id",
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(19,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -566,23 +566,12 @@ def test_session_window_streaming_matches_batch(spark):
     batch = {tuple(r) for r in reg.QUERIES["q65_session_windows"](spark, sf).collect()}
 
     from etl_marketeye_airflow_spark.sources.tables import load_events_stream
+    from etl_marketeye_airflow_spark.streaming.ingest import (
+        session_event_totals,
+    )
 
     stream = load_events_stream(spark, sf)  # unit-aware _t (convention #4)
-    out = (
-        stream.withWatermark("_t", "1 hour")
-        .groupBy("user_id", F.session_window("_t", "30 minutes").alias("sw"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(19,4)")).cast("double").alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
-            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
-            "n_events",
-            "total_value",
-        )
-    )
+    out = session_event_totals(stream, "30 minutes", "1 hour", "_t")
     name = f"sess_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory").queryName(name)
@@ -799,3 +788,58 @@ def test_streaming_sketch_compaction_multi_batch(spark, tmp_path_factory):
     assert raw.count() > len(expect)
     got = sorted(map(tuple, compact_sketch_sink(raw).collect()))
     assert got == expect
+
+
+def test_session_windows_merge_across_batches(spark, tmp_path_factory):
+    """The q154 state-MERGE case: a batch-2 event lands within the gap
+    of a batch-1 session, so the stored session must EXTEND (not start
+    anew), while a far event opens a second session.  Complete mode
+    replaces the sink table per batch, so the final read is the merged
+    set with no compaction step."""
+    import json
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_marketeye_airflow_spark.streaming.ingest import (
+        drain_available_now,
+        session_event_totals,
+    )
+
+    d = tmp_path_factory.mktemp("sessmerge")
+    b1 = [
+        {"user_id": 1, "t": "2024-01-01T10:00:00", "value": 1.0},
+        {"user_id": 1, "t": "2024-01-01T10:10:00", "value": 2.0},
+    ]
+    b2 = [
+        {"user_id": 1, "t": "2024-01-01T10:25:00", "value": 4.0},  # extends
+        {"user_id": 1, "t": "2024-01-01T12:00:00", "value": 8.0},  # new
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in b2))
+    stream = (
+        spark.readStream.schema("user_id long, t string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("_t", F.to_timestamp("t"))
+    )
+    out = session_event_totals(stream, "30 minutes", "1 hour", "_t")
+    name = f"sessm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    drain_available_now(q)
+    got = sorted(
+        (r.session_start_us, r.session_end_us, r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    )
+    h = 3_600_000_000  # 1h in µs; epoch base for 2024-01-01T10:00 UTC
+    t0 = int(__import__("datetime").datetime(
+        2024, 1, 1, 10, 0, tzinfo=__import__("datetime").timezone.utc
+    ).timestamp()) * 1_000_000
+    gap = 1_800_000_000
+    assert got == [
+        (t0, t0 + 25 * 60 * 1_000_000 + gap, 3, 7.0),
+        (t0 + 2 * h, t0 + 2 * h + gap, 1, 8.0),
+    ]
