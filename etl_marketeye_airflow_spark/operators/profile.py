@@ -389,3 +389,45 @@ def ind_profile(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Privacy audit before a data release (the check a training-data
+    pipeline runs before shipping user-derived tables): every
+    quasi-identifier combination occurring fewer than ``k`` times is a
+    re-identification risk (k-anonymity, Sweeney 2002), and groups
+    whose sensitive attribute is (near-)constant leak it even at size
+    ≥ k (l-diversity, Machanavajjhala et al. 2007 — reported here as the
+    distinct-sensitive count).
+
+    Returns the VIOLATING equivalence classes only: (quasi…, n_rows,
+    n_sensitive_distinct, violation) where violation ∈
+    {'k_anonymity', 'l_diversity'} — k-violations are classes with
+    n_rows < k; l-violations are classes with n_rows ≥ k but exactly
+    one sensitive value.  NULL quasi values form their own class
+    (groupBy semantics, identical both engines); NULL sensitive values
+    are ignored by the distinct count.
+
+    Scale shape: ONE map-side-combined groupBy over (quasi…); output
+    is violations only, so the result is small wherever the data is
+    actually safe.
+    """
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    g = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct(F.col(sensitive_col))
+        .cast("long")
+        .alias("n_sensitive_distinct"),
+    )
+    return g.withColumn(
+        "violation",
+        F.when(F.col("n_rows") < F.lit(k), F.lit("k_anonymity")).when(
+            F.col("n_sensitive_distinct") == 1, F.lit("l_diversity")
+        ),
+    ).filter(F.col("violation").isNotNull())

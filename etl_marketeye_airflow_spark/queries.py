@@ -8526,6 +8526,47 @@ def q154_streaming_session_windows(
     return spark.table(name)
 
 
+@query(
+    "q155_k_anonymity_audit",
+    # identical groupBy algebra; the band is floor of an IEEE-exact
+    # double division (same bits both engines); NULL sensitive values
+    # ignored by COUNT(DISTINCT) on both sides
+    oracle="""
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+             AS n_sensitive_distinct,
+           CASE WHEN count(*) < 5 THEN 'k_anonymity'
+                WHEN count(DISTINCT c_mktsegment) = 1 THEN 'l_diversity'
+           END AS violation
+    FROM customer
+    GROUP BY c_nationkey, CAST(floor(c_acctbal / 2000) AS BIGINT)
+    HAVING count(*) < 5 OR count(DISTINCT c_mktsegment) = 1
+    """,
+)
+def q155_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit of the customer table before release: equivalence
+    classes over the quasi-identifiers (nation, account-balance band)
+    that are re-identifiable (< 5 members) or leak the market segment
+    (≥ 5 members, single segment) — the k-anonymity / l-diversity
+    check a training-data pipeline runs on every user-derived table
+    it ships.
+
+    Scale shape: ONE map-side-combined groupBy; output is violations
+    only."""
+    from .operators.profile import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", k=5
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -373,3 +373,31 @@ def test_ind_profile_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         ind_profile([])
+
+
+def test_k_anonymity_audit_hand_computed(spark):
+    """Class (A,1): 2 rows < k -> k_anonymity; class (A,2): 5 rows all
+    sensitive 'x' -> l_diversity; class (B,1): 5 rows, 2 sensitive
+    values -> safe (absent); NULL quasi forms its own (small) class;
+    NULL sensitive ignored by the distinct count."""
+    from etl_marketeye_airflow_spark.operators.profile import (
+        k_anonymity_audit,
+    )
+
+    rows = [("A", 1, "x"), ("A", 1, "y")]
+    rows += [("A", 2, "x")] * 5
+    rows += [("B", 1, "x"), ("B", 1, "x"), ("B", 1, "y"),
+             ("B", 1, "y"), ("B", 1, "y")]
+    rows += [(None, 9, "z")]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s string")
+    got = {(r.q1, r.q2): (r.n_rows, r.n_sensitive_distinct, r.violation)
+           for r in k_anonymity_audit(df, ["q1", "q2"], "s", k=5).collect()}
+    assert got == {
+        ("A", 1): (2, 2, "k_anonymity"),
+        ("A", 2): (5, 1, "l_diversity"),
+        (None, 9): (1, 1, "k_anonymity"),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_anonymity_audit(df, [], "s")
