@@ -362,3 +362,98 @@ def weighted_sample(
         .orderBy(F.asc("skey"), F.asc(key_col))
         .limit(k)
     )
+
+
+# Poisson(1) CDF at 40-bit fixed point: T[k] = floor(P(X<=k)·2^40),
+# k = 0..7 (tail clamped at weight 8 — P(X>8) ≈ 1.1e-7, the documented
+# truncation).  INTEGER LITERALS shared verbatim with the oracle SQL,
+# so the weights are cross-engine exact by construction.
+POISSON1_T_FX40 = [
+    404487723187,
+    808975446375,
+    1011219307969,
+    1078633928500,
+    1095487583633,
+    1098858314660,
+    1099420103164,
+    1099500358665,
+]
+
+
+def bootstrap_replicates(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 32,
+    group_cols: list[str] | None = None,
+    salt: str = "boot-v1",
+) -> DataFrame:
+    """Online Poisson bootstrap (Owen & Eckles 2012; Chamandy et al.,
+    Google 2012): every row gets, for each replicate r, a DETERMINISTIC
+    Poisson(1) weight from its 40-bit md5 coin — the one-pass way to
+    put uncertainty bars on any aggregate at 100 TB, where resampling
+    passes are unaffordable.  The spread of the replicate estimates IS
+    the sampling distribution of the statistic.
+
+    Weight = #{k : coin ≥ T_k} over the POISSON1_T_FX40 thresholds —
+    pure integer comparisons against shared literals (the q115/q138
+    md5-coin discipline), so every replicate is bit-identical on any
+    engine, machine, or partitioning.  ``value_col`` must be integer
+    cents (conv 1); sums stay exact BIGINT.
+
+    Returns one row per (group…, rep): (group…, rep, n_eff = Σw,
+    sum_w_value = Σ w·value) plus the display mean — the caller takes
+    std over replicates for the error bar.
+
+    Scale shape: the explode is n_replicates× the row count but feeds
+    straight into a map-side-combined groupBy — shuffle volume is
+    |groups|·n_replicates rows, NOT the exploded stream; no windows,
+    no second pass.
+    """
+    if n_replicates < 1:
+        raise ValueError("n_replicates must be >= 1")
+    gcols = list(group_cols or [])
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    ).alias("rep")
+    base = df.select(
+        *gcols,
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).select("*", rep)
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col("_id"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = None
+    for t in POISSON1_T_FX40:
+        term = (coin >= F.lit(t)).cast("long")
+        w = term if w is None else w + term
+    staged = base.withColumn("_w", w)
+    out = staged.groupBy(*gcols, "rep").agg(
+        F.sum("_w").cast("long").alias("n_eff"),
+        F.sum(F.col("_w") * F.col("_v")).cast("long").alias("sum_w_value"),
+    )
+    return out.select(
+        *gcols,
+        F.col("rep").cast("long").alias("rep"),
+        "n_eff",
+        "sum_w_value",
+        F.when(
+            F.col("n_eff") > 0,
+            F.col("sum_w_value").cast("double")
+            / F.col("n_eff").cast("double"),
+        ).alias("mean_value"),
+    )

@@ -8567,6 +8567,77 @@ def q155_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q156_bootstrap_replicates",
+    # identical md5-coin + INTEGER-threshold Poisson weights both
+    # sides (the q115/q138 discipline); exact BIGINT weighted sums;
+    # one display division of identical operands
+    oracle="""
+    WITH reps AS (SELECT range AS rep FROM range(16)),
+    b AS (
+      SELECT o_orderpriority, CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    e AS (
+      SELECT b.o_orderpriority, b.id, b.v, reps.rep,
+             CAST(('0x' || substring(
+               md5('boot-v1:' || b.id || ':' || CAST(reps.rep AS VARCHAR)),
+               1, 10)) AS BIGINT) AS coin
+      FROM b CROSS JOIN reps
+    ),
+    w AS (
+      SELECT o_orderpriority, rep, v,
+             CAST((CASE WHEN coin >= 404487723187 THEN 1 ELSE 0 END)
+                + (CASE WHEN coin >= 808975446375 THEN 1 ELSE 0 END)
+                + (CASE WHEN coin >= 1011219307969 THEN 1 ELSE 0 END)
+                + (CASE WHEN coin >= 1078633928500 THEN 1 ELSE 0 END)
+                + (CASE WHEN coin >= 1095487583633 THEN 1 ELSE 0 END)
+                + (CASE WHEN coin >= 1098858314660 THEN 1 ELSE 0 END)
+                + (CASE WHEN coin >= 1099420103164 THEN 1 ELSE 0 END)
+                + (CASE WHEN coin >= 1099500358665 THEN 1 ELSE 0 END)
+               AS BIGINT) AS w
+      FROM e
+    ),
+    a AS (
+      SELECT o_orderpriority, CAST(rep AS BIGINT) AS rep,
+             CAST(sum(w) AS BIGINT) AS n_eff,
+             CAST(sum(w * v) AS BIGINT) AS sum_w_value
+      FROM w GROUP BY o_orderpriority, rep
+    )
+    SELECT o_orderpriority, rep, n_eff, sum_w_value,
+           CASE WHEN n_eff > 0
+                THEN CAST(sum_w_value AS DOUBLE) / CAST(n_eff AS DOUBLE)
+           END AS mean_value
+    FROM a
+    """,
+)
+def q156_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 deterministic Poisson-bootstrap replicates of per-priority
+    mean order value (Owen & Eckles 2012): each order contributes a
+    md5-derived Poisson(1) weight per replicate, and the spread of the
+    replicate means is the error bar — uncertainty quantification in
+    ONE pass, no resampling scans, reproducible to the bit anywhere.
+
+    Scale shape: explode×16 feeds straight into a map-side-combined
+    groupBy — shuffle is |priorities|·16 rows, not the exploded
+    stream."""
+    from .operators.sampling import bootstrap_replicates
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return bootstrap_replicates(
+        o,
+        id_col="o_orderkey",
+        value_col="cents",
+        n_replicates=16,
+        group_cols=["o_orderpriority"],
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -183,3 +183,60 @@ def test_weighted_sample_grouped_matches_per_group_runs(spark):
     }
     counts = {s: len(v) for s, v in got.items()}
     assert counts == {s: min(5, n) for s, n in sizes.items()}
+
+
+# ------------------------------------------------- bootstrap_replicates
+
+
+def test_bootstrap_weights_match_python_and_are_poisson_ish(spark):
+    """Weights replayed in pure python from the same md5 coins match
+    exactly; the pooled weight mean sits near 1 (Poisson(1)) and the
+    unweighted original total is recoverable per replicate."""
+    import hashlib
+
+    from etl_marketeye_airflow_spark.operators.sampling import (
+        POISSON1_T_FX40,
+        bootstrap_replicates,
+    )
+
+    rows = [(i, 100 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = bootstrap_replicates(df, "id", "v", n_replicates=8).collect()
+    assert len(out) == 8
+
+    def w_py(i, r):
+        h = hashlib.md5(f"boot-v1:{i}:{r}".encode()).hexdigest()
+        coin = int(h[:10], 16)
+        return sum(1 for t in POISSON1_T_FX40 if coin >= t)
+
+    for row in out:
+        want_n = sum(w_py(i, row.rep) for i, _ in rows)
+        want_s = sum(w_py(i, row.rep) * v for i, v in rows)
+        assert (row.n_eff, row.sum_w_value) == (want_n, want_s), row.rep
+    pooled = sum(r.n_eff for r in out) / (8 * len(rows))
+    assert 0.8 < pooled < 1.2
+
+
+def test_bootstrap_grouped_and_determinism(spark):
+    """Grouped replicates keep groups independent; rerun is
+    bit-identical; n_replicates guard."""
+    import pytest as _pytest
+
+    from etl_marketeye_airflow_spark.operators.sampling import (
+        bootstrap_replicates,
+    )
+
+    rows = [("a", i, 10) for i in range(50)] + [("b", 100 + i, 20)
+                                                for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    r1 = sorted(map(tuple, bootstrap_replicates(
+        df, "id", "v", 4, ["g"]).collect()))
+    r2 = sorted(map(tuple, bootstrap_replicates(
+        df, "id", "v", 4, ["g"]).collect()))
+    assert r1 == r2 and len(r1) == 8
+    for row in r1:
+        # every weighted mean equals the constant group value exactly
+        if row[2] > 0:
+            assert row[4] == (10.0 if row[0] == "a" else 20.0)
+    with _pytest.raises(ValueError):
+        bootstrap_replicates(df, "id", "v", 0)
