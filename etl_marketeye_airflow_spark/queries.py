@@ -8638,6 +8638,103 @@ def q156_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q157_entity_resolution",
+    # q44's banded edit-distance pairs + q43's WITH RECURSIVE closure +
+    # a canonical rollup; singletons resolve to themselves; min over
+    # doubles is an exact pick, counts are integers
+    oracle="""
+    WITH RECURSIVE
+    names AS (SELECT DISTINCT p_name FROM part WHERE p_partkey < 400),
+    pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM names a JOIN names b ON a.p_name < b.p_name
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+        AND levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (
+      SELECT name_a AS src, name_b AS dst FROM pairs
+      UNION
+      SELECT name_b, name_a FROM pairs
+    ),
+    reach(id, x) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON r.x = e.src
+    ),
+    matched AS (
+      SELECT id, least(id, min(x)) AS cluster FROM reach GROUP BY id
+    ),
+    allm AS (
+      SELECT n.p_name AS id, coalesce(m.cluster, n.p_name) AS cluster
+      FROM names n LEFT JOIN matched m ON n.p_name = m.id
+    ),
+    pc AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS c,
+             min(p_retailprice) AS mr
+      FROM part WHERE p_partkey < 400 GROUP BY p_name
+    )
+    SELECT a.cluster AS canonical_name,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(pc.c) AS BIGINT) AS n_parts,
+           min(pc.mr) AS min_retail
+    FROM allm a JOIN pc ON a.id = pc.p_name
+    GROUP BY a.cluster
+    """,
+)
+def q157_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution on part names: q44's length-banded
+    edit-distance matching → connected-component clustering (matches
+    are transitive in intent) → one canonical record per entity
+    (lexicographic-min name, member/row counts, best price) —
+    the classic record-linkage pipeline (blocking → scoring →
+    clustering → survivorship) as ONE lazy composition of
+    already-oracled stages; singleton names resolve to themselves.
+
+    Scale shape: q44's banded join (never a cross join) + O(log
+    diameter) pointer-jumping CC + key-partitioned rollups."""
+    from .operators.dedup import near_dup_clusters
+
+    pairs = q44_fuzzy_name_pairs(spark, sf_dir).select("name_a", "name_b")
+    matched = near_dup_clusters(pairs, "name_a", "name_b")
+    names = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .select("p_name")
+        .distinct()
+    )
+    allm = names.join(
+        matched, names["p_name"] == matched["id"], "left"
+    ).select(
+        F.col("p_name").alias("id"),
+        F.coalesce(F.col("cluster"), F.col("p_name")).alias("cluster"),
+    )
+    pc = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .groupBy("p_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("p_retailprice").alias("mr"),
+        )
+    )
+    return (
+        allm.join(pc, allm["id"] == pc["p_name"])
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_names"),
+            F.sum("c").cast("long").alias("n_parts"),
+            F.min("mr").alias("min_retail"),
+        )
+        .select(
+            F.col("cluster").alias("canonical_name"),
+            "n_names",
+            "n_parts",
+            "min_retail",
+        )
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
