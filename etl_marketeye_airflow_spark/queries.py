@@ -8735,6 +8735,50 @@ def q157_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q158_quantize_int8",
+    # one fixed IEEE operand order ((v−mn)·255)/(mx−mn) then floor —
+    # bit-identical codes both engines; generate_subscripts+unnest zip
+    # row-wise in DuckDB; codes list ordered by dim on both sides
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    d AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim
+    ),
+    c AS (
+      SELECT ex.vec_id, ex.dim,
+             CASE WHEN d.mx > d.mn
+                  THEN least(CAST(floor((ex.v - d.mn) * 255.0
+                                        / (d.mx - d.mn)) AS BIGINT), 255)
+                  ELSE 0 END AS code
+      FROM ex JOIN d USING (dim)
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           list(code ORDER BY dim) AS codes
+    FROM c GROUP BY vec_id
+    """,
+)
+def q158_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the embedding corpus: per-dimension
+    min/max trained on the data, every vector re-coded to 8-bit —
+    the 4× memory/IO cut that lets a 100 TB ANN index fit its serving
+    tier, with reconstruction error ≤ step/2 per dimension
+    (pytest-pinned).  Codes are bit-identical on any engine (one fixed
+    IEEE operand order, then floor — no accumulation).
+
+    Scale shape: explode → n_dims-row stats → broadcast join → per-id
+    reassembly; two map-side-combined shuffles total."""
+    from .operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

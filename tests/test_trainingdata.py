@@ -1399,3 +1399,56 @@ def test_q132_cosine_rank_margins(spark, sf_dir):
     gaps = np.diff(cs)
     assert float(-gaps.max()) > 1e-7 or float(np.abs(gaps).min()) > 1e-7
     assert float(np.abs(gaps).min()) > 1e-7, cs
+
+
+# ----------------------------------------------------------- quantize_int8
+
+
+def test_quantize_int8_codes_and_reconstruction_bound(spark):
+    """Hand frame: per-dim ranges train on the corpus; codes match the
+    formula, constant dims code 0, max values clamp to 255, and
+    dequantized values sit within step/2 + an ulp of the originals."""
+    import math
+
+    from etl_marketeye_airflow_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    rows = [
+        (1, [0.0, 5.0, 7.0]),
+        (2, [1.0, 5.0, 3.0]),
+        (3, [0.5, 5.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.n_dims, r.codes)
+           for r in quantize_int8(df).collect()}
+    # dim1: [0,1] -> codes 0, 255, floor(127.5)=127
+    # dim2: constant -> 0
+    # dim3: [-1,7] step 8/255
+    def code3(v):
+        return min(math.floor((v + 1.0) * 255.0 / 8.0), 255)
+    assert got[1] == (3, [0, 0, 255])
+    assert got[2] == (3, [255, 0, code3(3.0)])
+    assert got[3] == (3, [127, 0, 0])
+    # reconstruction bound on the varying dims
+    mins = {1: 0.0, 3: -1.0}
+    steps = {1: 1.0 / 255.0, 3: 8.0 / 255.0}
+    for vid, emb in rows:
+        codes = got[vid][1]
+        for d, v in enumerate(emb, 1):
+            if d in steps:
+                recon = mins[d] + (codes[d - 1] + 0.5) * steps[d]
+                assert abs(recon - v) <= steps[d] / 2 + 1e-9, (vid, d)
+
+
+def test_quantize_int8_deterministic_rerun(spark):
+    from etl_marketeye_airflow_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    rows = [(i, [((i * 37 + d * 11) % 100) / 7.0 for d in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted((r.vec_id, tuple(r.codes)) for r in quantize_int8(df).collect())
+    b = sorted((r.vec_id, tuple(r.codes)) for r in quantize_int8(df).collect())
+    assert a == b and len(a) == 40
