@@ -8779,6 +8779,71 @@ def q158_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "q159_quantized_topk",
+    # integer SQUARED-L2 over SQ8 codes — the corpus is unit-normed, so
+    # L2 ranking ≈ cosine ranking (a raw dot on min-max-SHIFTED codes
+    # favors large-code rows and has ~zero recall — measured before
+    # this form was chosen); order-free exact BIGINT sums, same
+    # total-order cut (d2 ASC, vec_id ASC) both sides
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    d AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim),
+    c AS (
+      SELECT ex.vec_id, ex.dim,
+             CASE WHEN d.mx > d.mn
+                  THEN least(CAST(floor((ex.v - d.mn) * 255.0
+                                        / (d.mx - d.mn)) AS BIGINT), 255)
+                  ELSE 0 END AS code
+      FROM ex JOIN d USING (dim)
+    ),
+    q AS (SELECT dim, code AS qcode FROM c WHERE vec_id = 0),
+    s AS (
+      SELECT c.vec_id,
+             CAST(sum((c.code - q.qcode) * (c.code - q.qcode)) AS BIGINT)
+               AS d2
+      FROM c JOIN q USING (dim)
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, d2 FROM s
+    ORDER BY d2 ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q159_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest vectors to vec 0 by QUANTIZED squared-L2 over
+    q158's SQ8 codes — search on the compressed index (the point of
+    quantizing: the serving tier scans int8 codes, not floats) with
+    EXACT integer distances (order-free BIGINT sums, no float
+    accumulation).  The corpus is unit-normalized, so L2 ranking
+    tracks the float cosine ranking — recall@10 pytest-pinned.
+
+    Scale shape: q158's quantize plan + one dim-keyed join against the
+    broadcast query codes + a distributed top-k."""
+    from .operators.similarity import quantize_int8
+
+    codes = quantize_int8(_t(spark, sf_dir, "embeddings"))
+    ex = codes.select(
+        "vec_id", F.posexplode("codes").alias("dim0", "code")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "code")
+    q = ex.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("code").alias("qcode")
+    )
+    diff = F.col("code") - F.col("qcode")
+    s = (
+        ex.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(diff * diff).cast("long").alias("d2"))
+    )
+    return s.orderBy(F.col("d2").asc(), F.col("vec_id").asc()).limit(10)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -1452,3 +1452,18 @@ def test_quantize_int8_deterministic_rerun(spark):
     a = sorted((r.vec_id, tuple(r.codes)) for r in quantize_int8(df).collect())
     b = sorted((r.vec_id, tuple(r.codes)) for r in quantize_int8(df).collect())
     assert a == b and len(a) == 40
+
+
+def test_quantized_topk_recall_vs_float_cosine(spark):
+    """SQ8 integer-dot ranking recovers most of the float-cosine top-k
+    on the real corpus: recall@10 ≥ 0.6 pinned (scalar quantization
+    preserves neighborhoods; exact threshold is corpus-dependent but
+    a collapse to near-zero recall would mean broken codes)."""
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    quant = [r.vec_id for r in QUERIES["q159_quantized_topk"](spark, sf).collect()]
+    flt = [r.vec_id for r in QUERIES["q24_cosine_topk"](spark, sf).collect()]
+    flt_ids = set(flt[:10]) - {0}
+    recall = len(set(quant) & flt_ids) / max(len(flt_ids), 1)
+    assert recall >= 0.6, (recall, quant, flt[:10])
