@@ -279,3 +279,62 @@ def transition_matrix(
             "p"
         ),
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    event_col: str,
+    conversion_value: str,
+    touch_values: list[str],
+    window_us: int,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event is
+    credited to the most recent PRIOR touch event of the same key
+    within ``window_us`` microseconds — the standard marketing/funnel
+    attribution rule, and a general "carry the latest qualifying state
+    forward" primitive (the asof-join trick applied within one table).
+
+    Mechanism: one per-key sort window; ``last(struct(ts, touch),
+    ignorenulls)`` over rows-unbounded-preceding carries the latest
+    touch forward (the struct keeps the touch's OWN timestamp so the
+    window cut is exact); conversions outside the window or with no
+    prior touch attribute to NULL (reported as 'none').
+
+    Returns attribution counts: (attributed_touch, n_conversions) —
+    exact integers, deterministic given a total (order_cols) order.
+
+    Scale shape: ONE shuffle on the key; the carry-forward and the
+    cut are per-row expressions in the same window stage; the final
+    groupBy is tiny (|touch types|+1 rows).
+    """
+    t = ts_col or order_cols[0]
+    k = [F.col(c) for c in key_cols]
+    w = (
+        Window.partitionBy(*k)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(event_col).isin(touch_values)
+    touch_struct = F.when(
+        is_touch, F.struct(F.col(t).alias("_tt"), F.col(event_col).alias("_te"))
+    )
+    staged = df.withColumn(
+        "_last_touch", F.last(touch_struct, ignorenulls=True).over(w)
+    )
+    conv = staged.filter(F.col(event_col) == F.lit(conversion_value))
+    attributed = F.when(
+        F.col("_last_touch").isNotNull()
+        & (
+            (F.col(t) - F.col("_last_touch")["_tt"])
+            <= F.lit(window_us)
+        ),
+        F.col("_last_touch")["_te"],
+    ).otherwise(F.lit("none"))
+    return (
+        conv.withColumn("attributed_touch", attributed)
+        .groupBy("attributed_touch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    )

@@ -8844,6 +8844,65 @@ def q159_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.orderBy(F.col("d2").asc(), F.col("vec_id").asc()).limit(10)
 
 
+@query(
+    "q160_last_touch_attribution",
+    # identical carry-forward window both sides (last_value IGNORE
+    # NULLS over rows-unbounded-preceding..1-preceding of a (ts,type)
+    # struct — the struct keeps the touch's own ts so the 24h cut is
+    # exact integer µs)
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events
+    ),
+    s AS (
+      SELECT *,
+             last_value(
+               CASE WHEN event_type IN ('click', 'view', 'signup')
+                    THEN {'tt': ts_us, 'te': event_type} END
+               IGNORE NULLS
+             ) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS lt
+      FROM c
+    )
+    SELECT CASE WHEN lt IS NOT NULL
+                 AND ts_us - lt.tt <= 86400000000
+                THEN lt.te ELSE 'none' END AS attributed_touch,
+           CAST(count(*) AS BIGINT) AS n_conversions
+    FROM s WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q160_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution of purchases: each purchase credits the
+    user's most recent click/view/signup within 24 h (else 'none') —
+    the standard conversion-attribution rule, computed with ONE
+    carry-forward window (the asof trick within a single table;
+    exact integer-µs cut, deterministic under the (ts, event_id)
+    total order).
+
+    Scale shape: one key shuffle; carry + cut are per-row expressions
+    in the window stage; final groupBy is |touch types|+1 rows."""
+    from .operators.temporal import last_touch_attribution
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    return last_touch_attribution(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        event_col="event_type",
+        conversion_value="purchase",
+        touch_values=["click", "view", "signup"],
+        window_us=86_400_000_000,
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -501,3 +501,32 @@ def test_transition_matrix_hand_computed(spark):
     }
     single = spark.createDataFrame([(9, 1, "x")], "k long, t long, s string")
     assert transition_matrix(single, ["k"], ["t"], "s").count() == 0
+
+
+def test_last_touch_attribution_hand_computed(spark):
+    """User 1: click@10 -> purchase@20 credits click; view@30 ->
+    purchase@30+25h credits 'none' (outside window); user 2 purchase
+    with no prior touch -> 'none'; a touch AFTER the conversion never
+    attributes; purchase@t with touch@t (same ts, higher event_id)
+    does NOT attribute (strictly prior rows)."""
+    from etl_marketeye_airflow_spark.operators.temporal import (
+        last_touch_attribution,
+    )
+
+    H = 3_600_000_000
+    rows = [
+        (1, 10 * H, 1, "click"),
+        (1, 20 * H, 2, "purchase"),
+        (1, 30 * H, 3, "view"),
+        (1, 30 * H + 25 * H, 4, "purchase"),
+        (2, 5 * H, 5, "purchase"),
+        (2, 6 * H, 6, "click"),
+        (3, 7 * H, 7, "purchase"),
+        (3, 7 * H, 8, "click"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, eid long, et string")
+    got = {r.attributed_touch: r.n_conversions
+           for r in last_touch_attribution(
+               df, ["k"], ["t", "eid"], "et", "purchase",
+               ["click", "view"], 24 * H).collect()}
+    assert got == {"click": 1, "none": 3}
