@@ -431,3 +431,70 @@ def k_anonymity_audit(
             F.col("n_sensitive_distinct") == 1, F.lit("l_diversity")
         ),
     ).filter(F.col("violation").isNotNull())
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table: one row
+    per CHANGED key with status I (inserted), D (deleted), or U
+    (updated — any compare column differs null-safely) plus the list
+    of changed columns — the change-data review a pipeline runs
+    between daily drops (what did the upstream actually change?),
+    and the batch complement of the CDC family (q96/q117 apply
+    changelogs; this RECOVERS one from two states).
+
+    Unchanged keys produce no row, so output is change-sized.
+    ``changed_cols`` is ordered by the caller's compare_cols order —
+    deterministic; empty for I/D.
+
+    Scale shape: ONE full-outer hash join on the key, per-row
+    expressions after; no windows, no second pass.
+    """
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols + compare_cols]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols + compare_cols]
+    )
+    cond = None
+    for c in key_cols:
+        t = F.col(f"_o_{c}") == F.col(f"_n_{c}")
+        cond = t if cond is None else cond & t
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    changed = [
+        F.when(
+            ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed_cols = F.filter(
+        F.array(*changed), lambda x: x.isNotNull()
+    )
+    status = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(F.size(changed_cols) > 0, F.lit("U"))
+    )
+    keys = [
+        F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+        for c in key_cols
+    ]
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            *keys,
+            "status",
+            F.when(F.col("status") == "U", changed_cols)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+    )

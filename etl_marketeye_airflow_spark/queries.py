@@ -8903,6 +8903,73 @@ def q160_last_touch_attribution(
     )
 
 
+@query(
+    "q161_snapshot_diff",
+    # identical full-outer + null-safe compare algebra; the simulated
+    # new snapshot mutates price by +10.0 (exact double add) on %5
+    # keys, drops %7 keys, and the old snapshot lacks %11 keys
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    n AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    j AS (
+      SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             list_filter(
+               [CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                     THEN 'o_totalprice' END,
+                CASE WHEN o.o_orderpriority
+                          IS DISTINCT FROM n.o_orderpriority
+                     THEN 'o_orderpriority' END],
+               x -> x IS NOT NULL) AS cc
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'I'
+                WHEN NOT in_new THEN 'D'
+                WHEN len(cc) > 0 THEN 'U' END AS status,
+           CASE WHEN in_old AND in_new THEN cc
+                ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+    FROM j
+    WHERE NOT in_old OR NOT in_new OR len(cc) > 0
+    """,
+)
+def q161_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two orders snapshots (simulated daily
+    drops: inserts = keys the old snapshot lacked, deletes = keys the
+    new one dropped, updates = +10 price mutations): per changed key,
+    I/D/U plus WHICH columns changed — the between-drops change review,
+    and the batch complement of the CDC family (q96/q117 APPLY
+    changelogs; this recovers one from two states).
+
+    Scale shape: ONE full-outer hash join on the key; change-sized
+    output."""
+    from .operators.profile import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old = orders.filter(F.col("o_orderkey") % 11 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -401,3 +401,34 @@ def test_k_anonymity_audit_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         k_anonymity_audit(df, [], "s")
+
+
+def test_snapshot_diff_hand_computed(spark):
+    """I/D/U classification with null-safe compares: value->NULL and
+    NULL->value are updates naming the column; unchanged keys
+    (including NULL-valued ones) emit nothing; multi-column changes
+    list both names in compare order."""
+    from etl_marketeye_airflow_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, None, "c"), (4, 40, None),
+         (5, 50, "e")],
+        "k int, x int, y string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10, "a"), (2, 21, "B"), (3, 30, "c"), (4, 40, None),
+         (6, 60, "f")],
+        "k int, x int, y string",
+    )
+    got = {r.k: (r.status, list(r.changed_cols))
+           for r in snapshot_diff(old, new, ["k"], ["x", "y"]).collect()}
+    assert got == {
+        2: ("U", ["x", "y"]),
+        3: ("U", ["x"]),
+        5: ("D", []),
+        6: ("I", []),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, [], ["x"])
