@@ -338,3 +338,52 @@ def last_touch_attribution(
         .groupBy("attributed_touch")
         .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union-length of (possibly overlapping) intervals per key: merge
+    every overlapping/touching interval chain and return per key the
+    merged-interval count and total covered span — the uptime / active
+    time / SLA-coverage primitive (overlaps must not double-count).
+
+    Gaps-and-islands on integer bounds: order intervals by (start,
+    end); an interval starts a NEW island iff its start exceeds the
+    running max of all previous ends (strictly — touching intervals
+    [a,b],[b,c] merge); island id = prefix sum of the flags; one
+    groupBy collapses islands, a second sums per key.  All exact
+    BIGINT algebra on any engine/partitioning.
+
+    Scale shape: ONE shuffle on the key; the sort window computes the
+    flag + island id in one stage; both groupBys reuse the key
+    partitioning.  Interval count per key bounds the sort (the
+    sessionization known-limit class).
+    """
+    k = [F.col(c) for c in key_cols]
+    s, e = F.col(start_col), F.col(end_col)
+    w = Window.partitionBy(*k).orderBy(s.asc(), e.asc())
+    prev_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new",
+        F.when(
+            prev_max_end.isNull() | (s > prev_max_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = flagged.groupBy(*key_cols, "_island").agg(
+        F.min(s).alias("_is"), F.max(e).alias("_ie")
+    )
+    return islands.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_merged_intervals"),
+        F.sum(F.col("_ie") - F.col("_is")).cast("long").alias("covered"),
+    )

@@ -8970,6 +8970,64 @@ def q161_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q162_interval_coverage",
+    # identical gaps-and-islands algebra: new-island flag vs the
+    # running max of PRIOR ends (strict >, touching merges), prefix-sum
+    # island ids, two key-partitioned collapses — all exact BIGINT µs
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 600000000 AS e
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS nw
+      FROM c
+    ),
+    i AS (
+      SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+      FROM f
+    ),
+    g AS (
+      SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+      FROM i GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_merged_intervals,
+           CAST(sum(i_e - i_s) AS BIGINT) AS covered
+    FROM g GROUP BY user_id
+    """,
+)
+def q162_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ACTIVE TIME: each event opens a 10-minute activity
+    interval; overlapping intervals must count once — the union-length
+    / uptime primitive (SLA coverage, session time, sensor liveness)
+    computed by gaps-and-islands merging, exact integer microseconds.
+
+    Scale shape: one key shuffle; flag + island id in one window
+    stage; both collapses reuse the key partitioning."""
+    from .operators.temporal import interval_coverage
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + F.lit(600_000_000)).alias("e"),
+    )
+    return interval_coverage(ev, ["user_id"], "s", "e").select(
+        "user_id", "n_merged_intervals", "covered"
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -530,3 +530,38 @@ def test_last_touch_attribution_hand_computed(spark):
                df, ["k"], ["t", "eid"], "et", "purchase",
                ["click", "view"], 24 * H).collect()}
     assert got == {"click": 1, "none": 3}
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 30)),
+        min_size=1, max_size=40,
+    )
+)
+def test_interval_coverage_matches_python_union(spark, triples):
+    """Union length and merged-interval count match a direct python
+    interval-union on random overlapping/touching/nested intervals."""
+    from etl_marketeye_airflow_spark.operators.temporal import (
+        interval_coverage,
+    )
+
+    rows = [(k, s, s + w) for k, s, w in triples]
+    df = spark.createDataFrame(rows, "k int, s long, e long")
+    got = {r.k: (r.n_merged_intervals, r.covered)
+           for r in interval_coverage(df, ["k"], "s", "e").collect()}
+
+    def union(ivs):
+        merged = []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        return len(merged), sum(e - s for s, e in merged)
+
+    want = {}
+    for k, s, w in triples:
+        want.setdefault(k, []).append((s, s + w))
+    want = {k: union(v) for k, v in want.items()}
+    assert got == want
