@@ -9028,6 +9028,106 @@ def q162_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q163_centroid_classifier",
+    # q158's codes + truncating-integer centroids (sum div n per dim)
+    # + exact integer squared-L2 argmin (ties to the smaller label) +
+    # confusion counts — zero floats anywhere
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    d AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim),
+    c AS (
+      SELECT ex.vec_id, ex.dim,
+             CASE WHEN d.mx > d.mn
+                  THEN least(CAST(floor((ex.v - d.mn) * 255.0
+                                        / (d.mx - d.mn)) AS BIGINT), 255)
+                  ELSE 0 END AS code
+      FROM ex JOIN d USING (dim)
+    ),
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+    cent AS (
+      SELECT lab.label, c.dim,
+             CAST(sum(c.code) // count(*) AS BIGINT) AS cent
+      FROM c JOIN lab USING (vec_id)
+      WHERE vec_id % 2 = 0
+      GROUP BY lab.label, c.dim
+    ),
+    dist AS (
+      SELECT c.vec_id, cent.label,
+             CAST(sum((c.code - cent.cent) * (c.code - cent.cent))
+               AS BIGINT) AS d2
+      FROM c JOIN cent USING (dim)
+      WHERE c.vec_id % 2 = 1
+      GROUP BY c.vec_id, cent.label
+    ),
+    pred AS (
+      SELECT vec_id, label AS predicted FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, label ASC) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+    SELECT lab.label AS true_label, pred.predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred JOIN lab USING (vec_id)
+    GROUP BY lab.label, pred.predicted
+    """,
+)
+def q163_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification on the quantized embedding
+    corpus: centroids trained on even vec_ids (truncating-integer mean
+    of SQ8 codes per label/dim), odd vec_ids assigned by exact integer
+    squared-L2, confusion matrix out — supervised ML over compressed
+    vectors with NO floats anywhere, so the whole train→predict→score
+    pipeline is bit-identical on any engine or cluster size.
+
+    Scale shape: q158's quantize plan, a |labels|·|dims| centroid agg,
+    one broadcast-sized join for assignment, argmin via min-over-struct
+    (no window over data rows... the per-(vec,label) frame is |test|·
+    |labels| — labels are few), tiny confusion groupBy."""
+    from .operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = quantize_int8(emb)
+    ex = codes.select(
+        "vec_id", F.posexplode("codes").alias("dim0", "code")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "code")
+    lab = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    cent = (
+        ex.filter(F.col("vec_id") % 2 == 0)
+        .join(lab, "vec_id")
+        .groupBy("label", "dim")
+        .agg(
+            F.expr("sum(code) div count(*)").cast("long").alias("cent")
+        )
+    )
+    diff = F.col("code") - F.col("cent")
+    dist = (
+        ex.filter(F.col("vec_id") % 2 == 1)
+        .join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).cast("long").alias("d2"))
+    )
+    pred = dist.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d2"), F.col("label")))["label"].alias(
+            "predicted"
+        )
+    )
+    return (
+        pred.join(lab, "vec_id")
+        .groupBy(
+            F.col("label").alias("true_label"), F.col("predicted")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -1467,3 +1467,27 @@ def test_quantized_topk_recall_vs_float_cosine(spark):
     flt_ids = set(flt[:10]) - {0}
     recall = len(set(quant) & flt_ids) / max(len(flt_ids), 1)
     assert recall >= 0.6, (recall, quant, flt[:10])
+
+
+def test_centroid_classifier_perfect_on_separated_corpus(spark, tmp_path_factory):
+    """Two well-separated label clusters: the quantized nearest-centroid
+    classifier (q163) recovers every held-out label — confusion matrix
+    is exactly diagonal."""
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    sf = tmp_path_factory.mktemp("centroid")
+    rows = []
+    for i in range(40):
+        # label independent of the even/odd train-test split
+        lbl = (i // 2) % 2
+        base = 0.1 if lbl == 0 else 0.9
+        emb = [base + ((i * 7 + d) % 5) * 0.01 for d in range(8)]
+        rows.append((i, emb, lbl))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "embeddings.parquet")
+    )
+    got = {(r.true_label, r.predicted): r.n
+           for r in QUERIES["q163_centroid_classifier"](spark, str(sf)).collect()}
+    assert got == {(0, 0): 10, (1, 1): 10}
