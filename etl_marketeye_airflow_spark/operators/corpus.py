@@ -1472,3 +1472,130 @@ def pmi_bigrams(
         out = out.localCheckpoint(eager=True)
         toks.unpersist()
     return out
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_df: int = 50,
+    min_cos_num: int = 1,
+    min_cos_den: int = 2,
+    eager: bool = False,
+) -> DataFrame:
+    """TF-IDF weighted cosine similarity JOIN — the classic IR
+    pairing (which documents are about the same thing?) next to the
+    set-overlap joins (q21/q98/q99 measure token-set Jaccard; this
+    weighs rare terms up and common terms down before comparing).
+
+    Exact integer end to end (conv 1/6d): weights are
+    w(d,t) = tf · ((flog2_fx(D) − flog2_fx(df)) div 2^14) — idf at
+    reduced 2^6 fixed point, bounding every product (w ≤ tf·2688;
+    norms/dots ≤ ~1e15 at 10^3-term docs — headroom pinned in the
+    pytest) — and the cosine threshold cos ≥ p/q is applied WITHOUT
+    division or sqrt as q²·dot² ≥ p²·norm_a·norm_b in decimal(38,0)
+    (the bm25 discipline).  Tokens with df > ``max_df`` are excluded
+    from weights AND norms (the standard max-df stopword cut — part
+    of the operator's semantics, shared with the oracle) — which is
+    also what bounds the inverted-index join fan-out: a token
+    contributes ≤ max_df² candidate pairs.
+
+    Returns (id_a, id_b, dot, norm_a, norm_b, cosine) with
+    id_a < id_b and cos ≥ p/q; ``cosine`` is the one display double
+    (dot, norms < 2^53 ⇒ exact long→double; fixed op order).
+
+    Scale shape: tf/df are map-side-combined aggs; the pair build is
+    an inverted-index equi-join on token (never all-pairs) with
+    partial products summed per pair; norms join back on doc id.
+    ``eager`` materializes the weight table once across its three
+    consumers (norms, left probe, right probe) — the
+    bloom_decontaminate lifecycle.
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import spread, words
+
+    tf = (
+        spread(docs)
+        .select("doc_id", F.explode(words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    ).filter(F.col("df") <= F.lit(max_df))
+    dfq = with_flog2_fx(dfq, "df", "flog2_df")
+    d_tot = with_flog2_fx(
+        docs.agg(F.count(F.lit(1)).cast("long").alias("_D")), "_D", "flog2_D"
+    ).select("flog2_D")
+    w = (
+        tf.join(dfq.select("token", "flog2_df"), "token")
+        .crossJoin(F.broadcast(d_tot))
+        .withColumn(
+            "w",
+            (
+                F.col("tf")
+                * F.expr("(flog2_D - flog2_df) div 16384")
+            ).cast("long"),
+        )
+        .select("doc_id", "token", "w")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("norm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("id_a"), "token", F.col("w").alias("_wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("id_b"), "token", F.col("w").alias("_wb")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b")
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    lhs = (
+        F.lit(min_cos_den * min_cos_den).cast("decimal(19,0)")
+        * d19("dot")
+        * d19("dot")
+    ).cast("decimal(38,0)")
+    rhs = (
+        F.lit(min_cos_num * min_cos_num).cast("decimal(19,0)")
+        * d19("norm_a")
+        * d19("norm_b")
+    ).cast("decimal(38,0)")
+    out = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("dot") > 0)
+        .withColumn("_lhs", lhs)
+        .withColumn("_rhs", rhs)
+        .filter(F.col("_lhs") >= F.col("_rhs"))
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            "norm_a",
+            "norm_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("norm_a").cast("double"))
+                    * F.sqrt(F.col("norm_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        w.unpersist()
+    return out

@@ -9128,6 +9128,79 @@ def q163_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q164_tfidf_cosine_pairs",
+    # identical integer algebra: reduced-scale fixed-point idf weights,
+    # exact BIGINT dots/norms, and the cos >= 1/2 gate as
+    # 4·dot² >= norm_a·norm_b — HUGEINT on the DuckDB side (compare
+    # only, never an output column), decimal(38,0) on Spark's; one
+    # display double of identical operands
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({{tok}}) AS token FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM t2 GROUP BY doc_id, token
+    ),
+    dfq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM tf GROUP BY token HAVING count(*) <= 50
+    ),
+    dq AS (SELECT CAST(count(*) AS BIGINT) AS D FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf * (({{fD}} - {{fdf}}) // 16384) AS BIGINT) AS w
+      FROM tf JOIN dfq USING (token) CROSS JOIN dq
+    ),
+    norms AS (
+      SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, dot, na.norm AS norm_a, nb.norm AS norm_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.norm AS DOUBLE))
+                * sqrt(CAST(nb.norm AS DOUBLE))) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = dots.id_a
+    JOIN norms nb ON nb.doc_id = dots.id_b
+    WHERE dot > 0
+      AND CAST(4 AS HUGEINT) * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+          >= CAST(na.norm AS HUGEINT) * CAST(nb.norm AS HUGEINT)
+    """.replace("{tok}", _SQL_TOKENIZE)
+    .replace("{fD}", _sql_flog2_fx("D"))
+    .replace("{fdf}", _sql_flog2_fx("df")),
+)
+def q164_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weighted cosine similarity join over the document corpus
+    (cos ≥ 1/2, max_df = 50): the classic what's-about-the-same-thing
+    IR pairing, complementing the set-overlap joins (q21/q98/q99) with
+    term WEIGHTING — rare terms dominate, the max-df cut removes
+    stopword mass AND bounds the inverted-index fan-out (≤ max_df²
+    candidates per token).  Exact integer weights/dots/norms; the
+    threshold is the division-free comparison 4·dot² ≥ nₐ·n_b.
+
+    Scale shape: map-side-combined tf/df aggs, token-keyed
+    inverted-index join (never all-pairs), doc-keyed norm joins; the
+    weight table persists once across its three consumers."""
+    from .operators.corpus import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"),
+        max_df=50,
+        min_cos_num=1,
+        min_cos_den=2,
+        eager=True,
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

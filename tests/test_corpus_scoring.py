@@ -976,3 +976,63 @@ def test_ema_fold_matches_python_recurrence(spark):
         assert out[uid].ema_fx == v, uid
         assert out[uid].n_events == len(evs)
         assert out[uid].ema == v / 104857600.0
+
+
+# -------------------------------------------------- tfidf_cosine_pairs
+
+
+def test_tfidf_cosine_pairs_weighting_and_threshold(spark):
+    """Docs sharing only a RARE term pair up; docs sharing only
+    ubiquitous terms (df > max_df cut... here df > 3) produce no pair;
+    the division-free threshold matches the float cosine; ids ordered
+    a < b; eager and lazy agree."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra quark common common"),
+            (2, "zebra quark common stuff"),
+            (3, "common stuff other words"),
+            (4, "unrelated totally different thing"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_pairs(docs, max_df=3, min_cos_num=1, min_cos_den=2)
+    rows = out.collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert (1, 2) in pairs
+    assert all(r.id_a < r.id_b for r in rows)
+    for r in rows:
+        import math
+
+        c = r.dot / (math.sqrt(r.norm_a) * math.sqrt(r.norm_b))
+        assert c >= 0.5 - 1e-12 and abs(c - r.cosine) < 1e-12
+    lazy = sorted(map(tuple, rows))
+    eager = sorted(map(tuple, tfidf_cosine_pairs(
+        docs, max_df=3, min_cos_num=1, min_cos_den=2, eager=True
+    ).collect()))
+    assert lazy == eager
+
+
+def test_tfidf_cosine_pairs_bounds_headroom(spark):
+    """The documented integer-bound argument: reduced idf ≤ 42·2^6 =
+    2688 ⇒ with tf ≤ 10^3-token docs every weight, norm, and dot stays
+    far under 2^53 (exact long→double) — asserted on a worst-case-ish
+    frame of long repetitive docs."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        tfidf_cosine_pairs,
+    )
+
+    big = " ".join(["rareword"] * 1000)
+    # a third doc keeps df(rareword)=2 < D=3 (idf of an everywhere-term
+    # is 0 — weight 0 — so an all-docs corpus would yield no pair)
+    docs = spark.createDataFrame(
+        [(1, big), (2, big), (3, "other words entirely")],
+        "doc_id long, text string",
+    )
+    r = tfidf_cosine_pairs(docs, max_df=5).collect()
+    assert len(r) == 1
+    assert r[0].dot < 2**53 and r[0].norm_a < 2**53
+    assert r[0].cosine == 1.0
