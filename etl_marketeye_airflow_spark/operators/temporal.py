@@ -387,3 +387,86 @@ def interval_coverage(
         F.count(F.lit(1)).cast("long").alias("n_merged_intervals"),
         F.sum(F.col("_ie") - F.col("_is")).cast("long").alias("covered"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Grid resampling with LINEAR interpolation — q95's LOCF sibling
+    for quantities that trend between observations (prices, levels):
+    every missing bucket gets v0 + (v1−v0)·(t−t0)/(t1−t0) between its
+    nearest observed neighbors.
+
+    Input: ONE row per (key…, bucket) with an INTEGER ``value_col``
+    (cents — conv 1) for observed buckets only; bucket is an integer
+    grid index.  The full per-key grid [min..max] is generated with
+    sequence()+explode (grid size is per-key data-dependent, never a
+    cross join), neighbors come from two frame windows (carry-forward
+    last + carry-backward first over (bucket, value) structs), and the
+    interpolated value is held EXACT as a rational:
+
+        num = v0·(t1−t0) + (v1−v0)·(t−t0),   den = (t1−t0)
+
+    (observed buckets: t = t0 ⇒ num = v0·den exactly).  Both ends of
+    the grid are observed by construction, so interior buckets always
+    have both neighbors.  One display double num/den per row.
+
+    Scale shape: q95's exactly — shuffles only on the key, reused by
+    the grid agg, the join back, and both windows.
+    """
+    k = [F.col(c) for c in key_cols]
+    b, v = F.col(bucket_col), F.col(value_col)
+    obs = df.select(*key_cols, b.alias("bucket"), v.alias("_v"))
+    grid = (
+        obs.groupBy(*key_cols)
+        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+        .select(
+            *key_cols,
+            F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias(
+                "bucket"
+            ),
+        )
+    )
+    j = grid.join(obs, [*key_cols, "bucket"], "left")
+    wp = (
+        Window.partitionBy(*k)
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(*k)
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ob = F.when(
+        F.col("_v").isNotNull(),
+        F.struct(F.col("bucket").alias("_t"), F.col("_v").alias("_x")),
+    )
+    staged = (
+        j.withColumn("_p", F.last(ob, ignorenulls=True).over(wp))
+        .withColumn("_n", F.first(ob, ignorenulls=True).over(wn))
+    )
+    t0, v0 = F.col("_p")["_t"], F.col("_p")["_x"]
+    t1, v1 = F.col("_n")["_t"], F.col("_n")["_x"]
+    den = (t1 - t0).cast("long")
+    num = (
+        v0 * (t1 - t0) + (v1 - v0) * (F.col("bucket") - t0)
+    ).cast("long")
+    return staged.select(
+        *key_cols,
+        "bucket",
+        F.col("_v").isNotNull().alias("observed"),
+        F.when(den > 0, num).otherwise(v0 * F.lit(1)).alias("interp_num"),
+        F.when(den > 0, den).otherwise(F.lit(1)).cast("long").alias(
+            "interp_den"
+        ),
+        F.when(
+            den > 0,
+            num.cast("double") / den.cast("double"),
+        )
+        .otherwise(v0.cast("double"))
+        .alias("value_interp"),
+    )

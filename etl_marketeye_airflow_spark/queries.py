@@ -9201,6 +9201,77 @@ def q164_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q165_resample_interpolate",
+    # identical two-window neighbor carry + exact rational interp on
+    # integer cents: num = v0·(t1−t0)+(v1−v0)·(t−t0), den = t1−t0;
+    # one display division of identical operands; single-point /
+    # observed rows fall back to (v0, 1)
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY user_id, bucket
+    ),
+    b AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+          FROM hourly GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
+             FROM b),
+    j AS (SELECT g.user_id, g.bucket, h.v
+          FROM grid g LEFT JOIN hourly h USING (user_id, bucket)),
+    s AS (
+      SELECT *,
+        last_value(CASE WHEN v IS NOT NULL
+                        THEN {'t': bucket, 'x': v} END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        first_value(CASE WHEN v IS NOT NULL
+                         THEN {'t': bucket, 'x': v} END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+      FROM j
+    )
+    SELECT user_id, bucket, v IS NOT NULL AS observed,
+           CASE WHEN nx.t - p.t > 0
+                THEN CAST(p.x * (nx.t - p.t)
+                          + (nx.x - p.x) * (bucket - p.t) AS BIGINT)
+                ELSE p.x END AS interp_num,
+           CASE WHEN nx.t - p.t > 0 THEN CAST(nx.t - p.t AS BIGINT)
+                ELSE 1 END AS interp_den,
+           CASE WHEN nx.t - p.t > 0
+                THEN CAST(p.x * (nx.t - p.t)
+                          + (nx.x - p.x) * (bucket - p.t) AS DOUBLE)
+                     / CAST(nx.t - p.t AS DOUBLE)
+                ELSE CAST(p.x AS DOUBLE) END AS value_interp
+    FROM s
+    """,
+)
+def q165_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q95's resample grid with LINEAR interpolation instead of LOCF:
+    every missing 6-hour bucket of a user's spend series gets the
+    exact rational point on the line between its nearest observed
+    neighbors (integer cents; num/den exact, one display double) —
+    the gap-fill for quantities that trend rather than hold.
+
+    Scale shape: identical to q95 — shuffles only on user_id, reused
+    by the bucket agg, grid explode, join back, and BOTH neighbor
+    windows."""
+    from .operators.temporal import resample_interpolate
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.withColumn("bucket", F.expr("ts_us div 21600000000"))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return resample_interpolate(hourly, ["user_id"], "bucket", "cents")
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

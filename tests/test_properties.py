@@ -565,3 +565,27 @@ def test_interval_coverage_matches_python_union(spark, triples):
         want.setdefault(k, []).append((s, s + w))
     want = {k: union(v) for k, v in want.items()}
     assert got == want
+
+
+def test_resample_interpolate_hand_computed(spark):
+    """Observed buckets reproduce their value exactly; a 3-wide gap
+    interpolates the exact rational line (100 -> 400 over den 4:
+    175, 250, 325); a single-observation key falls back to itself."""
+    from etl_marketeye_airflow_spark.operators.temporal import (
+        resample_interpolate,
+    )
+
+    obs = spark.createDataFrame(
+        [(1, 10, 100), (1, 14, 400), (2, 5, 77)],
+        "k long, bucket long, v long",
+    )
+    got = {(r.k, r.bucket): (r.observed, r.interp_num, r.interp_den,
+                             r.value_interp)
+           for r in resample_interpolate(obs, ["k"], "bucket", "v").collect()}
+    assert got[(1, 10)] == (True, 100, 1, 100.0)
+    assert got[(1, 11)] == (False, 700, 4, 175.0)
+    assert got[(1, 12)] == (False, 1000, 4, 250.0)
+    assert got[(1, 13)] == (False, 1300, 4, 325.0)
+    assert got[(1, 14)] == (True, 400, 1, 400.0)
+    assert got[(2, 5)] == (True, 77, 1, 77.0)
+    assert len(got) == 6
