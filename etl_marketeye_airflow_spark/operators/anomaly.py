@@ -262,3 +262,79 @@ def mad_outliers(
     return scored.filter(F.col("r_ppm") > F.lit(threshold_ppm)).select(
         *group_cols, value_col, "n", "med2", "mad4", "dev2", "r_ppm"
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lower_pct: int = 5,
+    upper_pct: int = 95,
+    min_n: int = 5,
+) -> DataFrame:
+    """Per-group winsorization: clamp every value into its group's
+    [p_lower, p_upper] — the standard heavy-tail tamer applied before
+    means/regressions (mad_outliers FLAGS outliers; this REPAIRS them
+    for downstream aggregates).
+
+    Determinism (conv 1): ``value_col`` is an integer long (cents);
+    the percentile bounds are EXACT rank order statistics — the value
+    at 1-based rank ceil(p·n/100) clamped to [1, n] — picked by
+    row_number, never an engine percentile() (interpolation and type
+    rules differ across engines).  Clamping is then pure integer
+    least/greatest.
+
+    Returns one row per input row with ≥ ``min_n``-sized groups:
+    (group…, <value_col>, lo, hi, winsorized, clipped ∈ {-1, 0, 1}).
+
+    Scale shape: ONE per-group sort window (row_number + count share
+    it), a tiny per-group bounds frame joined back on the key —
+    the q143 cost model.
+    """
+    if not (0 <= lower_pct <= upper_pct <= 100):
+        raise ValueError("need 0 <= lower_pct <= upper_pct <= 100")
+    g = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    w = Window.partitionBy(*g).orderBy(v.asc())
+    wn = Window.partitionBy(*g)
+    r = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_n") >= F.lit(min_n))
+    )
+    # 1-based rank of the p-th percentile: clamp(ceil(p·n/100), 1, n) —
+    # ceil via integer arithmetic ((p·n + 99) div 100), engine-identical
+    lo_rank = F.greatest(
+        F.expr(f"({lower_pct} * _n + 99) div 100"), F.lit(1)
+    )
+    hi_rank = F.least(
+        F.expr(f"({upper_pct} * _n + 99) div 100").cast("long"),
+        F.col("_n").cast("long"),
+    )
+    bounds = r.groupBy(*group_cols).agg(
+        F.sum(
+            F.when(F.col("_rn") == lo_rank, v).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("lo"),
+        F.sum(
+            F.when(F.col("_rn") == hi_rank, v).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("hi"),
+    )
+    out = r.select(*group_cols, value_col).join(bounds, group_cols)
+    wins = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    clipped = (
+        F.when(v < F.col("lo"), F.lit(-1))
+        .when(v > F.col("hi"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return out.select(
+        *group_cols,
+        value_col,
+        "lo",
+        "hi",
+        wins.cast("long").alias("winsorized"),
+        clipped.cast("int").alias("clipped"),
+    )

@@ -9272,6 +9272,64 @@ def q165_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interpolate(hourly, ["user_id"], "bucket", "cents")
 
 
+@query(
+    "q166_winsorize",
+    # identical rank order statistics (q143's discipline): bound rank
+    # = clamp(ceil(p·n/100), 1, n) via integer (p·n+99)//100; integer
+    # least/greatest clamp — no engine percentile(), no floats
+    oracle="""
+    WITH b AS (
+      SELECT l_partkey,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_partkey, price_cents,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY price_cents ASC) AS rn,
+             count(*) OVER (PARTITION BY l_partkey) AS n
+      FROM b
+    ),
+    rr AS (SELECT * FROM r WHERE n >= 5),
+    bounds AS (
+      SELECT l_partkey,
+             CAST(sum(CASE WHEN rn = greatest((5 * n + 99) // 100, 1)
+                           THEN price_cents ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN rn = least((95 * n + 99) // 100, n)
+                           THEN price_cents ELSE 0 END) AS BIGINT) AS hi
+      FROM rr GROUP BY l_partkey
+    )
+    SELECT rr.l_partkey, rr.price_cents, bounds.lo, bounds.hi,
+           CAST(least(greatest(rr.price_cents, bounds.lo), bounds.hi)
+             AS BIGINT) AS winsorized,
+           CAST(CASE WHEN rr.price_cents < bounds.lo THEN -1
+                     WHEN rr.price_cents > bounds.hi THEN 1
+                     ELSE 0 END AS INT) AS clipped
+    FROM rr JOIN bounds USING (l_partkey)
+    """,
+)
+def q166_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part price winsorization at exact [p5, p95] rank order
+    statistics: q143 FLAGS the robust outliers, this REPAIRS them —
+    the standard pre-aggregation heavy-tail tamer, integer cents end
+    to end.
+
+    Scale shape: one per-group sort window + a tiny bounds frame
+    joined back on the key (the q143 cost model)."""
+    from .operators.anomaly import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return winsorize(
+        li, ["l_partkey"], "price_cents", lower_pct=5, upper_pct=95,
+        min_n=5,
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -212,3 +212,27 @@ def test_mad_outliers_masking_resistance_vs_zscore_shape(spark):
     got = {r.v: r.r_ppm for r in mad_outliers(df, ["g"], "v").collect()}
     got2 = {r.v: r.r_ppm for r in mad_outliers(df, ["g"], "v").collect()}
     assert set(got) == {5000, 5200} and got == got2
+
+
+def test_winsorize_hand_computed(spark):
+    """n=10 values 1..9 plus 1000: p5 rank = ceil(0.5)=1 -> lo=1, p95
+    rank = ceil(9.5)=10 -> hi=1000 (nothing clips at 5/95 with n=10);
+    at 10/90 the hi rank is 9 -> 1000 clips down to 9.  A 4-row group
+    is dropped by min_n=5.  Bounds ranks clamp into [1, n]."""
+    from etl_marketeye_airflow_spark.operators.anomaly import winsorize
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+    rows += [("tiny", v) for v in [1, 2, 3, 4]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {(r.g, r.v): (r.lo, r.hi, r.winsorized, r.clipped)
+           for r in winsorize(df, ["g"], "v", 5, 95).collect()}
+    assert all(g == "a" for g, _ in out)
+    assert out[("a", 1000)] == (1, 1000, 1000, 0)
+    out2 = {r.v: (r.lo, r.hi, r.winsorized, r.clipped)
+            for r in winsorize(df, ["g"], "v", 10, 90).collect()}
+    assert out2[1000] == (1, 9, 9, 1)
+    assert out2[5] == (1, 9, 5, 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorize(df, ["g"], "v", 90, 10)
