@@ -1599,3 +1599,116 @@ def tfidf_cosine_pairs(
         out = out.localCheckpoint(eager=True)
         w.unpersist()
     return out
+
+
+def distinctive_tokens_chi2(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 5,
+    min_df: int = 5,
+) -> DataFrame:
+    """Chi-square keyness: the top-k tokens most ASSOCIATED with each
+    source (2×2 presence test per (token, source): a/b/c/d document
+    counts in/out of the source with/without the token) — the
+    what-vocabulary-characterizes-this-slice diagnostic behind corpus
+    mixing, contamination triage, and source classifiers.
+
+    Exact integer counts feed χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
+    held as decimal(38,0) numerator/denominator (values ≲ N⁵ ≪ 10³⁸
+    for N to ~10⁷ docs — documented bound); the ONE double division per
+    row is of identical operands on both engines, so even the ranking
+    doubles are bit-identical; ties break by token.  Tokens with
+    document frequency < ``min_df`` are cut (variance floor + join
+    bound).
+
+    Returns (source, token, a, b, chi2_num, chi2_den, chi2, rank),
+    rank ≤ k per source.
+
+    Scale shape: per-doc DISTINCT token reduction (map-side), one
+    (token, source) count agg, vocab-sized joins to per-source and
+    per-token totals (broadcast while small), a per-source top-k
+    window over the vocab-sized frame — never over raw rows.
+    """
+    from .dedup import spread, words
+
+    pres = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.col(source_col).alias("src"),
+            F.explode(F.array_distinct(words(F.col(text_col)))).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+    )
+    ts = pres.groupBy("token", "src").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    tok_tot = ts.groupBy("token").agg(
+        F.sum("a").cast("long").alias("df_tot")
+    ).filter(F.col("df_tot") >= F.lit(min_df))
+    src_tot = docs.groupBy(F.col(source_col).alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    n_tot = docs.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    staged = (
+        ts.join(tok_tot, "token")
+        .join(F.broadcast(src_tot), "src")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("b", (F.col("df_tot") - F.col("a")).cast("long"))
+        .withColumn("c", (F.col("n_src") - F.col("a")).cast("long"))
+        .withColumn(
+            "d",
+            (F.col("N") - F.col("n_src") - F.col("df_tot") + F.col("a"))
+            .cast("long"),
+        )
+        .withColumn(
+            "_det",
+            (d19("a") * d19("d") - d19("b") * d19("c")).cast(
+                "decimal(19,0)"
+            ),
+        )
+        .withColumn(
+            "chi2_num",
+            (d19("N") * F.col("_det") * F.col("_det")).cast(
+                "decimal(38,0)"
+            ),
+        )
+        .withColumn(
+            "chi2_den",
+            (
+                (d19("a") + d19("b"))
+                * (d19("c") + d19("d"))
+                * (d19("a") + d19("c"))
+                * (d19("b") + d19("d"))
+            ).cast("decimal(38,0)"),
+        )
+        .filter(F.col("chi2_den") > 0)
+        # keyness, not avoidance: keep only positively-associated cells
+        .filter(F.col("_det") > 0)
+        .withColumn(
+            "chi2",
+            F.col("chi2_num").cast("double")
+            / F.col("chi2_den").cast("double"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("chi2"), F.asc("token")
+    )
+    return (
+        staged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias("source"),
+            "token",
+            "a",
+            "b",
+            "chi2_num",
+            "chi2_den",
+            "chi2",
+            "rank",
+        )
+    )

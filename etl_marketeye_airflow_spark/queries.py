@@ -9330,6 +9330,90 @@ def q166_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q167_distinctive_tokens_chi2",
+    # identical 2x2 presence counts; χ² num/den exact (HUGEINT on the
+    # DuckDB side cast to DECIMAL(38,0) for output parity, decimal on
+    # Spark's); the ranking double is one division of identical
+    # operands — and at tested scales every operand < 2^53, so the
+    # casts are exact, not merely identically-rounded
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(list_distinct({tok})) AS token
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, source, token FROM tok WHERE token <> ''),
+    ts AS (
+      SELECT token, source AS src, CAST(count(*) AS BIGINT) AS a
+      FROM t2 GROUP BY token, source
+    ),
+    tt AS (
+      SELECT token, CAST(sum(a) AS BIGINT) AS df_tot
+      FROM ts GROUP BY token HAVING sum(a) >= 5
+    ),
+    st AS (
+      SELECT source AS src, CAST(count(*) AS BIGINT) AS n_src
+      FROM documents GROUP BY source
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS N FROM documents),
+    s AS (
+      SELECT ts.src, ts.token, ts.a,
+             tt.df_tot - ts.a AS b,
+             st.n_src - ts.a AS c,
+             nt.N - st.n_src - tt.df_tot + ts.a AS d,
+             nt.N AS N
+      FROM ts JOIN tt USING (token) JOIN st USING (src) CROSS JOIN nt
+    ),
+    x AS (
+      SELECT src, token, a, b,
+             CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS det,
+             (CAST(a AS HUGEINT) + b) * (CAST(c AS HUGEINT) + d)
+               * (CAST(a AS HUGEINT) + c) * (CAST(b AS HUGEINT) + d)
+               AS den,
+             CAST(N AS HUGEINT) AS nh
+      FROM s
+    ),
+    f AS (
+      SELECT src, token, a, b,
+             CAST(nh * det * det AS DECIMAL(38,0)) AS chi2_num,
+             CAST(den AS DECIMAL(38,0)) AS chi2_den
+      FROM x WHERE den > 0 AND det > 0
+    ),
+    r AS (
+      SELECT src, token, a, b, chi2_num, chi2_den,
+             CAST(chi2_num AS DOUBLE) / CAST(chi2_den AS DOUBLE) AS chi2,
+             row_number() OVER (
+               PARTITION BY src
+               ORDER BY CAST(chi2_num AS DOUBLE)
+                        / CAST(chi2_den AS DOUBLE) DESC, token ASC
+             ) AS rank
+      FROM f
+    )
+    SELECT src AS source, token, a, b, chi2_num, chi2_den, chi2,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """.replace("{tok}", _SQL_TOKENIZE),
+)
+def q167_distinctive_tokens_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 tokens most characteristic of each source by χ² keyness
+    (2×2 document-presence test, positively-associated cells only) —
+    the what-vocabulary-defines-this-slice diagnostic behind corpus
+    mixing, contamination triage, and slice classifiers.  Exact
+    integer counts, exact decimal χ² numerator/denominator, one
+    ranking double of identical operands.
+
+    Scale shape: per-doc distinct-token reduction map-side, one
+    (token, source) agg, vocab-sized total joins (broadcast), per-
+    source top-k window over the vocab frame."""
+    from .operators.corpus import distinctive_tokens_chi2
+
+    return distinctive_tokens_chi2(
+        _t(spark, sf_dir, "documents"), k=5, min_df=5
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

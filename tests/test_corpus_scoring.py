@@ -1036,3 +1036,30 @@ def test_tfidf_cosine_pairs_bounds_headroom(spark):
     assert len(r) == 1
     assert r[0].dot < 2**53 and r[0].norm_a < 2**53
     assert r[0].cosine == 1.0
+
+
+def test_distinctive_tokens_chi2_planted_keyness(spark):
+    """A token exclusive to one source ranks first for it; tokens
+    uniform across sources score 0 (det = 0, filtered as
+    non-positive); counts replayed by hand on the 2x2."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        distinctive_tokens_chi2,
+    )
+
+    rows = []
+    for i in range(20):
+        src = "a" if i < 10 else "b"
+        marker = "aardvark" if src == "a" else "bobcat"
+        rows.append((i, src, f"{marker} common filler text"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = distinctive_tokens_chi2(docs, k=2, min_df=2).collect()
+    top = {r.source: r.token for r in out if r.rank == 1}
+    assert top == {"a": "aardvark", "b": "bobcat"}
+    r1 = next(r for r in out if r.source == "a" and r.rank == 1)
+    # a=10 (all of source a), b=0; det = 10*10 - 0 = 100; N=20
+    assert (r1.a, r1.b) == (10, 0)
+    assert int(r1.chi2_num) == 20 * 100 * 100
+    assert int(r1.chi2_den) == 10 * 10 * 10 * 10
+    assert r1.chi2 == 20.0
+    # uniform tokens never appear (det <= 0 filtered)
+    assert all(r.token not in ("common", "filler", "text") for r in out)
