@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 D19 = "decimal(19,0)"
 D38 = "decimal(38,0)"
@@ -156,4 +157,81 @@ def grouped_pearson(
         "var_x_n",
         "var_y_n",
         F.when(pos, corr).alias("corr"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_cols: list[str],
+    side_col: str,
+    value_col: str,
+    min_each: int = 3,
+) -> DataFrame:
+    """Grouped Mann-Whitney U — the nonparametric two-sample test (does
+    segment A's distribution sit above segment B's?) that A/B review
+    reaches for when means are outlier-hostage (q143's motivation,
+    test-shaped).  ``side_col`` must be boolean (true = side A);
+    ``value_col`` an integer long (cents).
+
+    Exact DOUBLED-midrank algebra (ties get the average rank — a .5 —
+    so every statistic is carried ×2 and stays BIGINT, the q143
+    doubled-median trick): per (group, value) tie-block the ranks
+    occupy [lo, hi] ⇒ midrank2 = lo + hi; rank_sum2_A = Σ cnt_A·
+    midrank2; U2_A = rank_sum2_A − n_A·(n_A+1).  The common-language
+    effect size U/(n_A·n_B) is the truncating ppm
+    (500000·U2) div (n_A·n_B) plus one display double.  U2 ∈
+    [0, 2·n_A·n_B] exactly on both engines.
+
+    Scale shape: one (group, value) map-side-combined count agg, ONE
+    per-group sort window over the collapsed tie-block frame (distinct
+    values, not rows), and a per-group final agg — never a window over
+    raw rows.
+    """
+    g = [F.col(c) for c in group_cols]
+    blocks = df.groupBy(*group_cols, F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(
+            F.when(F.col(side_col), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cnt_a"),
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = blocks.withColumn(
+        "_hi", F.sum("cnt").over(w).cast("long")
+    ).withColumn("_lo", (F.col("_hi") - F.col("cnt") + 1).cast("long"))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        (F.sum("cnt") - F.sum("cnt_a")).cast("long").alias("n_b"),
+        F.sum(F.col("cnt_a") * (F.col("_lo") + F.col("_hi")))
+        .cast("long")
+        .alias("_r2a"),
+    )
+    u2a = (F.col("_r2a") - F.col("n_a") * (F.col("n_a") + 1)).cast("long")
+    out = (
+        agg.filter(
+            (F.col("n_a") >= F.lit(min_each))
+            & (F.col("n_b") >= F.lit(min_each))
+        )
+        .withColumn("u2_a", u2a)
+        .withColumn(
+            "cles_ppm",
+            F.expr("(500000 * u2_a) div (n_a * n_b)").cast("long"),
+        )
+    )
+    return out.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        "u2_a",
+        "cles_ppm",
+        (
+            F.col("u2_a").cast("double")
+            / (F.lit(2.0) * F.col("n_a").cast("double")
+               * F.col("n_b").cast("double"))
+        ).alias("cles"),
     )

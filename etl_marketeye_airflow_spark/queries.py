@@ -9458,6 +9458,81 @@ def q168_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(o, "cents")
 
 
+@query(
+    "q169_mann_whitney",
+    # identical doubled-midrank algebra (ties averaged, x2 keeps
+    # BIGINT): tie-block [lo,hi] from a cumulative count over DISTINCT
+    # values, U2 = Σ cntA·(lo+hi) − nA·(nA+1); truncating-ppm effect
+    # size; one display double
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey AS g,
+             c_mktsegment = 'BUILDING' AS side_a,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    blocks AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN side_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_a
+      FROM base GROUP BY g, v
+    ),
+    ranked AS (
+      SELECT *, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS hi
+      FROM blocks
+    ),
+    agg AS (
+      SELECT g, CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt) - sum(cnt_a) AS BIGINT) AS n_b,
+             CAST(sum(cnt_a * ((hi - cnt + 1) + hi)) AS BIGINT) AS r2a
+      FROM ranked GROUP BY g
+    ),
+    f AS (
+      SELECT g AS c_nationkey, n_a, n_b,
+             CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a
+      FROM agg WHERE n_a >= 3 AND n_b >= 3
+    )
+    SELECT c_nationkey, n_a, n_b, u2_a,
+           CAST((500000 * u2_a) // (n_a * n_b) AS BIGINT) AS cles_ppm,
+           CAST(u2_a AS DOUBLE)
+             / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS cles
+    FROM f
+    """,
+)
+def q169_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Mann-Whitney U: does order value from BUILDING
+    customers stochastically dominate MACHINERY customers' — the
+    nonparametric A/B test (outlier-immune, distribution-free) with
+    exact doubled-midrank integers and the common-language effect
+    size U/(n_A·n_B).
+
+    Scale shape: (group, value) map-side count agg, per-group window
+    over DISTINCT values (tie blocks), per-group finals — never a
+    window over raw rows."""
+    from .operators.regress import mann_whitney_u
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    ).filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    base = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "c_nationkey",
+        (F.col("c_mktsegment") == "BUILDING").alias("side_a"),
+        "v",
+    )
+    return mann_whitney_u(
+        base, ["c_nationkey"], "side_a", "v", min_each=3
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -101,3 +101,41 @@ def test_pearson_hand_value(spark):
         Decimal(20),
     )
     assert r.corr == pytest.approx(0.6, abs=1e-15)
+
+
+# ------------------------------------------------------- mann_whitney_u
+
+
+def test_mann_whitney_matches_scipy_free_reference(spark):
+    """U and midranks replayed by a direct python reference (average
+    ranks for ties) on a tie-heavy frame; perfect separation gives
+    U = nA·nB (cles 1.0); identical distributions give cles 0.5."""
+    from etl_marketeye_airflow_spark.operators.regress import (
+        mann_whitney_u,
+    )
+
+    def u_ref(a_vals, b_vals):
+        allv = sorted(a_vals + b_vals)
+        # average rank per value (1-based)
+        import collections
+        pos = collections.defaultdict(list)
+        for i, v in enumerate(allv, 1):
+            pos[v].append(i)
+        mid = {v: sum(p) / len(p) for v, p in pos.items()}
+        ra = sum(mid[v] for v in a_vals)
+        return ra - len(a_vals) * (len(a_vals) + 1) / 2
+
+    cases = {
+        "ties": ([1, 2, 2, 3], [2, 2, 4]),
+        "sep": ([10, 11, 12], [1, 2, 3]),
+        "same": ([5, 5, 5], [5, 5, 5]),
+    }
+    rows = [(k, True, v) for k, (a, _) in cases.items() for v in a]
+    rows += [(k, False, v) for k, (_, b) in cases.items() for v in b]
+    df = spark.createDataFrame(rows, "g string, side_a boolean, v long")
+    got = {r.g: r for r in mann_whitney_u(df, ["g"], "side_a", "v").collect()}
+    for k, (a, b) in cases.items():
+        assert got[k].u2_a == int(2 * u_ref(a, b)), k
+        assert (got[k].n_a, got[k].n_b) == (len(a), len(b))
+    assert got["sep"].cles == 1.0
+    assert got["same"].cles == 0.5
