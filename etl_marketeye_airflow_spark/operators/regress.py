@@ -235,3 +235,86 @@ def mann_whitney_u(
                * F.col("n_b").cast("double"))
         ).alias("cles"),
     )
+
+
+def kolmogorov_smirnov(
+    df: DataFrame,
+    group_cols: list[str],
+    side_col: str,
+    value_col: str,
+    min_each: int = 3,
+) -> DataFrame:
+    """Grouped two-sample Kolmogorov–Smirnov statistic: the maximum
+    ECDF gap D = max_v |F_A(v) − F_B(v)| — Mann-Whitney's complement
+    (U detects location shift; D detects ANY distribution difference:
+    variance, shape, bimodality).  Same input contract as
+    ``mann_whitney_u``.
+
+    Exact rational algebra: with cumulative counts cA(v), cB(v) over
+    the ordered distinct values, D = max |cA·n_B − cB·n_A| / (n_A·n_B)
+    — the numerator max is an exact BIGINT over tie blocks (ECDFs only
+    jump at data points, so scanning distinct values is lossless), and
+    only ONE display division per group happens at the end.  ks_ppm =
+    10^6·num div (n_A·n_B), truncating.
+
+    Scale shape: (group, value) map-side count agg, one per-group
+    cumulative window over DISTINCT values, one per-group max — the
+    q169 cost model exactly.
+    """
+    g = [F.col(c) for c in group_cols]
+    blocks = df.groupBy(*group_cols, F.col(value_col).alias("v")).agg(
+        F.sum(
+            F.when(F.col(side_col), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ca"),
+        F.sum(
+            F.when(F.col(side_col), F.lit(0)).otherwise(F.lit(1))
+        )
+        .cast("long")
+        .alias("cb"),
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*g)
+    staged = (
+        blocks.withColumn("cum_a", F.sum("ca").over(w).cast("long"))
+        .withColumn("cum_b", F.sum("cb").over(w).cast("long"))
+        .withColumn("n_a", F.sum("ca").over(wall).cast("long"))
+        .withColumn("n_b", F.sum("cb").over(wall).cast("long"))
+        .withColumn(
+            "_gap",
+            F.abs(
+                F.col("cum_a") * F.col("n_b")
+                - F.col("cum_b") * F.col("n_a")
+            ).cast("long"),
+        )
+    )
+    out = (
+        staged.groupBy(*group_cols)
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.max("_gap").cast("long").alias("ks_num"),
+        )
+        .filter(
+            (F.col("n_a") >= F.lit(min_each))
+            & (F.col("n_b") >= F.lit(min_each))
+        )
+    )
+    return out.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        "ks_num",
+        F.expr("(1000000 * ks_num) div (n_a * n_b)")
+        .cast("long")
+        .alias("ks_ppm"),
+        (
+            F.col("ks_num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("ks_d"),
+    )

@@ -9533,6 +9533,80 @@ def q169_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q170_kolmogorov_smirnov",
+    # identical exact-rational ECDF algebra: D's numerator
+    # max|cumA·nB − cumB·nA| over tie blocks is BIGINT; one display
+    # division per group; same base frame as q169
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey AS g,
+             c_mktsegment = 'BUILDING' AS side_a,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    blocks AS (
+      SELECT g, v,
+             CAST(sum(CASE WHEN side_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN side_a THEN 0 ELSE 1 END) AS BIGINT)
+               AS cb
+      FROM base GROUP BY g, v
+    ),
+    staged AS (
+      SELECT g,
+             CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+             CAST(sum(cb) OVER w AS BIGINT) AS cum_b,
+             CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS n_a,
+             CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS n_b
+      FROM blocks
+      WINDOW w AS (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    agg AS (
+      SELECT g AS c_nationkey, max(n_a) AS n_a, max(n_b) AS n_b,
+             CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+               AS ks_num
+      FROM staged GROUP BY g
+    )
+    SELECT c_nationkey, n_a, n_b, ks_num,
+           CAST((1000000 * ks_num) // (n_a * n_b) AS BIGINT) AS ks_ppm,
+           CAST(ks_num AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_d
+    FROM agg WHERE n_a >= 3 AND n_b >= 3
+    """,
+)
+def q170_kolmogorov_smirnov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation two-sample Kolmogorov–Smirnov D between BUILDING and
+    MACHINERY order values — q169's complement: U detects location
+    shift, D detects ANY distributional difference (shape, spread,
+    bimodality).  The ECDF-gap numerator is exact BIGINT over tie
+    blocks; one display division per group.
+
+    Scale shape: the q169 cost model — (group, value) count agg,
+    per-group window over DISTINCT values, per-group max."""
+    from .operators.regress import kolmogorov_smirnov
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    ).filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    base = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "c_nationkey",
+        (F.col("c_mktsegment") == "BUILDING").alias("side_a"),
+        "v",
+    )
+    return kolmogorov_smirnov(
+        base, ["c_nationkey"], "side_a", "v", min_each=3
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -139,3 +139,37 @@ def test_mann_whitney_matches_scipy_free_reference(spark):
         assert (got[k].n_a, got[k].n_b) == (len(a), len(b))
     assert got["sep"].cles == 1.0
     assert got["same"].cles == 0.5
+
+
+def test_kolmogorov_smirnov_matches_python_reference(spark):
+    """D replayed by a direct python ECDF scan on tie-heavy, disjoint,
+    and identical samples; disjoint supports give D = 1, identical
+    give D = 0."""
+    from etl_marketeye_airflow_spark.operators.regress import (
+        kolmogorov_smirnov,
+    )
+
+    def d_ref(a, b):
+        vals = sorted(set(a + b))
+        na, nb = len(a), len(b)
+        best = 0
+        for v in vals:
+            ca = sum(1 for x in a if x <= v)
+            cb = sum(1 for x in b if x <= v)
+            best = max(best, abs(ca * nb - cb * na))
+        return best
+
+    cases = {
+        "ties": ([1, 2, 2, 3, 7], [2, 2, 4, 7]),
+        "disjoint": ([1, 2, 3], [10, 11, 12]),
+        "same": ([5, 6, 7], [5, 6, 7]),
+    }
+    rows = [(k, True, v) for k, (a, _) in cases.items() for v in a]
+    rows += [(k, False, v) for k, (_, b) in cases.items() for v in b]
+    df = spark.createDataFrame(rows, "g string, side_a boolean, v long")
+    got = {r.g: r
+           for r in kolmogorov_smirnov(df, ["g"], "side_a", "v").collect()}
+    for k, (a, b) in cases.items():
+        assert got[k].ks_num == d_ref(a, b), k
+    assert got["disjoint"].ks_d == 1.0
+    assert got["same"].ks_num == 0 and got["same"].ks_d == 0.0
