@@ -9607,6 +9607,70 @@ def q170_kolmogorov_smirnov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q171_longest_streak",
+    # identical day − row_number() islands idiom over DISTINCT active
+    # days (consecutive days share the difference), exact integer days
+    # from integer-µs division
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS grp
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+             CAST(min(day) AS BIGINT) AS start_day
+      FROM r GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(arg_max(start_day, len * 100000 - start_day) AS BIGINT)
+             AS longest_start_day
+    FROM s GROUP BY user_id
+    """,
+)
+def q171_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (plus streak
+    count and the start day of the longest, earliest on ties) — the
+    classic engagement metric, via the day − row_number() islands
+    trick: consecutive days share the difference, so one groupBy
+    collapses each run.  Exact integer epoch days.
+
+    Scale shape: distinct (user, day) reduction map-side, one per-user
+    sort window over DAYS (not events), two tiny aggs."""
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    d = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    r = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    s = r.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").cast("long").alias("start_day"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        # packed argmax key: max len, ties to the EARLIEST start —
+        # len*100000 − start_day (epoch days < 100000 through year 2243)
+        F.max_by(
+            F.col("start_day"),
+            F.col("len") * F.lit(100000) - F.col("start_day"),
+        )
+        .cast("long")
+        .alias("longest_start_day"),
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

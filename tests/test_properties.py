@@ -589,3 +589,37 @@ def test_resample_interpolate_hand_computed(spark):
     assert got[(1, 14)] == (True, 400, 1, 400.0)
     assert got[(2, 5)] == (True, 77, 1, 77.0)
     assert len(got) == 6
+
+
+def test_longest_streak_hand_computed(spark, tmp_path_factory):
+    """q171 on a crafted events parquet: user 1 has runs {1,2,3},
+    {7,8} (dup events on day 2 collapse) -> longest 3 from day 1;
+    user 2 ties 2-runs {5,6} and {9,10} -> earliest start 5 wins."""
+    import datetime
+
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    def ts(day):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            days=day, hours=3
+        )
+
+    rows = []
+    eid = 0
+    for u, days in [(1, [1, 2, 2, 3, 7, 8]), (2, [5, 6, 9, 10])]:
+        for d in days:
+            eid += 1
+            rows.append((eid, ts(d), u, "view", 1.0, "{}"))
+    sf = tmp_path_factory.mktemp("streak")
+    # load_events footer-sniffs a single FILE (conv 4): extract the
+    # part file from Spark's directory write
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(sf / "_ev_dir"))
+    part = next((sf / "_ev_dir").glob("part-*.parquet"))
+    part.rename(sf / "events.parquet")
+    got = {r.user_id: (r.n_streaks, r.longest_streak, r.longest_start_day)
+           for r in QUERIES["q171_longest_streak"](spark, str(sf)).collect()}
+    assert got == {1: (2, 3, 1), 2: (2, 2, 5)}
