@@ -9671,6 +9671,59 @@ def q171_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q172_top_trigram_journeys",
+    # identical double-lead window over the (ts_us, event_id) total
+    # order; exact counts; total-order top-k cut (n DESC, path ASC)
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events
+    ),
+    p AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    g AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path,
+             CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n FROM g ORDER BY n DESC, path ASC LIMIT 20
+    """,
+)
+def q172_top_trigram_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys (event-type trigrams over each
+    user's time-ordered stream) — sequence-mining-lite: q150 gives the
+    one-step transition matrix, this surfaces the dominant multi-step
+    paths product analytics actually reads.
+
+    Scale shape: one key shuffle for the double-lead window, a
+    |types|³-bounded groupBy, distributed top-k with a total-order
+    cut."""
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    p = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    g = p.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return g.orderBy(F.col("n").desc(), F.col("path").asc()).limit(20)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
