@@ -548,3 +548,45 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         )
         .select("digit", "n", "obs_ppm", "exp_ppm", "dev_ppm")
     )
+
+
+def table_digest(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-insensitive content fingerprint of a table projection —
+    the cheap did-two-pipelines-produce-the-same-table check (engine
+    migrations, IVM-vs-recompute audits, replica reconciliation):
+    every row hashes to a 60-bit md5 integer over its canonical
+    rendering, and the EXACT decimal(38,0) sum of row hashes (+ the
+    row count) is the digest — multiset-equal tables digest equal on
+    ANY engine, partitioning, or row order; a single changed row
+    moves it.
+
+    Contract: ``cols`` must be integer or string columns (float
+    decimal renderings differ across engines — quantize first, conv
+    1); NULL renders as an explicit sentinel; fields join on the
+    non-printing unit separator chr(31) (documented collision caveat:
+    values containing chr(31) could alias — use data without control
+    characters, the normal case).
+
+    Scale shape: a pure map + ONE all-column-pruned aggregate; no
+    shuffle beyond the 1-row combine.
+    """
+    if not cols:
+        raise ValueError("need at least one column")
+    sep = F.lit(chr(31))
+    parts = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(sep)
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")))
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10
+    ).cast("long")
+    return df.select(row_hash.alias("_h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.col("_h").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .cast("decimal(38,0)")
+        .alias("digest"),
+    )

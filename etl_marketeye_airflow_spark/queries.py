@@ -9724,6 +9724,39 @@ def q172_top_trigram_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.orderBy(F.col("n").desc(), F.col("path").asc()).limit(20)
 
 
+@query(
+    "q173_table_digest",
+    # identical md5-row-hash + exact decimal sum; chr(31) separator and
+    # the NULL sentinel rendered identically; integer/string columns
+    # only (contract)
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CAST(('0x' || substring(md5(
+             CAST(o_orderkey AS VARCHAR) || chr(31)
+             || CAST(o_custkey AS VARCHAR) || chr(31)
+             || coalesce(o_orderstatus, chr(0) || 'NULL') || chr(31)
+             || coalesce(o_orderpriority, chr(0) || 'NULL')
+           ), 1, 15)) AS BIGINT)), 0) AS DECIMAL(38,0)) AS digest
+    FROM orders
+    """,
+)
+def q173_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive fingerprint of the orders table's key columns
+    — the cheap cross-engine table-equality check (the gate itself
+    proves the property: DuckDB recomputes the same digest from the
+    same rows in a different execution order).  Exact decimal sum of
+    60-bit md5 row hashes + row count.
+
+    Scale shape: pure map + one 1-row combine; scan prunes to the
+    digested columns."""
+    from .operators.profile import table_digest
+
+    return table_digest(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

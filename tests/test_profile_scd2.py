@@ -455,3 +455,37 @@ def test_benford_audit_hand_computed(spark):
     assert [BENFORD_PPM[d - 1] for d in sorted(got)] == [
         got[d][2] for d in sorted(got)
     ]
+
+
+def test_table_digest_properties(spark):
+    """Row-order and partitioning never change the digest; one changed
+    row does; NULL and the string 'NULL' digest differently (sentinel);
+    empty input digests (0, 0); guard on empty cols."""
+    from etl_marketeye_airflow_spark.operators.profile import table_digest
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    base = table_digest(df, ["k", "s"]).collect()[0]
+    shuffled = table_digest(
+        spark.createDataFrame(rows[::-1], "k long, s string").repartition(7),
+        ["k", "s"],
+    ).collect()[0]
+    assert (base.n_rows, base.digest) == (shuffled.n_rows, shuffled.digest)
+    changed = table_digest(
+        spark.createDataFrame([(1, "a"), (2, "B"), (3, None)],
+                              "k long, s string"),
+        ["k", "s"],
+    ).collect()[0]
+    assert changed.digest != base.digest
+    lit_null = table_digest(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "NULL")],
+                              "k long, s string"),
+        ["k", "s"],
+    ).collect()[0]
+    assert lit_null.digest != base.digest
+    empty = table_digest(df.filter("k > 99"), ["k", "s"]).collect()[0]
+    assert (empty.n_rows, int(empty.digest)) == (0, 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table_digest(df, [])
