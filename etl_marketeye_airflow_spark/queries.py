@@ -9757,6 +9757,65 @@ def q173_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q174_sliding_window_agg",
+    # Spark's window(ts, 1h, 15m) assigns each event to the 4 sliding
+    # windows covering it; the oracle replays that assignment with a
+    # lateral range(4) — window_start = (t div 900e6 − k)·900e6, kept
+    # while t < start + 1h; exact integer-µs bounds, decimal value sums
+    oracle="""
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             CAST(value AS DECIMAL(19,4)) AS v
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, v,
+             ((t // 900000000) - k.range) * 900000000 AS ws
+      FROM c CROSS JOIN range(4) k
+      WHERE t >= ((t // 900000000) - k.range) * 900000000
+        AND t <  ((t // 900000000) - k.range) * 900000000 + 3600000000
+    )
+    SELECT ws AS window_start_us, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS total_value
+    FROM w GROUP BY ws, event_type
+    """,
+)
+def q174_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window event aggregation (1-hour windows every 15
+    minutes — each event lands in 4 overlapping windows): the rate /
+    rolling-throughput view q31's tumbling windows can't express.
+    Integer-µs window starts, exact decimal value sums.
+
+    Scale shape: Spark's window() explodes each row to its 4 windows
+    map-side, straight into a map-side-combined groupBy — shuffle is
+    |windows|·|types|, not 4× the events."""
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "_t", F.timestamp_micros(F.col("ts_us"))
+    )
+    return (
+        ev.groupBy(
+            F.window("_t", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(19,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

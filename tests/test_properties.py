@@ -623,3 +623,24 @@ def test_longest_streak_hand_computed(spark, tmp_path_factory):
     got = {r.user_id: (r.n_streaks, r.longest_streak, r.longest_start_day)
            for r in QUERIES["q171_longest_streak"](spark, str(sf)).collect()}
     assert got == {1: (2, 3, 1), 2: (2, 2, 5)}
+
+
+def test_sliding_window_assignment_semantics(spark):
+    """One event lands in exactly the 4 hour-windows whose starts are
+    the preceding 15-min marks — pinning the window(ts, 1h, 15m)
+    assignment rule q174's oracle replays."""
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        [(1_000_000_000_000_000,)], "t long"
+    ).withColumn("_t", FF.timestamp_micros(FF.col("t")))
+    rows = (
+        df.groupBy(FF.window("_t", "1 hour", "15 minutes").alias("w"))
+        .count()
+        .select(FF.unix_micros("w.start").alias("ws"))
+        .collect()
+    )
+    t = 1_000_000_000_000_000
+    base = t // 900_000_000 * 900_000_000
+    want = {base - k * 900_000_000 for k in range(4)}
+    assert {r.ws for r in rows} == want
