@@ -9816,6 +9816,52 @@ def q174_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q175_exact_median_selection",
+    # the oracle computes the SAME median by direct global order
+    # statistics — proving two-pass bucket selection ≡ full sort;
+    # doubled-integer median (q143 convention)
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             count(*) OVER () AS n
+      FROM b
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+              + sum(CASE WHEN rn = (n + 2) // 2 THEN v ELSE 0 END)
+             AS BIGINT) AS med2,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+              + sum(CASE WHEN rn = (n + 2) // 2 THEN v ELSE 0 END)
+             AS DOUBLE) / 2.0 AS median
+    FROM r
+    """,
+)
+def q175_exact_median_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global median of line-item price cents WITHOUT a global
+    sort: two-pass bucket selection — a tiny bucket-count aggregate
+    locates the median ranks, then only the target bucket's sliver
+    (~N/n_buckets rows) is sorted.  The oracle computes the same
+    median by a direct full-order row_number, so the gate proves the
+    selection algorithm ≡ the sort it replaces — the technique that
+    makes exact order statistics feasible at 100 TB.
+
+    Scale shape: one map-side agg + one pruned-sliver sort + a ≤2-row
+    broadcast; no global sort, no driver collect."""
+    from .operators.stats import exact_median_selection
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return exact_median_selection(li, "cents", bucket_width=8192)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -236,3 +236,32 @@ def test_winsorize_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         winsorize(df, ["g"], "v", 90, 10)
+
+
+def test_exact_median_selection_matches_sorted_reference(spark):
+    """Two-pass selection ≡ direct sorted median on adversarial
+    frames: even/odd sizes, duplicates straddling bucket boundaries,
+    bucket_width 1 and huge (single-bucket degenerate)."""
+    import random
+
+    from etl_marketeye_airflow_spark.operators.stats import (
+        exact_median_selection,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [5],
+        [1, 2],
+        [8191, 8192, 8193, 8192],
+        [rng.randrange(0, 100_000) for _ in range(501)],
+        [rng.randrange(0, 30) for _ in range(500)],
+    ]
+    for i, vals in enumerate(cases):
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        s = sorted(vals)
+        n = len(s)
+        want = s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+        for bw in (1, 8192, 10**9):
+            r = exact_median_selection(df, "v", bucket_width=bw).collect()[0]
+            assert (r.n_rows, r.med2) == (n, want), (i, bw)
+            assert r.median == want / 2.0
