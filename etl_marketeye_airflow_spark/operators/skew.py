@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _DEC = "decimal(19,4)"
 
@@ -133,3 +134,69 @@ def replicated_salt_join(
     )
     out = b.join(s, on=[key_col, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """ONE-row skew diagnosis of a join/aggregation key — the report
+    you read BEFORE choosing a strategy from this module (salting,
+    replication) or trusting AQE: key cardinality, row count, the
+    hottest key's share, and the Gini coefficient of the key-count
+    distribution (0 = uniform, →1 = one key owns everything).
+
+    Exact integer algebra: with per-key counts x sorted ascending and
+    1-based rank i over K keys, S = Σx,
+
+        gini = (2·Σ i·x_i − (K+1)·S) / (K·S)
+
+    numerator/denominator are exact decimals (Σ i·x as decimal(38,0)
+    sums of decimal(19,0) products — conv 11; safe to K·S ≲ 10³⁸);
+    top1_share_ppm = 10^6·max div S is a truncating long.  The one
+    display double divides identical operands.
+
+    Scale shape: one map-side-combined key-count agg; the rank window
+    runs over the KEY frame (cardinality-sized, not row-sized — same
+    bounded-frame class as the sketch walks); ties in count are
+    Σ-invariant under any order, so the result is partition-
+    independent.
+    """
+    cnts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").asc(), F.col("k").asc())
+    ranked = cnts.withColumn("i", F.row_number().over(w).cast("long"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.sum((d19("i") * d19("cnt")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("_six"),
+    )
+    gnum = (
+        F.lit(2).cast("decimal(19,0)") * F.col("_six")
+        - (F.col("n_keys") + 1).cast("decimal(19,0)")
+        * F.col("n_rows").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    gden = (
+        F.col("n_keys").cast("decimal(19,0)")
+        * F.col("n_rows").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    return (
+        agg.withColumn("gini_num", gnum)
+        .withColumn("gini_den", gden)
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            F.expr("(1000000 * max_cnt) div n_rows")
+            .cast("long")
+            .alias("top1_share_ppm"),
+            "gini_num",
+            "gini_den",
+            (
+                F.col("gini_num").cast("double")
+                / F.col("gini_den").cast("double")
+            ).alias("gini"),
+        )
+    )

@@ -9862,6 +9862,56 @@ def q175_exact_median_selection(
     return exact_median_selection(li, "cents", bucket_width=8192)
 
 
+@query(
+    "q176_key_skew_report",
+    # identical exact algebra; rank ties in count are Σ-invariant so
+    # both engines agree regardless of tie order (pinned by the
+    # composite (cnt, k) order anyway)
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT k, cnt,
+             CAST(row_number() OVER (ORDER BY cnt ASC, k ASC) AS BIGINT)
+               AS i
+      FROM c
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             CAST(sum(CAST(i AS HUGEINT) * cnt) AS HUGEINT) AS six
+      FROM r
+    )
+    SELECT n_keys, n_rows, max_cnt,
+           CAST((1000000 * max_cnt) // n_rows AS BIGINT)
+             AS top1_share_ppm,
+           CAST(2 * six - (n_keys + 1) * CAST(n_rows AS HUGEINT)
+             AS DECIMAL(38,0)) AS gini_num,
+           CAST(CAST(n_keys AS HUGEINT) * n_rows AS DECIMAL(38,0))
+             AS gini_den,
+           CAST(CAST(2 * six - (n_keys + 1) * CAST(n_rows AS HUGEINT)
+                  AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(CAST(n_keys AS HUGEINT) * n_rows
+                  AS DECIMAL(38,0)) AS DOUBLE) AS gini
+    FROM a
+    """,
+)
+def q176_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis of lineitem's part key: cardinality, hottest-key
+    share, and the exact Gini coefficient of the key-count
+    distribution — the report that decides between plain shuffle,
+    salting (q33), replication (q145), or trusting AQE.
+
+    Scale shape: one map-side key-count agg; rank window over the
+    KEY frame only; one-row output."""
+    from .operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_partkey")
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -489,3 +489,34 @@ def test_table_digest_properties(spark):
 
     with _pytest.raises(ValueError):
         table_digest(df, [])
+
+
+def test_key_skew_report_hand_computed(spark):
+    """Uniform keys give gini 0; a one-key-owns-all-but-K-1 frame
+    approaches (K-1)/K; the Gini replays a python reference on a mixed
+    frame, and count-tie order cannot change the sum."""
+    from etl_marketeye_airflow_spark.operators.skew import key_skew_report
+
+    def gini_ref(counts):
+        xs = sorted(counts)
+        K, S = len(xs), sum(xs)
+        six = sum(i * x for i, x in enumerate(xs, 1))
+        return 2 * six - (K + 1) * S, K * S
+
+    uniform = spark.createDataFrame(
+        [(k,) for k in range(4) for _ in range(5)], "k long"
+    )
+    r = key_skew_report(uniform, "k").collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_cnt, int(r.gini_num)) == (4, 20, 5, 0)
+    assert r.gini == 0.0
+
+    skewed_counts = [1, 1, 1, 97]
+    skewed = spark.createDataFrame(
+        [(k,) for k, c in enumerate(skewed_counts) for _ in range(c)],
+        "k long",
+    )
+    r2 = key_skew_report(skewed, "k").collect()[0]
+    num, den = gini_ref(skewed_counts)
+    assert (int(r2.gini_num), int(r2.gini_den)) == (num, den)
+    assert r2.top1_share_ppm == 970000
+    assert r2.gini == num / den > 0.7
