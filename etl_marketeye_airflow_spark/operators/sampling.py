@@ -457,3 +457,52 @@ def bootstrap_replicates(
             / F.col("n_eff").cast("double"),
         ).alias("mean_value"),
     )
+
+
+def proportional_allocation(
+    df: DataFrame, stratum_col: str, total_k: int
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global sample
+    budget across strata: k_i proportional to stratum size, EXACT
+    integers, Σk_i = total_k always — the allocation step quota
+    sampling needs before any per-stratum draw (q52 caps per stratum
+    independently; this divides ONE global budget).
+
+    base_i = (K·n_i) div N; the L = K − Σ base_i leftover seats go to
+    the largest remainders r_i = K·n_i − base_i·N (ties to the smaller
+    stratum key — fully deterministic).  All BIGINT (K·n_i bounded by
+    budget·rows; document at call site).
+
+    Returns (stratum, n, k).  Scale shape: one count agg, a 1-row
+    total broadcast, one rank window over the STRATA frame.
+    """
+    if total_k < 0:
+        raise ValueError("total_k must be >= 0")
+    cnts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cnts.agg(F.sum("n").cast("long").alias("n_tot"))
+    staged = (
+        cnts.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"({total_k} * n) div n_tot").cast("long"))
+        .withColumn(
+            "rem", (F.lit(total_k) * F.col("n") - F.col("base") * F.col("n_tot")).cast("long")
+        )
+    )
+    leftover = staged.agg(
+        (F.lit(total_k) - F.sum("base")).cast("long").alias("L")
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+    ranked = staged.crossJoin(F.broadcast(leftover)).withColumn(
+        "_r", F.row_number().over(w).cast("long")
+    )
+    return ranked.select(
+        "stratum",
+        "n",
+        (
+            F.col("base")
+            + F.when(F.col("_r") <= F.col("L"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("k"),
+    )

@@ -9912,6 +9912,77 @@ def q176_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_partkey")
 
 
+@query(
+    "q177_quota_sample",
+    # identical Hamilton apportionment (base = (K·n) div N, leftover
+    # seats to largest remainders, ties to the smaller stratum) +
+    # q52's deterministic md5-order draw within each stratum
+    oracle="""
+    WITH c AS (
+      SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM c),
+    s AS (
+      SELECT stratum, n,
+             CAST((100 * n) // n_tot AS BIGINT) AS base,
+             CAST(100 * n - ((100 * n) // n_tot) * n_tot AS BIGINT)
+               AS rem
+      FROM c CROSS JOIN t
+    ),
+    l AS (SELECT CAST(100 - sum(base) AS BIGINT) AS lv FROM s),
+    a AS (
+      SELECT stratum, n,
+             CAST(base + CASE WHEN row_number() OVER (
+                    ORDER BY rem DESC, stratum ASC) <= (SELECT lv FROM l)
+                  THEN 1 ELSE 0 END AS BIGINT) AS k
+      FROM s
+    ),
+    r AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, CAST(r.rn AS BIGINT) AS pos,
+           a.k AS stratum_quota
+    FROM r JOIN a ON r.source = a.stratum
+    WHERE r.rn <= a.k
+    """,
+)
+def q177_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling under ONE global budget: 100 documents
+    apportioned across sources by largest-remainder (exact integers,
+    Σk = 100 always — q52 caps strata independently, this divides a
+    budget), then drawn deterministically per stratum in md5 order.
+    The allocation is the classic Hamilton method; remainder ties go
+    to the smaller stratum key.
+
+    Scale shape: one stratum-count agg + two 1-row broadcasts + one
+    window over the STRATA frame for seats, one per-stratum rank
+    window for the draw."""
+    from .operators.sampling import proportional_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    alloc = proportional_allocation(docs, "source", total_k=100)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select("source", "doc_id").withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.join(
+            F.broadcast(alloc),
+            ranked["source"] == alloc["stratum"],
+        )
+        .filter(F.col("pos") <= F.col("k"))
+        .select(
+            "source", "doc_id", "pos", F.col("k").alias("stratum_quota")
+        )
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -240,3 +240,34 @@ def test_bootstrap_grouped_and_determinism(spark):
             assert row[4] == (10.0 if row[0] == "a" else 20.0)
     with _pytest.raises(ValueError):
         bootstrap_replicates(df, "id", "v", 0)
+
+
+# --------------------------------------------- proportional_allocation
+
+
+def test_proportional_allocation_hamilton_properties(spark):
+    """Σk == K exactly; quotas within 1 of the real-valued share
+    (Hamilton's quota property); leftover ties go to the smaller
+    stratum key; K=0 gives all zeros."""
+    from etl_marketeye_airflow_spark.operators.sampling import (
+        proportional_allocation,
+    )
+
+    sizes = {"a": 10, "b": 10, "c": 10, "d": 3}  # K=10: rem ties a/b/c
+    rows = [(s,) for s, n in sizes.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "src string")
+    for K in (0, 7, 10, 33):
+        got = {r.stratum: r.k
+               for r in proportional_allocation(df, "src", K).collect()}
+        assert sum(got.values()) == K, K
+        N = sum(sizes.values())
+        for s, n in sizes.items():
+            exact = K * n / N
+            assert exact - 1 < got[s] < exact + 1 or got[s] in (
+                int(exact), int(exact) + 1
+            ), (K, s)
+    got10 = {r.stratum: r.k
+             for r in proportional_allocation(df, "src", 10).collect()}
+    # base = 3,3,3,0; remainders tie for a,b,c (1/33 short each) and d
+    # gets the largest remainder (30/33): d takes the single leftover
+    assert got10 == {"a": 3, "b": 3, "c": 3, "d": 1}
