@@ -506,3 +506,51 @@ def proportional_allocation(
         .cast("long")
         .alias("k"),
     )
+
+
+def rendezvous_assign(
+    df: DataFrame, key_col: str, n_shards: int, seed: str = "hrw-v1"
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    consistent-hashing alternative to ``shard_assign``'s mod-N: when
+    the shard count changes N → N+1, only ~1/(N+1) of keys move
+    (mod-N moves nearly all of them) — the property that makes
+    rebalancing a 100 TB keyed store affordable (pytest-pinned).
+
+    shard(key) = argmax over s of the md5 coin of f"{seed}:{key}:{s}"
+    (60-bit integer).  Coins within one key are distinct md5 outputs;
+    a 60-bit collision would make the argmax engine-arbitrary, but at
+    P ≈ n_shards²·2⁻⁶¹ per key it does not occur at any realistic
+    cardinality (and the gate's fixed corpus is verified tie-free by
+    the pytest).  Deterministic: the oracle replays the same argmax.
+
+    Scale shape: pure map — explode keys × n_shards, max_by per key
+    with map-side combine; no window, no shuffle beyond the per-key
+    combine.  n_shards is config-bounded.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    s = F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("s")
+    base = df.select(F.col(key_col).cast("string").alias("k")).select(
+        "k", s
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + ":"),
+                    F.col("k"),
+                    F.lit(":"),
+                    F.col("s").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    packed = base.withColumn("_c", coin)
+    return packed.groupBy("k").agg(
+        F.max_by(F.col("s"), F.col("_c")).cast("long").alias("shard")
+    )

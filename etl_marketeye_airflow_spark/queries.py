@@ -9983,6 +9983,46 @@ def q177_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q178_rendezvous_sharding",
+    # identical md5-coin argmax per (key, shard); summarized as shard
+    # -> key count so the payload is shard balance, not 50k raw rows
+    oracle="""
+    WITH e AS (
+      SELECT CAST(doc_id AS VARCHAR) AS k, r.range AS s
+      FROM documents CROSS JOIN range(8) r
+    ),
+    c AS (
+      SELECT k, s,
+             CAST(('0x' || substring(
+               md5('hrw-v1:' || k || ':' || CAST(s AS VARCHAR)),
+               1, 15)) AS BIGINT) AS coin
+      FROM e
+    ),
+    a AS (SELECT k, arg_max(s, coin) AS shard FROM c GROUP BY k)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM a GROUP BY shard
+    """,
+)
+def q178_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash (HRW) shard balance over the document corpus,
+    8 shards: the consistent-hashing assignment whose defining
+    property — only ~1/(N+1) of keys move when a shard is added
+    (mod-N moves nearly all) — is pytest-pinned; the registry entry
+    proves cross-engine coin/argmax parity via the per-shard counts.
+
+    Scale shape: pure map (keys × 8), per-key max_by with map-side
+    combine, 8-row output."""
+    from .operators.sampling import rendezvous_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    a = rendezvous_assign(docs, "doc_id", n_shards=8)
+    return a.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys")
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -271,3 +271,28 @@ def test_proportional_allocation_hamilton_properties(spark):
     # base = 3,3,3,0; remainders tie for a,b,c (1/33 short each) and d
     # gets the largest remainder (30/33): d takes the single leftover
     assert got10 == {"a": 3, "b": 3, "c": 3, "d": 1}
+
+
+def test_rendezvous_minimal_movement_and_tie_free(spark):
+    """The HRW property: adding a 9th shard moves ~1/9 of keys (mod-N
+    would move ~8/9); assignments are deterministic across reruns;
+    coins are tie-free per key on a real id range."""
+    from etl_marketeye_airflow_spark.operators.sampling import (
+        rendezvous_assign,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(900)], "doc_id long")
+    a8 = {r.k: r.shard for r in rendezvous_assign(df, "doc_id", 8).collect()}
+    a8b = {r.k: r.shard for r in rendezvous_assign(df, "doc_id", 8).collect()}
+    assert a8 == a8b
+    a9 = {r.k: r.shard for r in rendezvous_assign(df, "doc_id", 9).collect()}
+    moved = sum(1 for k in a8 if a8[k] != a9[k])
+    frac = moved / len(a8)
+    assert 0.05 < frac < 0.2, frac  # ~1/9 ± noise
+    # every key that moved, moved TO the new shard (HRW's exact form)
+    assert all(a9[k] == 8 for k in a8 if a8[k] != a9[k])
+    # balance: no shard under 8 shards is empty or >2x the mean
+    from collections import Counter
+
+    c = Counter(a8.values())
+    assert set(c) == set(range(8)) and max(c.values()) < 2 * (900 / 8)
