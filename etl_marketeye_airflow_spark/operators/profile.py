@@ -590,3 +590,54 @@ def table_digest(df: DataFrame, cols: list[str]) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("digest"),
     )
+
+
+def entropy_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Shannon entropy of a key's distribution — the information-
+    theoretic twin of the Gini skew report (skew.key_skew_report):
+    H = Σ (n_i/N)·log2(N/n_i) bits, the load-balance / diversity /
+    cardinality-quality number (uniform K keys → log2 K; one hot key
+    → 0).
+
+    Determinism (conv 6d): log2 is the fixed-point dyadic form —
+    h_fx = Σ n_i·(flog2_fx(N) − flog2_fx(n_i)) is an EXACT integer
+    (decimal(38,0) sum per conv 11; each term ≤ 0.086 bits from true
+    log2, the documented flog2 bound), and entropy_bits =
+    h_fx / (N·2^20) is the one display division of identical operands.
+
+    Returns ONE row: (n_keys, n_rows, h_fx, entropy_bits).
+
+    Scale shape: one map-side key-count agg + a 1-row total broadcast
+    + per-key expressions; no window at all.
+    """
+    from .corpus import with_flog2_fx
+
+    cnts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cnts = with_flog2_fx(cnts, "cnt", "f_cnt")
+    tot = with_flog2_fx(
+        cnts.agg(F.sum("cnt").cast("long").alias("n_rows")),
+        "n_rows",
+        "f_n",
+    )
+    staged = cnts.crossJoin(F.broadcast(tot)).withColumn(
+        "_term",
+        (
+            F.col("cnt").cast("decimal(19,0)")
+            * (F.col("f_n") - F.col("f_cnt")).cast("decimal(19,0)")
+        ).cast("decimal(38,0)"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n_rows").cast("long").alias("n_rows"),
+        F.sum("_term").cast("decimal(38,0)").alias("h_fx"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "h_fx",
+        (
+            F.col("h_fx").cast("double")
+            / (F.col("n_rows").cast("double") * F.lit(1048576.0))
+        ).alias("entropy_bits"),
+    )

@@ -10023,6 +10023,46 @@ def q178_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q179_entropy_report",
+    # identical fixed-point log2 algebra (conv 6d), exact decimal sum,
+    # one display division of identical operands
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows FROM c),
+    s AS (
+      SELECT cnt,
+             CAST(cnt AS DECIMAL(19,0))
+               * CAST({_sql_flog2_fx('t.n_rows')}
+                      - {_sql_flog2_fx('cnt')} AS DECIMAL(19,0)) AS term,
+             t.n_rows
+      FROM c CROSS JOIN t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(term) AS DECIMAL(38,0)) AS h_fx,
+           CAST(CAST(sum(term) AS DECIMAL(38,0)) AS DOUBLE)
+             / (CAST(max(n_rows) AS DOUBLE) * 1048576.0) AS entropy_bits
+    FROM s
+    """,
+)
+def q179_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event stream's user-id distribution —
+    the information-theoretic balance number next to q176's Gini
+    (uniform K keys → log2 K bits; one hot key → 0), in the exact
+    fixed-point-log2 form so the score is engine-identical.
+
+    Scale shape: one key-count agg + 1-row broadcast + per-key
+    expressions; no window."""
+    from .operators.profile import entropy_report
+    from .sources.tables import load_events
+
+    return entropy_report(load_events(spark, sf_dir), "user_id")
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -520,3 +520,30 @@ def test_key_skew_report_hand_computed(spark):
     assert (int(r2.gini_num), int(r2.gini_den)) == (num, den)
     assert r2.top1_share_ppm == 970000
     assert r2.gini == num / den > 0.7
+
+
+def test_entropy_report_known_distributions(spark):
+    """Uniform 2^k keys hit exactly k bits (flog2 exact at powers of
+    two); a single key gives 0; a 2:1:1 mix matches the python
+    fixed-point replay within the documented 0.086-bit flog2 bound."""
+    import math
+
+    from etl_marketeye_airflow_spark.operators.profile import entropy_report
+
+    uniform = spark.createDataFrame(
+        [(k,) for k in range(8) for _ in range(4)], "k long"
+    )
+    r = entropy_report(uniform, "k").collect()[0]
+    assert (r.n_keys, r.n_rows) == (8, 32)
+    assert r.entropy_bits == 3.0  # powers of two: flog2 exact
+
+    single = spark.createDataFrame([(1,)] * 10, "k long")
+    r1 = entropy_report(single, "k").collect()[0]
+    assert int(r1.h_fx) == 0 and r1.entropy_bits == 0.0
+
+    mix = spark.createDataFrame(
+        [(1,)] * 2 + [(2,)] + [(3,)], "k long"
+    )
+    r2 = entropy_report(mix, "k").collect()[0]
+    true_h = -(0.5 * math.log2(0.5) + 2 * 0.25 * math.log2(0.25))
+    assert abs(r2.entropy_bits - true_h) <= 0.086
