@@ -338,3 +338,55 @@ def winsorize(
         wins.cast("long").alias("winsorized"),
         clipped.cast("int").alias("clipped"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    trim_pct: int = 10,
+    min_n: int = 5,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest ``trim_pct``
+    percent by rank, average the middle — winsorize's EXCLUDE sibling
+    (clamping keeps outlier rows at the bound; trimming removes their
+    votes entirely).
+
+    Exact algebra (conv 1): integer ranks via row_number, kept band =
+    (t, n−t] with t = (trim_pct·n) div 100 (so t rows drop from EACH
+    end exactly), sums of kept cents stay BIGINT, and the mean is one
+    display division of identical operands.  Groups smaller than
+    ``min_n`` or trimmed to nothing yield no row.
+
+    Scale shape: q143's — one per-group sort window, one grouped agg.
+    """
+    if not (0 <= trim_pct < 50):
+        raise ValueError("need 0 <= trim_pct < 50")
+    g = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    w = Window.partitionBy(*g).orderBy(v.asc())
+    wn = Window.partitionBy(*g)
+    r = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_n") >= F.lit(min_n))
+        .withColumn("_t", F.expr(f"({trim_pct} * _n) div 100"))
+        .filter(
+            (F.col("_rn") > F.col("_t"))
+            & (F.col("_rn") <= F.col("_n") - F.col("_t"))
+        )
+    )
+    return r.groupBy(*group_cols).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(v).cast("long").alias("kept_sum"),
+    ).select(
+        *group_cols,
+        "n",
+        "n_kept",
+        "kept_sum",
+        (
+            F.col("kept_sum").cast("double")
+            / F.col("n_kept").cast("double")
+        ).alias("trimmed_mean"),
+    )

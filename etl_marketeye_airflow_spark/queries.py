@@ -10063,6 +10063,54 @@ def q179_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy_report(load_events(spark, sf_dir), "user_id")
 
 
+@query(
+    "q180_trimmed_mean",
+    # identical rank band (t = (p·n) div 100 dropped from EACH end),
+    # exact BIGINT kept sums, one display division
+    oracle="""
+    WITH b AS (
+      SELECT l_partkey,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_partkey, cents,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY cents ASC) AS rn,
+             count(*) OVER (PARTITION BY l_partkey) AS n
+      FROM b
+    ),
+    f AS (
+      SELECT * FROM r
+      WHERE n >= 5 AND rn > (10 * n) // 100
+        AND rn <= n - (10 * n) // 100
+    )
+    SELECT l_partkey,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(cents) AS BIGINT) AS kept_sum,
+           CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS trimmed_mean
+    FROM f GROUP BY l_partkey
+    """,
+)
+def q180_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part 10%-trimmed mean price — winsorize's EXCLUDE sibling
+    (q166 clamps outlier votes to the bound; this removes them), the
+    third member of the robust-location family with q143's MAD.
+    Exact integer rank band and kept sums.
+
+    Scale shape: one per-group sort window + one grouped agg (q143's
+    cost model)."""
+    from .operators.anomaly import trimmed_mean
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return trimmed_mean(li, ["l_partkey"], "cents", trim_pct=10, min_n=5)
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

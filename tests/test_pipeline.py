@@ -265,3 +265,24 @@ def test_exact_median_selection_matches_sorted_reference(spark):
             r = exact_median_selection(df, "v", bucket_width=bw).collect()[0]
             assert (r.n_rows, r.med2) == (n, want), (i, bw)
             assert r.median == want / 2.0
+
+
+def test_trimmed_mean_hand_computed(spark):
+    """n=10, trim 10%: exactly one row drops from each end —
+    [1..9,1000] keeps 2..9 -> mean 5.5; trim 0 keeps all; a 4-row
+    group drops via min_n; guard on trim >= 50."""
+    from etl_marketeye_airflow_spark.operators.anomaly import trimmed_mean
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+    rows += [("tiny", v) for v in [1, 2, 3, 4]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in trimmed_mean(df, ["g"], "v", 10).collect()}
+    assert set(out) == {"a"}
+    r = out["a"]
+    assert (r.n, r.n_kept, r.kept_sum, r.trimmed_mean) == (10, 8, 44, 5.5)
+    r0 = trimmed_mean(df.filter("g = 'a'"), ["g"], "v", 0).collect()[0]
+    assert (r0.n_kept, r0.kept_sum) == (10, 1045)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        trimmed_mean(df, ["g"], "v", 50)
