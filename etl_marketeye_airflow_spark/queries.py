@@ -10111,6 +10111,63 @@ def q180_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed_mean(li, ["l_partkey"], "cents", trim_pct=10, min_n=5)
 
 
+@query(
+    "q181_embedding_dim_health",
+    # floats go to integers via floor(v·2^20): float→double exact,
+    # ·2^20 exact (power of two), floor exact — NEVER a float→decimal
+    # cast (HALF_UP vs HALF_EVEN tie divergence, conv 6d's trap);
+    # sums/extrema exact BIGINT, one display division
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0)
+               AS BIGINT) AS fx
+      FROM embeddings
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(fx) AS BIGINT) AS sum_fx,
+           CAST(min(fx) AS BIGINT) AS min_fx,
+           CAST(max(fx) AS BIGINT) AS max_fx,
+           CAST(sum(fx) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1048576.0) AS mean
+    FROM ex GROUP BY dim
+    """,
+)
+def q181_embedding_dim_health(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension embedding health (count, exact fixed-point sum,
+    min/max, mean) — the feature-drift monitor an embedding pipeline
+    runs on every model rev or data drop: a collapsed dimension
+    (min≈max), a shifted mean, or a blown-up range shows here first.
+    Floats enter integer land via floor(v·2^20) — every step exact —
+    so the stats are order-free and engine-identical.
+
+    Scale shape: ONE posexplode into a map-side-combined groupBy(dim)
+    — shuffle is n_dims rows."""
+    ex = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("dim0", "vf"))
+        .select(
+            (F.col("dim0") + 1).cast("long").alias("dim"),
+            F.floor(F.col("vf").cast("double") * F.lit(1048576.0))
+            .cast("long")
+            .alias("fx"),
+        )
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("fx").cast("long").alias("sum_fx"),
+        F.min("fx").cast("long").alias("min_fx"),
+        F.max("fx").cast("long").alias("max_fx"),
+        (
+            F.sum("fx").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1048576.0))
+        ).alias("mean"),
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
