@@ -10168,6 +10168,74 @@ def q181_embedding_dim_health(
     )
 
 
+@query(
+    "q182_weighted_median",
+    # identical integer rule: LOWER weighted median = smallest value
+    # whose cumulative weight doubles to >= total weight (no
+    # interpolation — engine medians differ there); all BIGINT
+    oracle="""
+    WITH b AS (
+      SELECT l_partkey,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(floor(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_partkey, cents, CAST(sum(w) AS BIGINT) AS w
+      FROM b GROUP BY l_partkey, cents
+    ),
+    c AS (
+      SELECT l_partkey, cents, w,
+             CAST(sum(w) OVER (PARTITION BY l_partkey ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY l_partkey) AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT l_partkey,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+             AS weighted_median_cents
+    FROM c GROUP BY l_partkey
+    """,
+)
+def q182_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per part (the price at
+    which half the UNITS trade at-or-below — the volume-weighted
+    robust price, vs q143's row-median): LOWER weighted median =
+    smallest value whose doubled cumulative weight reaches the total —
+    a pure integer rule, no interpolation, engine-identical.
+
+    Scale shape: (group, value) weight agg collapses ties first, one
+    per-group cumulative window over DISTINCT values, one grouped
+    min — the q169/q170 cost model."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_quantity")).cast("long").alias("w"),
+    )
+    g = li.groupBy("l_partkey", "cents").agg(
+        F.sum("w").cast("long").alias("w")
+    )
+    wcum = (
+        Window.partitionBy("l_partkey")
+        .orderBy(F.col("cents").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_partkey")
+    c = g.withColumn("cw", F.sum("w").over(wcum).cast("long")).withColumn(
+        "tw", F.sum("w").over(wall).cast("long")
+    )
+    return c.groupBy("l_partkey").agg(
+        F.min("tw").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("weighted_median_cents"),
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

@@ -286,3 +286,30 @@ def test_trimmed_mean_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         trimmed_mean(df, ["g"], "v", 50)
+
+
+def test_weighted_median_hand_computed(spark):
+    """Lower weighted median: values (10 w1, 20 w1, 30 w6): half of
+    W=8 is reached at 30; equal-split (10 w2, 30 w2) picks the LOWER
+    value 10 (2·cw = W rule); unit weights reduce to the ordinary
+    lower median."""
+    from etl_marketeye_airflow_spark.queries import QUERIES  # noqa: F401
+    from pyspark.sql import functions as FF
+    from pyspark.sql.window import Window as W
+
+    def wmed(rows):
+        df = spark.createDataFrame(rows, "g string, v long, w long")
+        g = df.groupBy("g", "v").agg(FF.sum("w").cast("long").alias("w"))
+        wcum = (W.partitionBy("g").orderBy(FF.col("v").asc())
+                .rowsBetween(W.unboundedPreceding, W.currentRow))
+        c = (g.withColumn("cw", FF.sum("w").over(wcum))
+             .withColumn("tw", FF.sum("w").over(W.partitionBy("g"))))
+        return {r.g: r.m for r in c.groupBy("g").agg(
+            FF.min(FF.when(2 * FF.col("cw") >= FF.col("tw"),
+                           FF.col("v"))).alias("m")).collect()}
+
+    rows = [("a", 10, 1), ("a", 20, 1), ("a", 30, 6),
+            ("b", 10, 2), ("b", 30, 2),
+            ("c", 1, 1), ("c", 2, 1), ("c", 3, 1)]
+    got = wmed(rows)
+    assert got == {"a": 30, "b": 10, "c": 2}
