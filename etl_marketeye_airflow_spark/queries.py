@@ -10249,8 +10249,10 @@ def q182_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # way given the repo state.  Local tooling (bench.py, check_correctness)
 # iterates in numeric order regardless, so this affects ONLY the capped
 # external sweep's budget allocation.
-def _sweep_key_sets() -> tuple[frozenset, frozenset]:
-    """(keys in the newest CORRECTNESS_r*.json, keys in ANY such file)."""
+def _sweep_key_sets() -> tuple[frozenset, frozenset, frozenset]:
+    """(keys in the newest CORRECTNESS_r*.json, keys in ANY such file,
+    keys whose MOST RECENT appearance was a failure — any mismatch or
+    error in the newest file that contains them)."""
     import glob
     import json
     import os
@@ -10259,19 +10261,32 @@ def _sweep_key_sets() -> tuple[frozenset, frozenset]:
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     latest: frozenset = frozenset()
     ever: set = set()
+    last_row: dict = {}  # key -> its row in the newest file containing it
     for i, path in enumerate(files):
         try:
             with open(path) as f:
-                keys = frozenset(json.load(f))
+                data = json.load(f)
         except (OSError, ValueError):
             continue
-        ever |= keys
+        ever |= set(data)
+        last_row.update(data)
         if i == len(files) - 1:
-            latest = keys
-    return latest, frozenset(ever)
+            latest = frozenset(data)
+
+    def _failed(row) -> bool:
+        if not isinstance(row, dict):
+            return False
+        return bool(row.get("err")) or not (
+            row.get("rows_match", True)
+            and row.get("schema_match", True)
+            and row.get("hash_match", True)
+        )
+
+    red = frozenset(k for k, r in last_row.items() if _failed(r))
+    return latest, frozenset(ever), red
 
 
-_LATEST_SWEPT, _EVER_SWEPT = _sweep_key_sets()
+_LATEST_SWEPT, _EVER_SWEPT, _LAST_RED = _sweep_key_sets()
 
 
 def _qnum(name: str) -> int:
@@ -10282,15 +10297,22 @@ def _qnum(name: str) -> int:
 
 
 def _sweep_order(name: str) -> tuple[int, int]:
-    # Group 0: never externally verified (no row in ANY correctness file) —
-    # these MUST land inside the next capped sweep.  Group 1: verified at
+    # Group -1: the last external verdict on this query was a FAILURE
+    # and it hasn't been re-checked since — a claimed fix MUST be
+    # confirmed before anything else gets budget (the q87 case: with 65
+    # never-verified queries ahead of it, a plain staleness order would
+    # push the one known-red-until-proven-green query past the ~50-row
+    # cap for another round).  Group 0: never externally verified —
+    # these land inside the next capped sweep.  Group 1: verified at
     # some point but missing from the latest file (one round stale).
     # Group 2: green in the latest file.  Numeric within each group.
     import os
 
     if os.environ.get("SPARK_GRAFT_SWEEP_ORDER") == "numeric":
         return (0, _qnum(name))
-    if name not in _EVER_SWEPT:
+    if name in _LAST_RED and name not in _LATEST_SWEPT:
+        group = -1
+    elif name not in _EVER_SWEPT:
         group = 0
     elif name not in _LATEST_SWEPT:
         group = 1

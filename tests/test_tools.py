@@ -56,3 +56,38 @@ def test_duckdb_hugeint_detectable_via_describe():
         ).fetchall()
     }
     assert "HUGEINT" in t["c"].upper()
+
+
+def test_sweep_order_red_first():
+    """A query whose last external verdict was a failure (and unseen
+    since) outranks never-verified queries, which outrank stale-green,
+    which outrank latest-green; numeric inside each group; the env
+    override restores plain numeric order."""
+    import importlib
+    import os
+
+    from etl_marketeye_airflow_spark import queries as Q
+
+    orig = (Q._LAST_RED, Q._EVER_SWEPT, Q._LATEST_SWEPT)
+    try:
+        Q._LAST_RED = frozenset({"q87_x"})
+        Q._EVER_SWEPT = frozenset({"q87_x", "q01_a", "q02_b"})
+        Q._LATEST_SWEPT = frozenset({"q01_a"})
+        order = sorted(
+            ["q01_a", "q02_b", "q87_x", "q150_new", "q140_new"],
+            key=Q._sweep_order,
+        )
+        assert order == ["q87_x", "q140_new", "q150_new", "q02_b", "q01_a"]
+        os.environ["SPARK_GRAFT_SWEEP_ORDER"] = "numeric"
+        try:
+            order2 = sorted(
+                ["q87_x", "q140_new", "q01_a"], key=Q._sweep_order
+            )
+            assert order2 == ["q01_a", "q87_x", "q140_new"]
+        finally:
+            del os.environ["SPARK_GRAFT_SWEEP_ORDER"]
+        # a red query that HAS been re-verified since is no longer -1
+        Q._LATEST_SWEPT = frozenset({"q01_a", "q87_x"})
+        assert Q._sweep_order("q87_x")[0] == 2
+    finally:
+        Q._LAST_RED, Q._EVER_SWEPT, Q._LATEST_SWEPT = orig
