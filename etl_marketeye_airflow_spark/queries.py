@@ -7606,6 +7606,61 @@ def q141_grouped_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_pearson(li, ["l_suppkey"], "x", "y", min_n=2)
 
 
+@query(
+    "q183_grouped_mode",
+    # identical argmax rule: max count, ties to the LEXICOGRAPHICALLY
+    # smallest value — replayed with row_number on both sides (the
+    # engine mode() functions have unspecified tie behavior)
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rn,
+             CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_events
+      FROM c
+    )
+    SELECT user_id, event_type AS modal_type, n AS modal_n, n_events,
+           CAST((1000000 * n) // n_events AS BIGINT) AS share_ppm
+    FROM r WHERE rn = 1
+    """,
+)
+def q183_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type with a DETERMINISTIC tie rule (max
+    count, then lexicographically smallest — engine mode() functions
+    leave ties unspecified, so neither side uses them) plus its share
+    — the categorical-imputation / dominant-behavior primitive.
+
+    Scale shape: (key, value) count agg map-side, one per-key window
+    over DISTINCT values, ppm from exact integers."""
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    wall = Window.partitionBy("user_id")
+    r = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_events", F.sum("n").over(wall).cast("long")
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_type").alias("modal_type"),
+        F.col("n").alias("modal_n"),
+        "n_events",
+        F.expr("(1000000 * n) div n_events").cast("long").alias(
+            "share_ppm"
+        ),
+    )
+
+
 def _sql_kcore(k: int, rounds: int) -> str:
     """DuckDB twin of operators.graph.kcore: peeling unrolled as
     chained CTEs (aggregation inside a recursive CTE term is not
