@@ -7661,6 +7661,88 @@ def q183_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q184_median_imputation",
+    # identical lower-median rule (value at rank (m+1) div 2 of the
+    # OBSERVED rows — no interpolation) and identical simulated mask
+    # (quantity -> NULL when orderkey % 13 = 0); all-NULL groups stay
+    # NULL
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CASE WHEN l_orderkey % 13 = 0 THEN NULL
+                  ELSE CAST(floor(l_quantity) AS BIGINT) END AS qty
+      FROM lineitem
+    ),
+    o AS (
+      SELECT l_partkey, qty,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY qty ASC) AS rn,
+             count(*) OVER (PARTITION BY l_partkey) AS m
+      FROM b WHERE qty IS NOT NULL
+    ),
+    med AS (
+      SELECT l_partkey,
+             CAST(min(CASE WHEN rn = (m + 1) // 2 THEN qty END)
+               AS BIGINT) AS fill
+      FROM o GROUP BY l_partkey
+    )
+    SELECT b.l_orderkey, b.l_linenumber, b.l_partkey, b.qty,
+           CAST(coalesce(b.qty, med.fill) AS BIGINT) AS qty_imputed,
+           b.qty IS NULL AND med.fill IS NOT NULL AS was_imputed
+    FROM b LEFT JOIN med USING (l_partkey)
+    """,
+)
+def q184_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null repair by group median: line quantities masked NULL (a
+    simulated broken feed: every 13th order) are filled with their
+    part's exact LOWER median of observed values — the numeric
+    imputation step of a cleaning pipeline (q183 is its categorical
+    sibling; q143/q166/q180 flag/clamp/trim, this FILLS).  All-NULL
+    groups stay NULL (was_imputed false) — never silently invent.
+
+    Scale shape: one per-group sort window over observed rows + a
+    tiny per-group fill frame joined back on the key."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.when(
+            F.col("l_orderkey") % 13 == 0, F.lit(None)
+        )
+        .otherwise(F.floor(F.col("l_quantity")))
+        .cast("long")
+        .alias("qty"),
+    )
+    obs = li.filter(F.col("qty").isNotNull())
+    w = Window.partitionBy("l_partkey").orderBy(F.col("qty").asc())
+    wn = Window.partitionBy("l_partkey")
+    med = (
+        obs.withColumn("rn", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(wn))
+        .groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.expr("(m + 1) div 2"), F.col("qty"))
+            )
+            .cast("long")
+            .alias("fill")
+        )
+    )
+    return li.join(med, "l_partkey", "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "qty",
+        F.coalesce(F.col("qty"), F.col("fill"))
+        .cast("long")
+        .alias("qty_imputed"),
+        (F.col("qty").isNull() & F.col("fill").isNotNull()).alias(
+            "was_imputed"
+        ),
+    )
+
+
 def _sql_kcore(k: int, rounds: int) -> str:
     """DuckDB twin of operators.graph.kcore: peeling unrolled as
     chained CTEs (aggregation inside a recursive CTE term is not
