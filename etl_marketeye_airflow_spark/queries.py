@@ -7743,6 +7743,83 @@ def q184_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q185_reconciliation_report",
+    # identical exact algebra: stored cents via IEEE-exact floor,
+    # recomputed cents via DECIMAL sum (order-free) then exact floor;
+    # band = decimal digit count of the cent difference (0 = balanced,
+    # -1 = no lines) — pure integers, no tolerance floats
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey,
+             CAST(floor(100 * sum(
+               CAST(l_extendedprice AS DECIMAL(12,4))
+               * (1 + CAST(l_tax AS DECIMAL(6,4)))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))
+             )) AS BIGINT) AS rc
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS sc, r.rc
+      FROM orders LEFT JOIN r ON o_orderkey = r.l_orderkey
+    ),
+    b AS (
+      SELECT CASE WHEN rc IS NULL THEN -1
+                  WHEN abs(sc - rc) = 0 THEN 0
+                  ELSE length(CAST(abs(sc - rc) AS VARCHAR)) END AS band
+      FROM j
+    )
+    SELECT CAST(band AS INT) AS diff_digits,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY band
+    """,
+)
+def q185_reconciliation_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Books-balance reconciliation: every order's stored total vs the
+    total recomputed from its lines (Σ extprice·(1+tax)·(1−discount)),
+    reported as a digit-banded histogram of the cent difference
+    (band 0 = balanced, −1 = order with no lines) — the cross-table
+    consistency check a finance/ETL pipeline runs between fact tables;
+    this corpus deliberately does NOT reconcile, which is exactly what
+    the report exists to reveal.  All exact: decimal recompute
+    (order-free), IEEE-exact floors, integer bands.
+
+    Scale shape: one map-side-combined per-order decimal agg, one key
+    join, a ≤12-row band groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_orderkey").agg(
+        F.floor(
+            F.lit(100)
+            * F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (F.lit(1) + F.col("l_tax").cast("decimal(6,4)"))
+                * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+            )
+        )
+        .cast("long")
+        .alias("rc")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("sc"),
+    )
+    j = o.join(r, o["o_orderkey"] == r["l_orderkey"], "left")
+    band = (
+        F.when(F.col("rc").isNull(), F.lit(-1))
+        .when(F.abs(F.col("sc") - F.col("rc")) == 0, F.lit(0))
+        .otherwise(
+            F.length(F.abs(F.col("sc") - F.col("rc")).cast("string"))
+        )
+    )
+    return (
+        j.withColumn("diff_digits", band.cast("int"))
+        .groupBy("diff_digits")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
 def _sql_kcore(k: int, rounds: int) -> str:
     """DuckDB twin of operators.graph.kcore: peeling unrolled as
     chained CTEs (aggregation inside a recursive CTE term is not
