@@ -7820,6 +7820,94 @@ def q185_reconciliation_report(
     )
 
 
+@query(
+    "q186_seasonality_profile",
+    # pure integer time algebra — hour = (ts_us div 3600e6) mod 24,
+    # dow = (epoch_day + 4) mod 7 (1970-01-01 was a Thursday) — NO
+    # timezone/date functions on either side (conv 5's surface avoided
+    # entirely); exact counts + truncating purchase-rate ppm
+    oracle="""
+    WITH c AS (
+      SELECT ((epoch_us(ts) // 3600000000) % 24) AS hour_utc,
+             (((epoch_us(ts) // 86400000000) + 4) % 7) AS dow,
+             event_type
+      FROM events
+    )
+    SELECT CAST(dow AS INT) AS dow, CAST(hour_utc AS INT) AS hour_utc,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchases,
+           CAST((1000000 * sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END)) // count(*)
+             AS BIGINT) AS purchase_ppm
+    FROM c GROUP BY dow, hour_utc
+    """,
+)
+def q186_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity grid with purchase rates —
+    the seasonality/load profile behind capacity planning and send-
+    time optimization, computed with PURE integer time arithmetic
+    (hour from µs division, weekday from the epoch-day Thursday
+    anchor) so no engine date/timezone function is on the value path.
+
+    Scale shape: one map-side-combined ≤168-group aggregate."""
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.expr("(ts_us div 3600000000) % 24").cast("int").alias("hour_utc"),
+        F.expr("((ts_us div 86400000000) + 4) % 7").cast("int").alias("dow"),
+        "event_type",
+    )
+    return ev.groupBy("dow", "hour_utc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purchases"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN event_type = 'purchase'"
+            " THEN 1 ELSE 0 END)) div count(*)"
+        )
+        .cast("long")
+        .alias("purchase_ppm"),
+    )
+
+
+@query(
+    "q187_fanout_profile",
+    # distribution of per-key group sizes — the join-multiplicity
+    # histogram; all exact integers
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(sz AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(sz) AS BIGINT) AS n_rows
+    FROM g GROUP BY sz
+    """,
+)
+def q187_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out profile of lineitem's order key: the distribution
+    of group sizes (how many orders have 1, 2, … lines) — the
+    multiplicity histogram that predicts join output size and window
+    cost before you run them (the planning companion to q176's skew
+    Gini).
+
+    Scale shape: groupBy-of-groupBy, both map-side combined; output
+    is |distinct sizes| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return g.groupBy(F.col("sz").alias("group_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("sz").cast("long").alias("n_rows"),
+    )
+
+
 def _sql_kcore(k: int, rounds: int) -> str:
     """DuckDB twin of operators.graph.kcore: peeling unrolled as
     chained CTEs (aggregation inside a recursive CTE term is not
