@@ -7908,6 +7908,163 @@ def q187_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q188_rfm_segments",
+    # identical exact algebra: per-customer R/F/M integers (epoch-day
+    # recency, order count, decimal-summed cents), ntile replaced by
+    # the EXACT rank rule q = ((rn-1)*4) div n + 1 (engine ntile
+    # boundary behavior differs) with a (value, key) total order
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(max(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE))) AS BIGINT)
+               AS last_day,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(floor(100 * sum(CAST(o_totalprice AS DECIMAL(18,4))))
+               AS BIGINT) AS monet
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT o_custkey,
+             ((row_number() OVER (ORDER BY last_day ASC, o_custkey ASC)
+               - 1) * 4) // (SELECT count(*) FROM c) + 1 AS r_q,
+             ((row_number() OVER (ORDER BY freq ASC, o_custkey ASC)
+               - 1) * 4) // (SELECT count(*) FROM c) + 1 AS f_q,
+             ((row_number() OVER (ORDER BY monet ASC, o_custkey ASC)
+               - 1) * 4) // (SELECT count(*) FROM c) + 1 AS m_q
+      FROM c
+    )
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM r GROUP BY r_q, f_q, m_q
+    """,
+)
+def q188_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the customer base: per customer, recency
+    (last order epoch-day), frequency (order count), monetary (exact
+    decimal cent total) — each cut into exact rank quartiles
+    (q = ((rn−1)·4) div n + 1 over a (value, key) total order; engine
+    ntile() boundary rules differ, so neither side uses it) — then the
+    4×4×4 segment census marketing actually consumes.
+
+    Scale shape: one per-customer agg, three rank windows over the
+    CUSTOMER frame (not orders), one ≤64-group census."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.max(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+        )
+        .cast("long")
+        .alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.floor(
+            F.lit(100)
+            * F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        )
+        .cast("long")
+        .alias("monet"),
+    )
+    staged = c.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+    )
+    for col, q in (("last_day", "r_q"), ("freq", "f_q"), ("monet", "m_q")):
+        w = Window.orderBy(F.col(col).asc(), F.col("o_custkey").asc())
+        staged = staged.withColumn(
+            f"_{q}_rn", F.row_number().over(w).cast("long")
+        ).withColumn(
+            q, (F.expr(f"((_{q}_rn - 1) * 4) div _n") + 1).cast("int")
+        )
+    r = staged.select("o_custkey", "r_q", "f_q", "m_q")
+    return r.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@query(
+    "q189_pareto_concentration",
+    # identical exact rule: per-customer cents (floor of a decimal
+    # sum), desc (cents, key) total order, first rank where 5·cum ≥
+    # 4·total (cross-multiplied 80% — no division on the gate path)
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(floor(100 * sum(CAST(o_totalprice AS DECIMAL(18,4))))
+               AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+               AS rn,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cw,
+             CAST(sum(cents) OVER () AS BIGINT) AS w,
+             CAST(count(*) OVER () AS BIGINT) AS n_customers
+      FROM c
+    )
+    SELECT CAST(min(rn) AS BIGINT) AS n_top,
+           CAST(min(n_customers) AS BIGINT) AS n_customers,
+           CAST(min_by(cw, rn) AS BIGINT) AS covered_cents,
+           CAST(min(w) AS BIGINT) AS total_cents,
+           CAST((1000000 * min(rn)) // min(n_customers) AS BIGINT)
+             AS top_frac_ppm
+    FROM r WHERE 5 * cw >= 4 * w
+    """,
+)
+def q189_pareto_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue concentration: the smallest set of top customers
+    covering ≥80% of total revenue (the 80/20 check behind account
+    prioritization and risk concentration) — exact cents, the 80%
+    gate cross-multiplied (5·cum ≥ 4·total), the fraction of the
+    customer base as truncating ppm.
+
+    Scale shape: per-customer agg, one window over the CUSTOMER frame,
+    1-row answer."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.floor(
+            F.lit(100) * F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    wall = Window.partitionBy()
+    r = (
+        c.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cw",
+            F.sum("cents")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .withColumn("w_tot", F.sum("cents").over(wall).cast("long"))
+        .withColumn(
+            "n_customers", F.count(F.lit(1)).over(wall).cast("long")
+        )
+    )
+    hit = r.filter(5 * F.col("cw") >= 4 * F.col("w_tot"))
+    return hit.agg(
+        F.min("rn").cast("long").alias("n_top"),
+        F.min("n_customers").cast("long").alias("n_customers"),
+        F.min_by(F.col("cw"), F.col("rn")).cast("long").alias(
+            "covered_cents"
+        ),
+        F.min("w_tot").cast("long").alias("total_cents"),
+        F.expr("(1000000 * min(rn)) div min(n_customers)")
+        .cast("long")
+        .alias("top_frac_ppm"),
+    )
+
+
 def _sql_kcore(k: int, rounds: int) -> str:
     """DuckDB twin of operators.graph.kcore: peeling unrolled as
     chained CTEs (aggregation inside a recursive CTE term is not
