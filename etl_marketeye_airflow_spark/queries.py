@@ -8065,6 +8065,65 @@ def q189_pareto_concentration(
     )
 
 
+@query(
+    "q190_reorder_gap_histogram",
+    # identical lag window over the (epoch-day, orderkey) total order;
+    # week buckets by truncating div of non-negative gaps
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             o_orderkey
+      FROM orders
+    ),
+    g AS (
+      SELECT d - lag(d) OVER (PARTITION BY o_custkey
+                              ORDER BY d, o_orderkey) AS gap
+      FROM c
+    )
+    SELECT CAST(gap // 7 AS BIGINT) AS gap_weeks,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_days,
+           CAST(max(gap) AS BIGINT) AS max_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY gap // 7
+    """,
+)
+def q190_reorder_gap_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repurchase-cycle histogram: the distribution of day gaps
+    between a customer's consecutive orders, bucketed by week — the
+    inter-arrival profile behind churn thresholds and reorder
+    reminders.  Exact epoch-day integers (NTZ→DATE, conv 5), lag over
+    a total order, truncating week buckets.
+
+    Scale shape: one key shuffle for the lag window, a
+    |weeks|-cardinality groupBy."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("d").asc(), F.col("o_orderkey").asc()
+    )
+    g = o.withColumn("gap", F.col("d") - F.lag("d").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return g.groupBy(F.expr("gap div 7").cast("long").alias("gap_weeks")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_days"),
+        F.max("gap").cast("long").alias("max_days"),
+    )
+
+
 def _sql_kcore(k: int, rounds: int) -> str:
     """DuckDB twin of operators.graph.kcore: peeling unrolled as
     chained CTEs (aggregation inside a recursive CTE term is not
