@@ -7470,7 +7470,12 @@ def q139_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical exact integer inputs (epoch-day x via epoch_us div,
     # cent y via floor — never a bare double→int cast) and identical
     # decimal(38,0) normal-equation algebra; the two display doubles
-    # are one division each of identical operands
+    # are one division each of identical operands.  The >2^53 decimal
+    # operands convert via VARCHAR (conv 16): DuckDB's direct
+    # decimal→double DOUBLE-ROUNDS (hugeint halves) and differs from
+    # Spark's correctly-rounded BigDecimal.doubleValue in the last bit
+    # (2 of 1494 rows, r6 driver red); strtod on the exact digit
+    # string is correctly rounded, matching Spark bit-for-bit.
     oracle="""
     WITH o AS (
       SELECT o_custkey,
@@ -7505,10 +7510,12 @@ def q139_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_custkey, n, slope_num, slope_den,
            CASE WHEN slope_den <> 0
-                THEN CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE)
+                THEN CAST(CAST(slope_num AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(slope_den AS VARCHAR) AS DOUBLE)
            END AS slope,
            CASE WHEN slope_den <> 0
-                THEN CAST(icept_num AS DOUBLE) / CAST(slope_den AS DOUBLE)
+                THEN CAST(CAST(icept_num AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(slope_den AS VARCHAR) AS DOUBLE)
            END AS intercept
     FROM d
     """,
@@ -7545,7 +7552,9 @@ def q140_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q141_grouped_pearson",
     # same suff-stat algebra; corr = num / (sqrt(vx)·sqrt(vy)) with the
-    # identical operand order — sqrt is correctly rounded on both engines
+    # identical operand order — sqrt is correctly rounded on both
+    # engines.  >2^53 decimal→double via VARCHAR roundtrip (conv 16 —
+    # DuckDB's direct cast double-rounds; see q140)
     oracle="""
     WITH o AS (
       SELECT l_suppkey,
@@ -7581,9 +7590,9 @@ def q140_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_suppkey, n, corr_num, var_x_n, var_y_n,
            CASE WHEN var_x_n > 0 AND var_y_n > 0
-                THEN CAST(corr_num AS DOUBLE)
-                     / (sqrt(CAST(var_x_n AS DOUBLE))
-                        * sqrt(CAST(var_y_n AS DOUBLE)))
+                THEN CAST(CAST(corr_num AS VARCHAR) AS DOUBLE)
+                     / (sqrt(CAST(CAST(var_x_n AS VARCHAR) AS DOUBLE))
+                        * sqrt(CAST(CAST(var_y_n AS VARCHAR) AS DOUBLE)))
            END AS corr
     FROM d
     """,
@@ -8535,7 +8544,9 @@ def q146_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM l
     )
     SELECT bucket, n_a, n_b, term_fx,
-           CAST(term_fx AS DOUBLE)
+           -- term_fx can exceed 2^53: VARCHAR roundtrip for the
+           -- correctly-rounded conversion (conv 16; see q140)
+           CAST(CAST(term_fx AS VARCHAR) AS DOUBLE)
              / (CAST(N1 AS DOUBLE) * CAST(M1 AS DOUBLE) * 1048576.0) AS term
     FROM f
     """,
@@ -9257,7 +9268,10 @@ def q157_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q158_quantize_int8",
     # one fixed IEEE operand order ((v−mn)·255)/(mx−mn) then floor —
     # bit-identical codes both engines; generate_subscripts+unnest zip
-    # row-wise in DuckDB; codes list ordered by dim on both sides
+    # row-wise in DuckDB; codes list ordered by dim on both sides,
+    # emitted as a CSV STRING: nested output columns crash the
+    # driver's pandas canonicalizer (r6 — unhashable type 'list'),
+    # so the registry surface is scalar-only (gate-linted)
     oracle="""
     WITH ex AS (
       SELECT vec_id,
@@ -9278,7 +9292,7 @@ def q157_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(count(*) AS BIGINT) AS n_dims,
-           list(code ORDER BY dim) AS codes
+           array_to_string(list(code ORDER BY dim), ',') AS codes_csv
     FROM c GROUP BY vec_id
     """,
 )
@@ -9291,10 +9305,21 @@ def q158_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE operand order, then floor — no accumulation).
 
     Scale shape: explode → n_dims-row stats → broadcast join → per-id
-    reassembly; two map-side-combined shuffles total."""
+    reassembly; two map-side-combined shuffles total.
+
+    Registry surface: codes emit as a CSV string (``codes_csv``) —
+    nested columns crash the driver's canonicalizer; downstream users
+    (q159) consume the operator's array form directly."""
     from .operators.similarity import quantize_int8
 
-    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+    codes = quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return codes.select(
+        "vec_id",
+        "n_dims",
+        F.array_join(
+            F.transform(F.col("codes"), lambda x: x.cast("string")), ","
+        ).alias("codes_csv"),
+    )
 
 
 @query(
@@ -9425,7 +9450,9 @@ def q160_last_touch_attribution(
     "q161_snapshot_diff",
     # identical full-outer + null-safe compare algebra; the simulated
     # new snapshot mutates price by +10.0 (exact double add) on %5
-    # keys, drops %7 keys, and the old snapshot lacks %11 keys
+    # keys, drops %7 keys, and the old snapshot lacks %11 keys;
+    # changed_cols emits as a CSV string (nested outputs crash the
+    # driver's canonicalizer — r6), '' for I/D rows
     oracle="""
     WITH o AS (
       SELECT o_orderkey, o_totalprice, o_orderpriority
@@ -9455,8 +9482,8 @@ def q160_last_touch_attribution(
            CASE WHEN NOT in_old THEN 'I'
                 WHEN NOT in_new THEN 'D'
                 WHEN len(cc) > 0 THEN 'U' END AS status,
-           CASE WHEN in_old AND in_new THEN cc
-                ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+           CASE WHEN in_old AND in_new THEN array_to_string(cc, ',')
+                ELSE '' END AS changed_cols
     FROM j
     WHERE NOT in_old OR NOT in_new OR len(cc) > 0
     """,
@@ -9470,7 +9497,11 @@ def q161_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelogs; this recovers one from two states).
 
     Scale shape: ONE full-outer hash join on the key; change-sized
-    output."""
+    output.
+
+    Registry surface: changed_cols emits as a CSV string ('' for I/D)
+    — nested columns crash the driver's canonicalizer; library users
+    get the operator's array form."""
     from .operators.profile import snapshot_diff
 
     orders = _t(spark, sf_dir, "orders").select(
@@ -9483,8 +9514,11 @@ def q161_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10
         ).otherwise(F.col("o_totalprice")),
     )
-    return snapshot_diff(
+    diff = snapshot_diff(
         old, new, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
+    )
+    return diff.withColumn(
+        "changed_cols", F.array_join(F.col("changed_cols"), ",")
     )
 
 

@@ -38,7 +38,11 @@ def canon_value(v):
             return "nan"
         if v == 0:
             return "0"
-        return f"{v:.9g}"
+        # bit-exact: the driver hashes raw values, so a cross-engine
+        # last-ULP difference is a driver FAIL — `%.9g` masked exactly
+        # that (q140's 2-of-1494 last-bit intercept diffs passed locally
+        # while red on the driver, r6).  hex() is lossless.
+        return v.hex()
     if isinstance(v, decimal.Decimal):
         # Tagged + exact: a Decimal must meet a Decimal on the other
         # side (same digits after scale-normalization), NEVER an int or
@@ -144,6 +148,25 @@ def main() -> int:
         # other (the canon now tags Decimal values, this names the
         # column).  Every such oracle needs an explicit CAST.
         s_types = dict(sdf.dtypes)
+        # Registry-wide output-shape lint: the driver canonicalizes via
+        # pandas sort_values, which CRASHES on list/dict cells
+        # (TypeError: unhashable type 'list' — q158/q161, r6).  Our own
+        # canon stringifies them, so without this lint a nested output
+        # passes locally while unverifiable on the driver.  Stringify
+        # (array_join / array_to_string) or explode before returning.
+        for c, t in s_types.items():
+            if t.startswith(("array<", "map<", "struct<")):
+                problems.append(
+                    f"spark col {c!r} is {t} — nested outputs crash the "
+                    "driver's canonicalizer; stringify or explode"
+                )
+        for c, t in d_types.items():
+            tu = t.upper()
+            if tu.endswith("]") or tu.startswith(("MAP(", "STRUCT(")):
+                problems.append(
+                    f"oracle col {c!r} is {t} — nested outputs crash the "
+                    "driver's canonicalizer; stringify or explode"
+                )
         for c, t in d_types.items():
             tu = t.upper()
             if "HUGEINT" in tu:
