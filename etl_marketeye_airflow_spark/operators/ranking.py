@@ -1,0 +1,105 @@
+"""Distributed global rank / prefix sum — the two-pass range-partitioned
+replacement for an unpartitioned ``Window.orderBy(...)``.
+
+Reference scope: the reference's "sorted distribution + top-N" reports
+(`dags/marketeye_etl_dag.py` brand/condition counts, anomaly top-20)
+sort frames that fit one node.  At the 100 TB posture a global ordered
+window ("WindowExec: No Partition Defined" — Spark moves EVERY row to
+one partition) is the canonical scale-killer; this module gives the
+same (row_number, running sum) semantics with bounded partitions, the
+pattern `corpus.vocab_coverage` and `skyline.skyline_2d` already prove:
+
+1. ``repartitionByRange`` on the total order — the range sampler keeps
+   every partition ≈ rows/N regardless of data volume.  The partitioned
+   frame is PERSISTED and materialized once: partition ids must freeze
+   before fan-out (each re-execution of a range exchange re-samples its
+   boundaries, so ``spark_partition_id`` over two exchange instances is
+   not consistent).
+2. per-partition (count, sum) totals — ≤ N rows, a CONFIG-bounded
+   collect — prefix-folded on the driver into exclusive offsets.
+3. global rank = broadcast offset + per-partition ``row_number``;
+   global running sum = offset + per-partition running sum.
+
+Callers must pass a TOTAL order (include a unique tiebreaker column):
+rows with identical full sort keys could straddle a range boundary and
+the per-partition ``row_number`` would then disagree with a single-sort
+rank.  Eager by design (multi-job): the small result materializes via
+``localCheckpoint`` and the partitioned base unpersists before return.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_rank_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rn",
+    sum_col: str | None = None,
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, int | None]:
+    """Attach a global 1-based ``rank_col`` (row_number over
+    ``order_by``) and, when ``sum_col`` is given, a global inclusive
+    running sum ``cum_col`` of it — without a single-partition sort.
+
+    ``order_by`` must be a TOTAL order (unique full key; add a key
+    tiebreaker).  ``sum_col`` must name an integral/long column so the
+    driver-side prefix fold is exact (Python ints are unbounded).
+
+    Returns ``(ranked_df, total_rows, total_sum)`` — the totals come
+    free from the bounded per-partition collect, so callers never need
+    an unpartitioned ``Window.partitionBy()`` global count/sum either.
+    The returned frame is materialized (localCheckpoint) and the
+    intermediate persist released.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    with_pid = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("_pn")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).cast("long").alias("_psum"))
+    per_pid = sorted(
+        (
+            (r["_pid"], r["_pn"], r["_psum"] if sum_col is not None else 0)
+            for r in with_pid.groupBy("_pid").agg(*aggs).collect()
+        )
+    )  # ≤ n_parts rows — bounded by config, not data
+    offsets, rank_off, sum_off = [], 0, 0
+    for pid, pn, psum in per_pid:
+        offsets.append((pid, rank_off, sum_off))  # EXCLUSIVE prefixes
+        rank_off += pn
+        sum_off += psum
+    total_rows, total_sum = rank_off, (sum_off if sum_col else None)
+    offsets_df = spark.createDataFrame(
+        offsets, "_pid int, _rank_off long, _sum_off long"
+    )
+    wl = Window.partitionBy("_pid").orderBy(*order_by)
+    ranked = with_pid.withColumn("_lrn", F.row_number().over(wl)).join(
+        F.broadcast(offsets_df), "_pid"
+    )
+    if sum_col is not None:
+        ranked = ranked.withColumn(
+            "_lcum",
+            F.sum(sum_col).over(
+                wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).withColumn(
+            cum_col, (F.col("_sum_off") + F.col("_lcum")).cast("long")
+        )
+    ranked = ranked.withColumn(
+        rank_col, (F.col("_rank_off") + F.col("_lrn")).cast("long")
+    )
+    keep = df.columns + [rank_col] + ([cum_col] if sum_col else [])
+    out = ranked.select(*keep).localCheckpoint(eager=True)
+    with_pid.unpersist()
+    return out, total_rows, total_sum

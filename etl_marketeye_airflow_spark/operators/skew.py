@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 _DEC = "decimal(19,4)"
 
@@ -153,17 +152,21 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     top1_share_ppm = 10^6·max div S is a truncating long.  The one
     display double divides identical operands.
 
-    Scale shape: one map-side-combined key-count agg; the rank window
-    runs over the KEY frame (cardinality-sized, not row-sized — same
-    bounded-frame class as the sketch walks); ties in count are
-    Σ-invariant under any order, so the result is partition-
-    independent.
+    Scale shape: one map-side-combined key-count agg; the global rank
+    over the KEY frame runs as the TWO-PASS range-partitioned rank
+    (operators/ranking.py) — a key frame is cardinality-sized, which
+    at 100 TB is billions of keys, so an unpartitioned ordered window
+    here would single-partition it; ties in count are Σ-invariant
+    under any order, so the result is partition-independent.
     """
+    from .ranking import global_rank_cumsum
+
     cnts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    w = Window.orderBy(F.col("cnt").asc(), F.col("k").asc())
-    ranked = cnts.withColumn("i", F.row_number().over(w).cast("long"))
+    ranked, _, _ = global_rank_cumsum(
+        cnts, [F.col("cnt").asc(), F.col("k").asc()], rank_col="i"
+    )
     d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),

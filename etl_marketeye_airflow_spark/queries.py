@@ -7958,8 +7958,15 @@ def q188_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile() boundary rules differ, so neither side uses it) — then the
     4×4×4 segment census marketing actually consumes.
 
-    Scale shape: one per-customer agg, three rank windows over the
-    CUSTOMER frame (not orders), one ≤64-group census."""
+    Scale shape: one per-customer agg, then THREE two-pass
+    range-partitioned global ranks over the customer frame
+    (operators/ranking.py — never an unpartitioned Window.orderBy,
+    which moves every customer to one partition; the global count
+    comes free from the rank pass's bounded per-partition collect,
+    so no Window.partitionBy() global count either), one ≤64-group
+    census."""
+    from .operators.ranking import global_rank_cumsum
+
     o = _t(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(
         F.max(
@@ -7978,15 +7985,24 @@ def q188_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monet"),
     )
-    staged = c.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+    staged, n, _ = global_rank_cumsum(
+        c,
+        [F.col("last_day").asc(), F.col("o_custkey").asc()],
+        rank_col="_r_q_rn",
     )
-    for col, q in (("last_day", "r_q"), ("freq", "f_q"), ("monet", "m_q")):
-        w = Window.orderBy(F.col(col).asc(), F.col("o_custkey").asc())
+    staged, _, _ = global_rank_cumsum(
+        staged,
+        [F.col("freq").asc(), F.col("o_custkey").asc()],
+        rank_col="_f_q_rn",
+    )
+    staged, _, _ = global_rank_cumsum(
+        staged,
+        [F.col("monet").asc(), F.col("o_custkey").asc()],
+        rank_col="_m_q_rn",
+    )
+    for q in ("r_q", "f_q", "m_q"):
         staged = staged.withColumn(
-            f"_{q}_rn", F.row_number().over(w).cast("long")
-        ).withColumn(
-            q, (F.expr(f"((_{q}_rn - 1) * 4) div _n") + 1).cast("int")
+            q, (F.expr(f"((_{q}_rn - 1) * 4) div {n}") + 1).cast("int")
         )
     r = staged.select("o_custkey", "r_q", "f_q", "m_q")
     return r.groupBy("r_q", "f_q", "m_q").agg(
@@ -8035,8 +8051,13 @@ def q189_pareto_concentration(
     gate cross-multiplied (5·cum ≥ 4·total), the fraction of the
     customer base as truncating ppm.
 
-    Scale shape: per-customer agg, one window over the CUSTOMER frame,
-    1-row answer."""
+    Scale shape: per-customer agg, then ONE two-pass range-partitioned
+    rank + prefix-sum over the customer frame (operators/ranking.py —
+    never an unpartitioned ordered window, which single-partitions the
+    customer base; the grand total and customer count come free from
+    the rank pass's bounded per-partition collect), 1-row answer."""
+    from .operators.ranking import global_rank_cumsum
+
     o = _t(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(
         F.floor(
@@ -8045,30 +8066,22 @@ def q189_pareto_concentration(
         .cast("long")
         .alias("cents")
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
-    wall = Window.partitionBy()
-    r = (
-        c.withColumn("rn", F.row_number().over(w).cast("long"))
-        .withColumn(
-            "cw",
-            F.sum("cents")
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("long"),
-        )
-        .withColumn("w_tot", F.sum("cents").over(wall).cast("long"))
-        .withColumn(
-            "n_customers", F.count(F.lit(1)).over(wall).cast("long")
-        )
+    r, n_customers, total_cents = global_rank_cumsum(
+        c,
+        [F.col("cents").desc(), F.col("o_custkey").asc()],
+        rank_col="rn",
+        sum_col="cents",
+        cum_col="cw",
     )
-    hit = r.filter(5 * F.col("cw") >= 4 * F.col("w_tot"))
+    hit = r.filter(5 * F.col("cw") >= 4 * F.lit(total_cents))
     return hit.agg(
         F.min("rn").cast("long").alias("n_top"),
-        F.min("n_customers").cast("long").alias("n_customers"),
+        F.lit(n_customers).cast("long").alias("n_customers"),
         F.min_by(F.col("cw"), F.col("rn")).cast("long").alias(
             "covered_cents"
         ),
-        F.min("w_tot").cast("long").alias("total_cents"),
-        F.expr("(1000000 * min(rn)) div min(n_customers)")
+        F.lit(total_cents).cast("long").alias("total_cents"),
+        F.expr(f"(1000000 * min(rn)) div {n_customers}")
         .cast("long")
         .alias("top_frac_ppm"),
     )
@@ -10444,10 +10457,13 @@ def q175_exact_median_selection(
              AS DECIMAL(38,0)) AS gini_num,
            CAST(CAST(n_keys AS HUGEINT) * n_rows AS DECIMAL(38,0))
              AS gini_den,
-           CAST(CAST(2 * six - (n_keys + 1) * CAST(n_rows AS HUGEINT)
-                  AS DECIMAL(38,0)) AS DOUBLE)
-             / CAST(CAST(CAST(n_keys AS HUGEINT) * n_rows
-                  AS DECIMAL(38,0)) AS DOUBLE) AS gini
+           -- gini_num/gini_den reach K·S, far past 2^53 at scale:
+           -- VARCHAR roundtrip for the correctly-rounded conversion
+           -- (conv 16; see q140)
+           CAST(CAST(CAST(2 * six - (n_keys + 1) * CAST(n_rows AS HUGEINT)
+                  AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(CAST(n_keys AS HUGEINT) * n_rows
+                  AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS gini
     FROM a
     """,
 )
@@ -10457,8 +10473,10 @@ def q176_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — the report that decides between plain shuffle,
     salting (q33), replication (q145), or trusting AQE.
 
-    Scale shape: one map-side key-count agg; rank window over the
-    KEY frame only; one-row output."""
+    Scale shape: one map-side key-count agg; two-pass range-
+    partitioned global rank over the key frame (operators/ranking.py
+    — a key frame is billions of rows at 100 TB, never a global
+    window); one-row output."""
     from .operators.skew import key_skew_report
 
     return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_partkey")

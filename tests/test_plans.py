@@ -275,3 +275,42 @@ def test_tpch_subquery_shapes_decorrelate_cleanly(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
     q75 = executed_plan(reg.QUERIES["q75_tpch_q16_supplier_count"](spark, SF))
     assert "LeftAnti" in q75 and "BroadcastHashJoin" in q75
+
+
+# Unpartitioned ordered windows over CONFIG-BOUNDED frames: each entry
+# names the bound that keeps the single-partition sort trivial at any
+# data volume.  Anything else in the registry must rank via the two-pass
+# range-partitioned pattern (operators/ranking.py) — q188/q189 shipped
+# with global windows over the per-customer frame in r6 and this guard
+# exists so that class can't recur.
+_BOUNDED_WINDOW_ALLOWLIST = {
+    "q124_kmv_sketch": "window after orderBy().limit(k): <= k=256 rows",
+    "q127_quantile_estimate": "cumsum over dyadic sketch buckets "
+    "(<= levels x log(range) rows, config-bounded)",
+    "q132_rrf_hybrid_fusion": "both rank windows follow top-k(20) cuts",
+    "q175_exact_median_selection": "cumsum over the fixed bucket "
+    "histogram (2^bits rows), the selection pattern's bounded frame",
+    "q176_key_skew_report": "",  # fixed r7: two-pass rank — must be clean
+    "q177_quota_sample": "largest-remainder seats over the strata frame "
+    "(categorical cardinality, not rows)",
+    "q54_length_bucket_packing": "cumsum over fixed length buckets",
+}
+
+
+def test_registry_has_no_unbounded_global_windows(spark):
+    """Registry-wide guard (r6 verdict item 4): no query plan may
+    contain an unpartitioned ORDERED window — Spark's 'Moving all data
+    to a single partition' — unless its frame is config-bounded and
+    allowlisted above.  ~2 min: it builds every registry plan."""
+    from etl_marketeye_airflow_spark.plans.explain import (
+        unpartitioned_windows,
+    )
+
+    offenders = {}
+    for name in sorted(reg.QUERIES):
+        df = reg.QUERIES[name](spark, SF)
+        uw = unpartitioned_windows(executed_plan(df))
+        spark.catalog.clearCache()
+        if uw and not _BOUNDED_WINDOW_ALLOWLIST.get(name):
+            offenders[name] = uw[0][:160]
+    assert not offenders, offenders
