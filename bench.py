@@ -176,18 +176,39 @@ def main() -> None:
         print(f"[bench] {name} {best:.2f}s", file=sys.stderr, flush=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "registry_suite_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs": runs,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Reporting contract (r6 verdict item 3): the driver captures only
+    # the LAST ~2 KB of stdout, so the full 190-query map (~5-7 KB) made
+    # BENCH_r02..r06 unparseable ("parsed": null).  The last stdout line
+    # is now a compact <=1 KB summary (total + top-5 slowest); the full
+    # per-query map goes to stderr and bench_full.json for humans.
+    full = {
+        "metric": "registry_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "runs": runs,
+    }
+    print("[bench] full: " + json.dumps(full), file=sys.stderr, flush=True)
+    with open(Path(__file__).resolve().parent / "bench_full.json", "w") as f:
+        json.dump(full, f, indent=1)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
+    compact = {
+        "metric": "registry_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "runs": runs,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "full_map": "stderr + bench_full.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) <= 1024, f"compact bench line {len(line)}B > 1KB"
+    print(line)
 
 
 if __name__ == "__main__":
