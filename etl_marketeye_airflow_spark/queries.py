@@ -88,9 +88,17 @@ def _stddev_samp(sum_d: F.Column, sumsq_d: F.Column, n: F.Column) -> F.Column:
 
 
 # Oracle-side fragments mirroring the helpers above (identical op order).
-_SQL_SUM = "CAST(sum(CAST({c} AS DECIMAL(19,4))) AS DOUBLE)"
+# The decimal→double conversions go through VARCHAR (conv 16): the
+# sum-of-squares is DECIMAL(38,8) whose UNSCALED integer (value·10^8 ≈
+# 10^21 at sf0.01) is far past 2^53, so DuckDB's direct cast
+# (hugeint→double, then ÷10^8) double-rounds while Spark's
+# BigDecimal.doubleValue is correctly rounded — a few-ULP divergence
+# (q03/q04/q33, caught by the r7 hex-canon gate).  strtod on the exact
+# digit string is correctly rounded and identical for in-range values.
+_SQL_SUM = "CAST(CAST(sum(CAST({c} AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)"
 _SQL_SUMSQ = (
-    "CAST(sum(CAST({c} AS DECIMAL(19,4)) * CAST({c} AS DECIMAL(19,4))) AS DOUBLE)"
+    "CAST(CAST(sum(CAST({c} AS DECIMAL(19,4)) * CAST({c} AS DECIMAL(19,4)))"
+    " AS VARCHAR) AS DOUBLE)"
 )
 
 
@@ -234,11 +242,14 @@ def q03_group_market_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS (
       SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)))
-                  OVER (PARTITION BY l_partkey) AS DOUBLE)              AS g_sum,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+             -- VARCHAR roundtrip (conv 16): the sumsq window total is
+             -- DECIMAL(38,8) with an unscaled int past 2^53 — DuckDB's
+             -- direct cast double-rounds (see _SQL_SUMSQ note)
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)))
+                  OVER (PARTITION BY l_partkey) AS VARCHAR) AS DOUBLE)  AS g_sum,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
                       * CAST(l_extendedprice AS DECIMAL(19,4)))
-                  OVER (PARTITION BY l_partkey) AS DOUBLE)              AS g_sumsq,
+                  OVER (PARTITION BY l_partkey) AS VARCHAR) AS DOUBLE)  AS g_sumsq,
              CAST(count(*) OVER (PARTITION BY l_partkey) AS DOUBLE)     AS g_n
       FROM lineitem
     ),

@@ -843,3 +843,70 @@ def test_session_windows_merge_across_batches(spark, tmp_path_factory):
         (t0, t0 + 25 * 60 * 1_000_000 + gap, 3, 7.0),
         (t0 + 2 * h, t0 + 2 * h + gap, 1, 8.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Live-wire integration (opt-in): exercises the REAL JDBC and Mongo
+# paths against running servers.  This sandbox has neither a Postgres
+# container nor the Mongo connector jar, so these are skipped unless the
+# environment provides endpoints:
+#
+#   MARKETEYE_IT_JDBC_URL=jdbc:postgresql://host:5432/db \
+#   MARKETEYE_IT_JDBC_USER=... MARKETEYE_IT_JDBC_PASSWORD=... \
+#   MARKETEYE_IT_MONGO_URI=mongodb://host:27017 \
+#   python -m pytest tests/test_sinks_streaming.py -k live_wire
+#
+# Everything the live test exercises is the SAME code path the
+# serverless contract tests pin (option maps, DDL list, document rows)
+# — this adds only the wire.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MARKETEYE_IT_JDBC_URL"),
+    reason="live JDBC endpoint not configured (MARKETEYE_IT_JDBC_URL)",
+)
+def test_live_wire_jdbc_roundtrip(spark, etl):
+    from etl_marketeye_airflow_spark.operators.merge import flatten_offers
+    from etl_marketeye_airflow_spark.sinks.sinks import (
+        write_jdbc_relational,
+    )
+
+    url = os.environ["MARKETEYE_IT_JDBC_URL"]
+    props = {
+        "user": os.environ.get("MARKETEYE_IT_JDBC_USER", ""),
+        "password": os.environ.get("MARKETEYE_IT_JDBC_PASSWORD", ""),
+        "driver": "org.postgresql.Driver",
+    }
+    merged = etl
+    write_jdbc_relational(merged, flatten_offers(merged), url, props)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "products")
+        .options(**props)
+        .load()
+    )
+    assert back.count() == merged.count()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MARKETEYE_IT_MONGO_URI"),
+    reason="live Mongo endpoint not configured (MARKETEYE_IT_MONGO_URI)",
+)
+def test_live_wire_mongo_roundtrip(etl):
+    pymongo = pytest.importorskip("pymongo")
+    from etl_marketeye_airflow_spark.sinks.sinks import write_mongo_pymongo
+
+    uri = os.environ["MARKETEYE_IT_MONGO_URI"]
+    n = write_mongo_pymongo(
+        etl,
+        client_factory=lambda: pymongo.MongoClient(uri),
+        database="marketeye_it",
+        collection="products_it",
+    )
+    client = pymongo.MongoClient(uri)
+    try:
+        assert client["marketeye_it"]["products_it"].count_documents({}) == n
+    finally:
+        client.close()
