@@ -10625,7 +10625,9 @@ def q178_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_keys,
            CAST(max(n_rows) AS BIGINT) AS n_rows,
            CAST(sum(term) AS DECIMAL(38,0)) AS h_fx,
-           CAST(CAST(sum(term) AS DECIMAL(38,0)) AS DOUBLE)
+           -- h_fx ~ N·66M can pass 2^53 past sf1: VARCHAR roundtrip
+           -- for the correctly-rounded conversion (conv 16)
+           CAST(CAST(CAST(sum(term) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
              / (CAST(max(n_rows) AS DOUBLE) * 1048576.0) AS entropy_bits
     FROM s
     """,
