@@ -10880,20 +10880,25 @@ def _qnum(name: str) -> int:
 
 
 def _sweep_order(name: str) -> tuple[int, int]:
-    # Group -1: the last external verdict on this query was a FAILURE
-    # and it hasn't been re-checked since — a claimed fix MUST be
-    # confirmed before anything else gets budget (the q87 case: with 65
-    # never-verified queries ahead of it, a plain staleness order would
-    # push the one known-red-until-proven-green query past the ~50-row
-    # cap for another round).  Group 0: never externally verified —
-    # these land inside the next capped sweep.  Group 1: verified at
-    # some point but missing from the latest file (one round stale).
-    # Group 2: green in the latest file.  Numeric within each group.
+    # Group -1: the last external verdict on this query was a FAILURE —
+    # a claimed fix MUST be confirmed before anything else gets budget
+    # (the q87 case: with 65 never-verified queries ahead of it, a plain
+    # staleness order would push the one known-red-until-proven-green
+    # query past the ~50-row cap for another round).  _LAST_RED is
+    # derived from each key's row in the NEWEST file containing it, so a
+    # re-verified-green query drops out of it by construction — no extra
+    # guard.  (r7 fix: the old `and name not in _LATEST_SWEPT` guard
+    # demoted queries red IN the newest file — exactly the 5 r6 reds —
+    # to group 2, starving their re-check.)  Group 0: never externally
+    # verified — these land inside the next capped sweep.  Group 1:
+    # verified at some point but missing from the latest file (one round
+    # stale).  Group 2: green in the latest file.  Numeric within each
+    # group.
     import os
 
     if os.environ.get("SPARK_GRAFT_SWEEP_ORDER") == "numeric":
         return (0, _qnum(name))
-    if name in _LAST_RED and name not in _LATEST_SWEPT:
+    if name in _LAST_RED:
         group = -1
     elif name not in _EVER_SWEPT:
         group = 0

@@ -18,9 +18,20 @@ from check_correctness import canon_value  # noqa: E402
 def test_decimal_is_tagged_never_equals_int_or_float():
     assert canon_value(decimal.Decimal("5.0000")) == "dec:5"
     assert canon_value(5) == "5"
-    assert canon_value(5.0) == "5"
+    # floats canon BIT-EXACTLY via hex() (r7: %.9g masked q140's
+    # last-ULP cross-engine diff) — so float never equals int either
+    assert canon_value(5.0) == (5.0).hex()
     assert canon_value(decimal.Decimal("5")) != canon_value(5)
     assert canon_value(decimal.Decimal("123.45")) != canon_value(123.45)
+
+
+def test_float_canon_is_bit_exact():
+    a = -11196315986725654 / 78009800  # q140's divergent intercept
+    b = float.fromhex("-0x1.11c05002cc5bcp+27")  # DuckDB's double-rounded
+    assert abs(a - b) / abs(a) < 1e-15  # %.9g could not tell them apart
+    assert canon_value(a) != canon_value(b)
+    assert canon_value(0.0) == canon_value(-0.0) == "0"
+    assert canon_value(float("nan")) == "nan"
 
 
 def test_decimal_scale_normalized_exact():
@@ -35,10 +46,10 @@ def test_decimal_scale_normalized_exact():
     assert canon_value(v) == "dec:12345678901234567890.1234"
 
 
-def test_float_canon_unchanged():
+def test_float_canon_sentinels():
     assert canon_value(float("nan")) == "nan"
     assert canon_value(0.0) == "0"
-    assert canon_value(1.5) == "1.5"
+    assert canon_value(1.5) == (1.5).hex()  # r7: bit-exact hex canon
 
 
 def test_duckdb_hugeint_detectable_via_describe():
@@ -59,10 +70,13 @@ def test_duckdb_hugeint_detectable_via_describe():
 
 
 def test_sweep_order_red_first():
-    """A query whose last external verdict was a failure (and unseen
-    since) outranks never-verified queries, which outrank stale-green,
-    which outrank latest-green; numeric inside each group; the env
-    override restores plain numeric order."""
+    """A query whose last external verdict was a failure outranks
+    never-verified queries, which outrank stale-green, which outrank
+    latest-green; numeric inside each group; the env override restores
+    plain numeric order.  Red-first holds even when the failure is in
+    the LATEST file (r7 fix: the old not-in-latest guard demoted
+    exactly those — the just-diagnosed reds — to the back of the
+    sweep)."""
     import importlib
     import os
 
@@ -86,8 +100,13 @@ def test_sweep_order_red_first():
             assert order2 == ["q01_a", "q87_x", "q140_new"]
         finally:
             del os.environ["SPARK_GRAFT_SWEEP_ORDER"]
-        # a red query that HAS been re-verified since is no longer -1
+        # red in the LATEST file still sorts first (the r6 failure mode)
         Q._LATEST_SWEPT = frozenset({"q01_a", "q87_x"})
+        assert Q._sweep_order("q87_x")[0] == -1
+        # a re-verified-green query leaves _LAST_RED by construction
+        # (_sweep_key_sets derives red from each key's NEWEST row) and
+        # only then demotes to latest-green
+        Q._LAST_RED = frozenset()
         assert Q._sweep_order("q87_x")[0] == 2
     finally:
         Q._LAST_RED, Q._EVER_SWEPT, Q._LATEST_SWEPT = orig
