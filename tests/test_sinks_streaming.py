@@ -1,6 +1,7 @@
 """Tests for sinks (S4/S5/S8 real roundtrips), HTTP enrichment with
 injected clients, and the Structured Streaming ingestion path."""
 
+import os
 from pathlib import Path
 
 import pytest

@@ -110,3 +110,67 @@ def test_sweep_order_red_first():
         assert Q._sweep_order("q87_x")[0] == 2
     finally:
         Q._LAST_RED, Q._EVER_SWEPT, Q._LATEST_SWEPT = orig
+
+
+def test_conv16_varchar_roundtrip_is_correctly_rounded():
+    """conv 16's foundation, property-tested: for decimals past 2^53,
+    DuckDB's `CAST(CAST(x AS VARCHAR) AS DOUBLE)` must equal Python's
+    int→float (correctly rounded, and what Spark's
+    BigDecimal.doubleValue produces) — while the DIRECT cast is allowed
+    to double-round.  If a DuckDB upgrade ever changes either side,
+    this is the tripwire to re-audit every conv-16 oracle."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(140)
+    con = duckdb.connect()
+    for _ in range(300):
+        v = rng.randrange(2**53, 2**77)
+        if rng.random() < 0.5:
+            v = -v
+        via_str = con.execute(
+            f"SELECT CAST(CAST(CAST('{v}' AS DECIMAL(38,0)) AS VARCHAR)"
+            f" AS DOUBLE)"
+        ).fetchone()[0]
+        assert via_str == float(v), v  # roundtrip == correctly rounded
+    # the direct cast REALLY double-rounds on this DuckDB build — on
+    # the two values q140 diverged on in r6 (random draws almost never
+    # land in the double-rounding tie window; these are known ties).
+    # If this ever starts passing, the workaround is obsolete, not
+    # wrong — re-audit conv 16 then.
+    diverged = 0
+    for v in (-11196315986725654, -10138279667006634):
+        direct, via_str = con.execute(
+            f"SELECT CAST(CAST('{v}' AS DECIMAL(38,0)) AS DOUBLE),"
+            f" CAST(CAST(CAST('{v}' AS DECIMAL(38,0)) AS VARCHAR)"
+            f" AS DOUBLE)"
+        ).fetchone()
+        assert via_str == float(v), v
+        if direct != float(v):
+            diverged += 1
+    assert diverged == 2, "direct decimal->double no longer double-rounds?"
+
+
+def test_conv16_scaled_decimal_roundtrip():
+    """The q03/q04/q33 shape: DECIMAL(38,8) whose UNSCALED int exceeds
+    2^53 even though the value is small.  The VARCHAR roundtrip must
+    match Python's correctly-rounded Fraction→float."""
+    import random
+    from fractions import Fraction
+
+    import duckdb
+
+    rng = random.Random(33)
+    con = duckdb.connect()
+    for _ in range(200):
+        unscaled = rng.randrange(2**53, 2**70)
+        # build the decimal from its digit string directly (exact)
+        s = str(unscaled)
+        txt = s[:-8] + "." + s[-8:]
+        via_str = con.execute(
+            f"SELECT CAST(CAST(CAST('{txt}' AS DECIMAL(38,8)) AS VARCHAR)"
+            f" AS DOUBLE)"
+        ).fetchone()[0]
+        want = float(Fraction(unscaled, 10**8))
+        assert via_str == want, txt
