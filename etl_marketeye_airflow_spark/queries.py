@@ -5066,17 +5066,43 @@ def q99_prefix_filter_similarity_join(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.collect_list(F.struct("cnt", "gram")).alias("cg"))
         .select(
             "doc_id",
+            F.size("cg").alias("n_grams"),
             F.expr(
                 "slice(array_sort(cg), 1, "
                 "size(cg) - ((7 * size(cg) + 19) div 20) + 1)"
             ).alias("pfx"),
         )
-        .select("doc_id", F.explode("pfx.gram").alias("gram"))
+        .select(
+            "doc_id",
+            "n_grams",
+            F.explode("pfx.gram").alias("gram"),
+        )
     )
+    # PPJoin's LENGTH FILTER applied at CANDIDATE GENERATION (not just
+    # verify): J ≥ t forces 20·min(|A|,|B|) ≥ 7·max(|A|,|B|), and each
+    # prefix row already knows its doc's gram count — pruning here
+    # shrinks the candidate set BEFORE the distinct shuffle and the
+    # array-carrying verify joins (lossless: the same inequality is
+    # re-checked nowhere-cheaper downstream).
     cand = (
-        prefix.select(F.col("doc_id").alias("id_a"), "gram")
-        .join(prefix.select(F.col("doc_id").alias("id_b"), "gram"), "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
+        prefix.select(
+            F.col("doc_id").alias("id_a"), F.col("n_grams").alias("n_a"), "gram"
+        )
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("n_grams").alias("n_b"),
+                "gram",
+            ),
+            "gram",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(20) * F.least("n_a", "n_b")
+                >= F.lit(7) * F.greatest("n_a", "n_b")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
