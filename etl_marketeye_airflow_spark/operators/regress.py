@@ -318,3 +318,103 @@ def kolmogorov_smirnov(
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("ks_d"),
     )
+
+
+def grouped_covariance(
+    df: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-group covariance/correlation MATRIX over k integer-valued
+    long columns in ONE aggregation pass — the multi-feature drift
+    monitor (which feature pairs decoupled after the new drop?) that
+    generalizes ``grouped_pearson`` from one pair to all k·(k+1)/2.
+
+    Same determinism contract as ``grouped_ols``: integer inputs,
+    BIGINT first moments, decimal(38,0) second-moment sums of
+    decimal(19,0) products, and per-pair exact terms
+
+        cov_num(a,b) = n·S_ab − S_a·S_b          (n·cov, decimal exact)
+        var_n(a)     = n·S_aa − S_a²
+
+    with ONE display double per pair, corr = cov_num/(√var_a·√var_b)
+    — the q141 operand order, bit-identical cross-engine (oracles
+    convert the >2^53 decimals via VARCHAR, conv 16).  Diagonal pairs
+    (a,a) are included (cov_num = var_n, corr ≈ 1 up to one rounding —
+    same value on both engines).
+
+    Output: one row per (group, var_a ≤ var_b) pair with columns
+    (group…, var_a, var_b, n, cov_num, var_a_n, var_b_n, corr);
+    var names order lexicographically within a pair.
+
+    Scale shape: ONE map-side-combined groupBy computing all k first
+    moments + k·(k+1)/2 product sums, then a per-row inline explode of
+    the (small) group frame into pair rows — no joins, no windows, no
+    second pass over the data.
+    """
+    if len(value_cols) < 2:
+        raise ValueError("need at least two value columns")
+    cols = sorted(value_cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).cast("long").alias(f"_s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum((_d19(F.col(a)) * _d19(F.col(b))).cast(D38))
+                .cast(D38)
+                .alias(f"_p_{a}_{b}")
+            )
+    g = df.groupBy(*group_cols).agg(*aggs).filter(
+        F.col("n") >= F.lit(min_n)
+    )
+    n = F.col("n")
+    pair_structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            cov_num = (
+                _d19(n) * F.col(f"_p_{a}_{b}") - _d19(F.col(f"_s_{a}")) * _d19(F.col(f"_s_{b}"))
+            ).cast(D38)
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("var_a"),
+                    F.lit(b).alias("var_b"),
+                    cov_num.alias("cov_num"),
+                )
+            )
+    staged = g.withColumn("_pairs", F.array(*pair_structs))
+    # variance terms stay addressable per group row for the corr join-
+    # free lookup: map var name -> var_n
+    var_map = F.create_map(
+        *[
+            x
+            for c in cols
+            for x in (
+                F.lit(c),
+                (
+                    _d19(n) * F.col(f"_p_{c}_{c}")
+                    - _d19(F.col(f"_s_{c}")) * _d19(F.col(f"_s_{c}"))
+                ).cast(D38),
+            )
+        ]
+    )
+    staged = staged.withColumn("_vars", var_map).select(
+        *group_cols, "n", F.explode("_pairs").alias("_p"), "_vars"
+    )
+    va = F.col("_vars")[F.col("_p.var_a")]
+    vb = F.col("_vars")[F.col("_p.var_b")]
+    pos = (va > F.lit(0).cast(D38)) & (vb > F.lit(0).cast(D38))
+    corr = F.col("_p.cov_num").cast("double") / (
+        F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))
+    )
+    return staged.select(
+        *group_cols,
+        F.col("_p.var_a").alias("var_a"),
+        F.col("_p.var_b").alias("var_b"),
+        "n",
+        F.col("_p.cov_num").alias("cov_num"),
+        va.alias("var_a_n"),
+        vb.alias("var_b_n"),
+        F.when(pos, corr).alias("corr"),
+    )

@@ -10845,6 +10845,271 @@ def q182_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q191_oracle() -> str:
+    """Suffstat + pair-unpivot SQL for q191, generated so the 6 pair
+    selects can't drift from each other; identical algebra to
+    operators/regress.py:grouped_covariance (conv 16 VARCHAR casts on
+    the >2^53 decimals)."""
+    cols = ["cents", "disc_bp", "qty"]  # lexicographic, like the operator
+    prods = ",\n         ".join(
+        f"CAST(sum(CAST({a} AS DECIMAL(19,0)) * CAST({b} AS DECIMAL(19,0)))"
+        f" AS DECIMAL(38,0)) AS p_{a}_{b}"
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    )
+    sums = ",\n         ".join(
+        f"CAST(sum({c}) AS BIGINT) AS s_{c}" for c in cols
+    )
+
+    def covnum(a: str, b: str) -> str:
+        return (
+            f"CAST(CAST(n AS DECIMAL(19,0)) * p_{a}_{b}"
+            f" - CAST(s_{a} AS DECIMAL(19,0)) * CAST(s_{b} AS DECIMAL(19,0))"
+            f" AS DECIMAL(38,0))"
+        )
+
+    pair_sel = "\n      UNION ALL\n      ".join(
+        f"SELECT l_returnflag, '{a}' AS var_a, '{b}' AS var_b, n,\n"
+        f"             {covnum(a, b)} AS cov_num,\n"
+        f"             {covnum(a, a)} AS var_a_n,\n"
+        f"             {covnum(b, b)} AS var_b_n\n"
+        f"      FROM a"
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    )
+    return f"""
+    WITH o AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity) AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(floor(l_discount * 10000) AS BIGINT) AS disc_bp
+      FROM lineitem
+    ),
+    a AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         {sums},
+         {prods}
+      FROM o GROUP BY l_returnflag HAVING count(*) >= 2
+    ),
+    p AS (
+      {pair_sel}
+    )
+    SELECT l_returnflag, var_a, var_b, n, cov_num, var_a_n, var_b_n,
+           CASE WHEN var_a_n > 0 AND var_b_n > 0
+                THEN CAST(CAST(cov_num AS VARCHAR) AS DOUBLE)
+                     / (sqrt(CAST(CAST(var_a_n AS VARCHAR) AS DOUBLE))
+                        * sqrt(CAST(CAST(var_b_n AS VARCHAR) AS DOUBLE)))
+           END AS corr
+    FROM p
+    """
+
+
+@query(
+    "q191_grouped_covariance_matrix",
+    # identical exact algebra to q140/q141 generalized to all pairs;
+    # one display double per pair with the q141 operand order and
+    # conv-16 VARCHAR casts (cov_num ~ n·S_ab reaches ~1e21 here)
+    oracle=_q191_oracle(),
+)
+def q191_grouped_covariance_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-returnflag covariance/correlation MATRIX of (quantity,
+    price-cents, discount-basis-points) — the multi-feature drift
+    monitor (which feature pairs decoupled after the new data drop?)
+    extending q140/q141's exact-suffstat discipline from one pair to
+    all k·(k+1)/2 in ONE aggregation pass (operators/regress.py:
+    grouped_covariance).
+
+    Scale shape: one map-side-combined groupBy computing all first
+    moments and product sums; pair rows come from a per-row inline
+    array explode of the (tiny) group frame — no joins, no windows,
+    no second pass."""
+    from .operators.regress import grouped_covariance
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
+    )
+    return grouped_covariance(
+        li, ["l_returnflag"], ["qty", "cents", "disc_bp"], min_n=2
+    )
+
+
+@query(
+    "q192_twap",
+    # identical lead window over the per-user (ts_us, event_id) total
+    # order; segment products exact as decimal(19,0)·(19,0) → (38,0)
+    # sums (cents·µs ~ 1e18 wraps int64 — conv 11); display double via
+    # conv-16 VARCHAR on the >2^53 numerator
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT user_id, cents, ts_us,
+             lead(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS nxt
+      FROM c
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_points,
+             CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+             CAST(sum(CASE WHEN nxt IS NOT NULL
+                           THEN CAST(cents AS DECIMAL(19,0))
+                                * CAST(nxt - ts_us AS DECIMAL(19,0))
+                      END) AS DECIMAL(38,0)) AS twap_num
+      FROM s GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT user_id, n_points, span_us, twap_num,
+           CASE WHEN span_us > 0
+                THEN CAST(CAST(twap_num AS VARCHAR) AS DOUBLE)
+                     / CAST(span_us AS DOUBLE) / 100.0
+           END AS twap
+    FROM a
+    """,
+)
+def q192_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average purchase value (TWAP): the
+    last-observation step function integrated over the observation
+    span — the standard financial/sensor average that row-means get
+    wrong when observations cluster (q139's EMA weighs by COUNT
+    recency; this weighs by HOLDING TIME).  Σ cents·Δt is exact
+    decimal (cents·µs wraps int64 — conv 11); one display division
+    chain per user, identical operand order both engines.
+
+    Scale shape: one per-key lead window (key-partitioned, never
+    global), one map-side-combined groupBy; span and n come from the
+    same agg."""
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    c = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    s = c.withColumn("nxt", F.lead("ts_us").over(w))
+    seg = F.when(
+        F.col("nxt").isNotNull(),
+        F.col("cents").cast("decimal(19,0)")
+        * (F.col("nxt") - F.col("ts_us")).cast("decimal(19,0)"),
+    )
+    a = (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            (F.max("ts_us") - F.min("ts_us")).cast("long").alias("span_us"),
+            F.sum(seg).cast("decimal(38,0)").alias("twap_num"),
+        )
+        .filter(F.col("n_points") >= 2)
+    )
+    return a.select(
+        "user_id",
+        "n_points",
+        "span_us",
+        "twap_num",
+        F.when(
+            F.col("span_us") > 0,
+            F.col("twap_num").cast("double")
+            / F.col("span_us").cast("double")
+            / F.lit(100.0),
+        ).alias("twap"),
+    )
+
+
+@query(
+    "q193_funnel_conversion",
+    # identical first-reach rule per step: first 'view', first 'click'
+    # STRICTLY after it, first 'purchase' strictly after that — exact
+    # integer µs mins, truncating-ppm conversion rates
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+                         AND epoch_us(e.ts) > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+                         AND epoch_us(e.ts) > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+           CAST((1000000 * (SELECT count(*) FROM c))
+                // (SELECT count(*) FROM v) AS BIGINT) AS click_ppm,
+           CAST((1000000 * (SELECT count(*) FROM p))
+                // (SELECT count(*) FROM c) AS BIGINT) AS purchase_ppm
+    """,
+)
+def q193_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user
+    reaches step k at the FIRST event of that type strictly after
+    their step-(k−1) reach time — the product-analytics primitive
+    q172's free trigrams and q160's attribution don't express (the
+    funnel requires the specific ordered subsequence, not adjacency).
+    Exact integer µs everywhere; rates as truncating ppm.
+
+    Scale shape: one filtered map-side min-agg per step + one key
+    equi-join per transition (each frame is user-cardinality-sized);
+    no windows, 1-row output."""
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts_us", "event_type")
+
+    def first_after(step: str, prev: DataFrame, tcol: str, out: str):
+        j = ev.filter(F.col("event_type") == step).join(
+            prev, "user_id"
+        ).filter(F.col("ts_us") > F.col(tcol))
+        return j.groupBy("user_id").agg(
+            F.min("ts_us").cast("long").alias(out)
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").cast("long").alias("t1"))
+    )
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    counts = (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("long").alias("n_click")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase"))
+        )
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.expr("(1000000 * n_click) div n_view")
+        .cast("long")
+        .alias("click_ppm"),
+        F.expr("(1000000 * n_purchase) div n_click")
+        .cast("long")
+        .alias("purchase_ppm"),
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
