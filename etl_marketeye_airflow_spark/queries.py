@@ -11110,6 +11110,226 @@ def q193_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q194_edit_distance_join",
+    # the oracle is the EXACT banded all-pairs answer with zero prefix
+    # mechanics (q99's convention): EDJoin's count-filter theorem
+    # (Xiao et al., VLDB 2008) makes the Spark side's rare-gram prefix
+    # candidate generation LOSSLESS — ed(a,b) ≤ k destroys ≤ k·q
+    # distinct q-grams, so |G(a)∩G(b)| ≥ max|G| − k·q and the (k·q+1)
+    # rarest grams of each side must intersect; levenshtein() is the
+    # same integer DP on both engines
+    oracle="""
+    WITH n AS (
+      SELECT c_custkey AS k, c_name AS s FROM customer
+      WHERE c_custkey % 7 = 0 AND length(c_name) >= 12
+    )
+    SELECT a.k AS id_a, b.k AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM n a JOIN n b
+      ON a.k < b.k AND abs(length(a.s) - length(b.s)) <= 2
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def q194_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance self-join (ed ≤ 2 over customer names,
+    universe c_custkey % 7 = 0 to keep the all-pairs ORACLE tractable
+    at sf0.1) — the entity-resolution primitive for typo'd keys, via
+    EDJoin's lossless prefix filter rather than all-pairs:
+
+    1. char 3-gram SETS per name (an edit destroys ≤ q distinct
+       grams, so k edits destroy ≤ k·q — the count-filter theorem);
+    2. each name indexes only its k·q+1 = 7 RAREST grams under the
+       global (frequency, gram) order — two names at ed ≤ k MUST
+       share one (prefix principle with t = max|G| − k·q, and the
+       length-≥12 floor keeps |G| > k·q so the bound stays positive);
+    3. candidates get the lossless length band |len_a−len_b| ≤ k,
+       then ONE exact levenshtein verify per candidate.
+
+    Rare-first prefixes make the bucket join skew-resistant exactly
+    like q99 (the ubiquitous 'Customer#0' grams never join).
+
+    Scale shape: gram posting agg + frequency join (gram-keyed,
+    map-side combined), per-name bounded array_sort (no global
+    window), prefix self-equi-join on gram, distinct, verify join —
+    the q99 cost model with character grams."""
+    K, Q = 2, 3
+    base = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_custkey") % 7 == 0) & (F.length("c_name") >= 12)
+        )
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("s"),
+            F.length("c_name").alias("slen"),
+        )
+        .persist()
+    )
+    grams = base.select(
+        "k",
+        "slen",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(sequence(1, length(s) - {Q - 1}),"
+                       f" i -> substring(s, i, {Q}))")
+            )
+        ).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix = (
+        grams.join(freq, "gram")
+        .groupBy("k", "slen")
+        .agg(F.collect_list(F.struct("cnt", "gram")).alias("cg"))
+        .select(
+            "k",
+            "slen",
+            F.explode(
+                F.expr(f"slice(array_sort(cg), 1, {K * Q + 1})")
+            ).alias("_p"),
+        )
+        .select("k", "slen", F.col("_p.gram").alias("gram"))
+    )
+    cand = (
+        prefix.select(
+            F.col("k").alias("id_a"), F.col("slen").alias("len_a"), "gram"
+        )
+        .join(
+            prefix.select(
+                F.col("k").alias("id_b"),
+                F.col("slen").alias("len_b"),
+                "gram",
+            ),
+            "gram",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= K)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    na = base.select(F.col("k").alias("_ia"), F.col("s").alias("s_a"))
+    nb = base.select(F.col("k").alias("_ib"), F.col("s").alias("s_b"))
+    out = (
+        cand.join(na, F.col("id_a") == F.col("_ia"))
+        .join(nb, F.col("id_b") == F.col("_ib"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("s_a"), F.col("s_b")).cast("long")
+        )
+        .filter(F.col("dist") <= K)
+        .select("id_a", "id_b", "dist")
+        .localCheckpoint()
+    )
+    base.unpersist()
+    return out
+
+
+@query(
+    "q195_incremental_near_dup",
+    # the oracle is the EXACT new×old answer (inverted-index form,
+    # conv 7) with zero prefix mechanics — the prefix-filter theorem
+    # (q99) is side-agnostic, so the incremental candidate join is
+    # lossless by construction at any data
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents),
+    n AS (SELECT doc_id, len(grams) AS n FROM sh),
+    post AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS i
+      FROM post a JOIN post b ON a.gram = b.gram
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_new, id_old,
+           CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN n na ON na.doc_id = id_new
+    JOIN n nb ON nb.doc_id = id_old
+    WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.35
+    """,
+)
+def q195_incremental_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL near-dup screening — the daily-drop shape q22/q99
+    batch over the whole corpus: a NEW batch (simulated: doc_id % 5
+    = 0) is checked against the INDEXED old corpus only (new×old
+    pairs, exact 3-gram Jaccard ≥ 0.35), never old×old (already
+    deduped) and not new×new (q99's job on the batch).
+
+    Same lossless prefix filter as q99, with the incremental twist:
+    gram frequencies come from the OLD corpus index (the stable
+    artifact a production index ships with; grams unseen in it rank
+    rarest at cnt 0).  Losslessness needs only A consistent total
+    order on grams — which (cnt, gram) over any fixed corpus is — so
+    recall stays 100% by construction, not by tuning.
+
+    Scale shape: the new batch's posting/prefix frames scale with the
+    BATCH, not the corpus; the candidate join hits the corpus prefix
+    index on gram (rare-first prefixes keep buckets skew-free); one
+    exact verify per candidate."""
+    from .operators.dedup import word_shingles
+
+    sh = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", word_shingles(F.col("text"), 3).alias("grams"))
+        .persist()
+    )
+    is_new = F.col("doc_id") % 5 == 0
+    post = sh.select("doc_id", F.explode("grams").alias("gram"))
+    # index-side frequencies: OLD corpus only (the shipped artifact)
+    freq = (
+        post.filter(~is_new)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def prefixes(p: DataFrame) -> DataFrame:
+        return (
+            p.join(freq, "gram", "left")
+            .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("cnt", "gram")).alias("cg"))
+            .select(
+                "doc_id",
+                F.expr(
+                    "slice(array_sort(cg), 1, "
+                    "size(cg) - ((7 * size(cg) + 19) div 20) + 1)"
+                ).alias("pfx"),
+            )
+            .select("doc_id", F.explode("pfx.gram").alias("gram"))
+        )
+
+    pfx_new = prefixes(post.filter(is_new)).select(
+        F.col("doc_id").alias("id_new"), "gram"
+    )
+    pfx_old = prefixes(post.filter(~is_new)).select(
+        F.col("doc_id").alias("id_old"), "gram"
+    )
+    cand = (
+        pfx_new.join(pfx_old, "gram").select("id_new", "id_old").distinct()
+    )
+    ga = sh.select(F.col("doc_id").alias("_in"), F.col("grams").alias("g_n"))
+    gb = sh.select(F.col("doc_id").alias("_io"), F.col("grams").alias("g_o"))
+    inter = F.size(F.array_intersect("g_n", "g_o"))
+    union = F.size("g_n") + F.size("g_o") - inter
+    out = (
+        cand.join(ga, F.col("id_new") == F.col("_in"))
+        .join(gb, F.col("id_old") == F.col("_io"))
+        .filter(
+            F.lit(20) * F.least(F.size("g_n"), F.size("g_o"))
+            >= F.lit(7) * F.greatest(F.size("g_n"), F.size("g_o"))
+        )
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= 0.35)
+        .select("id_new", "id_old", "jaccard")
+        .localCheckpoint()
+    )
+    sh.unpersist()
+    return out
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
