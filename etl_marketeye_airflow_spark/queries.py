@@ -11330,6 +11330,128 @@ def q195_incremental_near_dup(
     return out
 
 
+@query(
+    "q196_join_size_from_histograms",
+    # the oracle COUNTS THE ACTUAL JOIN — an independent computation of
+    # the same number (the identity |A ⋈_k A| = Σ_k cnt(k)² is what the
+    # query claims; the oracle materializes nothing either, count(*)
+    # streams)
+    oracle="""
+    WITH j AS (
+      SELECT 1 FROM events a JOIN events b ON a.user_id = b.user_id
+    ),
+    c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           (SELECT CAST(count(*) AS BIGINT) FROM j) AS join_rows
+    FROM c
+    """,
+)
+def q196_join_size_from_histograms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT self-join cardinality from the key histogram — |A ⋈_k A|
+    = Σ_k cnt(k)², computed from one count-agg WITHOUT executing the
+    join (the q187/q176 planning family's missing number: what a
+    shuffle on this key will actually produce; decides broadcast vs
+    salting vs rethinking the key before burning the cluster on it).
+    The oracle independently COUNTS the real join, so the gate proves
+    the identity, not a replay.
+
+    Σ cnt² as decimal(38,0) (a hot key wraps int64 at cnt ≥ ~3e9 —
+    conv 11) but emitted as BIGINT here (pinned in-range: join_rows
+    is itself a count the engine must represent).
+
+    Scale shape: ONE map-side-combined count agg + a 1-row reduce —
+    the join itself never runs on the Spark side."""
+    from .sources.tables import load_events
+
+    c = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.sum(
+            (
+                F.col("cnt").cast("decimal(19,0)")
+                * F.col("cnt").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("join_rows"),
+    )
+
+
+@query(
+    "q197_rolling_active_users",
+    # identical contribution-explode rule: each (user, active-day)
+    # pair contributes to days d..d+6; exact DISTINCT per day; the
+    # grid is restricted to observed days on both sides
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+      SELECT d.day AS day, u.user_id
+      FROM ud u JOIN days d
+        ON d.day BETWEEN u.day AND u.day + 6
+    )
+    SELECT day AS epoch_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib GROUP BY day
+    """,
+)
+def q197_rolling_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day active users (WAU) per observed day — the
+    engagement denominator every product dashboard needs, computed
+    EXACTLY: sliding-window COUNT DISTINCT, which no window function
+    expresses (distinct doesn't decompose over frames).  Shape: the
+    (user, day) frame dedupes first (events collapse to ≤ 1 row per
+    user-day), each pair then contributes to the ≤ 7 window days it
+    falls in (bounded fan-out — the q174 sliding-window rule applied
+    to users), and a per-day distinct agg finishes.
+
+    Integer epoch days from µs division — no date/TZ functions on
+    the value path (conv: q186).
+
+    Scale shape: map-side (user, day) dedupe (shuffle ≤ users×days),
+    a broadcast of the observed-day grid, ≤ 7× bounded explode, one
+    (day, user) distinct agg — never a join of raw events against
+    raw events."""
+    from .sources.tables import load_events
+
+    ud = (
+        load_events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.expr("ts_us div 86400000000").cast("long").alias("day"),
+        )
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    contrib = ud.join(
+        F.broadcast(days.select(F.col("day").alias("grid_day"))),
+        (F.col("grid_day") >= F.col("day"))
+        & (F.col("grid_day") <= F.col("day") + 6),
+    )
+    return contrib.groupBy(F.col("grid_day").alias("epoch_day")).agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
