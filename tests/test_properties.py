@@ -644,3 +644,190 @@ def test_sliding_window_assignment_semantics(spark):
     base = t // 900_000_000 * 900_000_000
     want = {base - k * 900_000_000 for k in range(4)}
     assert {r.ws for r in rows} == want
+
+
+def _write_events(spark, tmp, rows):
+    """Crafted events parquet in the conv-4 single-file layout."""
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "_ev_dir"))
+    part = next((tmp / "_ev_dir").glob("part-*.parquet"))
+    part.rename(tmp / "events.parquet")
+    return str(tmp)
+
+
+def test_funnel_first_reach_semantics(spark, tmp_path_factory):
+    """q193 on crafted events: user 1 completes view->click->purchase
+    in order; user 2 clicks BEFORE their first view (click must not
+    count) and purchases after a later click (counts); user 3 views
+    only.  Strict-after rule: user 4's click at the exact view
+    timestamp does not count."""
+    import datetime
+
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    def ts(h):
+        return datetime.datetime(1970, 1, 2) + datetime.timedelta(hours=h)
+
+    rows = []
+    eid = 0
+    for u, seq in [
+        (1, [("view", 1), ("click", 2), ("purchase", 3)]),
+        (2, [("click", 1), ("view", 2), ("click", 3), ("purchase", 4)]),
+        (3, [("view", 5)]),
+        (4, [("view", 6), ("click", 6)]),  # same timestamp: excluded
+    ]:
+        for t, h in seq:
+            eid += 1
+            rows.append((eid, ts(h), u, t, 1.0, "{}"))
+    sf = _write_events(spark, tmp_path_factory.mktemp("funnel"), rows)
+    row = QUERIES["q193_funnel_conversion"](spark, sf).collect()[0]
+    assert (row.n_view, row.n_click, row.n_purchase) == (4, 2, 2)
+    assert row.click_ppm == 500_000 and row.purchase_ppm == 1_000_000
+
+
+def test_twap_hand_computed(spark, tmp_path_factory):
+    """q192 on crafted purchases: user 1 holds value 1.00 for 3h then
+    3.00 for 1h (last point contributes no segment) over a 4h span ->
+    twap = (100*3h + 300*1h)/4h /100 = 1.50; single-event user 2 is
+    excluded (n < 2)."""
+    import datetime
+
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    def ts(h):
+        return datetime.datetime(1970, 1, 2) + datetime.timedelta(hours=h)
+
+    rows = [
+        (1, ts(0), 1, "purchase", 1.0, "{}"),
+        (2, ts(3), 1, "purchase", 3.0, "{}"),
+        (3, ts(4), 1, "purchase", 9.0, "{}"),
+        (4, ts(1), 2, "purchase", 5.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path_factory.mktemp("twap"), rows)
+    got = {r.user_id: r for r in QUERIES["q192_twap"](spark, sf).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r.n_points == 3 and r.span_us == 4 * 3600 * 1_000_000
+    # (100*3h + 300*1h) / 4h / 100 = 1.5
+    assert r.twap == 1.5
+    assert int(r.twap_num) == 100 * 3 * 3600 * 10**6 + 300 * 3600 * 10**6
+
+
+def test_rolling_wau_hand_computed(spark, tmp_path_factory):
+    """q197 on crafted events: user 1 active day 0, user 2 active days
+    0 and 10.  Observed grid = {0, 10}; day 0 sees both users (both
+    active that day), day 10 sees only user 2 (day 0 is outside the
+    trailing 7)."""
+    import datetime
+
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    def ts(day):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            days=day, hours=1
+        )
+
+    rows = [
+        (1, ts(0), 1, "view", 1.0, "{}"),
+        (2, ts(0), 2, "view", 1.0, "{}"),
+        (3, ts(10), 2, "view", 1.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path_factory.mktemp("wau"), rows)
+    got = {
+        r.epoch_day: r.wau
+        for r in QUERIES["q197_rolling_active_users"](spark, sf).collect()
+    }
+    assert got == {0: 2, 10: 1}
+
+
+def test_grouped_covariance_vs_python_reference(spark):
+    """operators/regress.py:grouped_covariance against exact Python
+    integer suffstats on random small data — every pair's cov_num /
+    var terms and the corr double."""
+    import math
+    import random
+
+    from etl_marketeye_airflow_spark.operators.regress import (
+        grouped_covariance,
+    )
+
+    rng = random.Random(191)
+    rows = [
+        (f"g{i % 3}", rng.randrange(0, 50), rng.randrange(0, 1000),
+         rng.randrange(0, 7))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, a long, b long, c long")
+    out = grouped_covariance(df, ["g"], ["a", "b", "c"])
+    got = {
+        (r.g, r.var_a, r.var_b): (int(r.cov_num), int(r.var_a_n),
+                                  int(r.var_b_n), r.corr)
+        for r in out.collect()
+    }
+    cols = {"a": 1, "b": 2, "c": 3}
+    for gname in ("g0", "g1", "g2"):
+        grp = [r for r in rows if r[0] == gname]
+        n = len(grp)
+        for a in ("a", "b", "c"):
+            for b in ("a", "b", "c"):
+                if a > b:
+                    continue
+                sa = sum(r[cols[a]] for r in grp)
+                sb = sum(r[cols[b]] for r in grp)
+                sab = sum(r[cols[a]] * r[cols[b]] for r in grp)
+                saa = sum(r[cols[a]] ** 2 for r in grp)
+                sbb = sum(r[cols[b]] ** 2 for r in grp)
+                cov = n * sab - sa * sb
+                va, vb = n * saa - sa * sa, n * sbb - sb * sb
+                want_corr = (
+                    float(cov) / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+                    if va > 0 and vb > 0
+                    else None
+                )
+                assert got[(gname, a, b)] == (cov, va, vb, want_corr), (
+                    gname, a, b)
+
+
+def test_edit_distance_join_matches_brute_force(spark):
+    """q194's EDJoin prefix filter is LOSSLESS: the registry query at
+    sf0.001 equals the banded brute-force levenshtein join computed in
+    Python on the same universe."""
+    from etl_marketeye_airflow_spark.queries import QUERIES
+    from etl_marketeye_airflow_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    names = {
+        r.c_custkey: r.c_name
+        for r in load_table(spark, SF, "customer")
+        .filter("c_custkey % 7 = 0 AND length(c_name) >= 12")
+        .collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    keys = sorted(names)
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for x, i in enumerate(keys)
+        for j in keys[x + 1:]
+        if abs(len(names[i]) - len(names[j])) <= 2
+        and lev(names[i], names[j]) <= 2
+    }
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in QUERIES["q194_edit_distance_join"](spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
