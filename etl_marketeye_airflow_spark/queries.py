@@ -11452,6 +11452,188 @@ def q197_rolling_active_users(
     )
 
 
+def _sql_sssp(rounds: int) -> str:
+    """DuckDB twin of operators.graph.sssp_rounds over the weighted
+    co-purchase graph (w = 1 + (u+v) % 7, sources ≡ 0 mod 50):
+    Bellman-Ford sweeps unrolled as MATERIALIZED CTEs (conv 12).
+    Exact BIGINT mins — round-exact semantics, convergence-free."""
+    blocks = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM q a JOIN q b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )""",
+        """nb AS MATERIALIZED (
+      SELECT u AS node, v AS nbr, CAST(1 + (u + v) % 7 AS BIGINT) AS w
+      FROM e
+      UNION ALL
+      SELECT v, u, CAST(1 + (u + v) % 7 AS BIGINT) FROM e
+    )""",
+        """d0 AS MATERIALIZED (
+      SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist
+      FROM nb WHERE node % 50 = 0
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        blocks.append(f"""d{i} AS MATERIALIZED (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT nb.nbr AS node, d.dist + nb.w AS dist
+        FROM nb JOIN d{i - 1} d ON nb.node = d.node
+      ) GROUP BY node
+    )""")
+    chain = ",\n    ".join(blocks)
+    return f"""
+    WITH q AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40
+    ),
+    {chain}
+    SELECT node, dist FROM d{rounds}
+    """
+
+
+@query(
+    "q198_weighted_sssp",
+    # identical Bellman-Ford sweep algebra, exact BIGINT mins; round-
+    # exact semantics (min path weight over ≤ R edges) so extra or
+    # missing convergence never matters
+    oracle=_sql_sssp(3),
+)
+def q198_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths over the co-purchase graph
+    (edge cost 1 + (u+v) % 7 — a deterministic stand-in for a real
+    friction weight; seeds ≡ 0 mod 50), 3 Bellman-Ford sweeps — the
+    weighted complement of q151's hop-count BFS, completing the graph
+    family's traversal corner with COSTS (cheapest substitution route,
+    least-friction influence).
+
+    Scale shape: per round one edge⋈distance join + a map-side-
+    combined min groupBy, localCheckpoint'd — the q151 cost model
+    with a weight column."""
+    from .operators.graph import sssp_rounds
+
+    e = _copurchase_edges(spark, sf_dir).withColumn(
+        "w", (1 + (F.col("u") + F.col("v")) % 7).cast("long")
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    sources = nodes.filter(F.col("node") % 50 == 0)
+    return sssp_rounds(
+        e, sources, rounds=3, src_col="u", dst_col="v", weight_col="w"
+    )
+
+
+@query(
+    "q199_conversion_latency_quartiles",
+    # identical first-reach chain as q193, then exact LOWER order
+    # statistics on the latency multiset: smallest value whose scaled
+    # cumulative count reaches the rank target (4·cum ≥ n / 2·cum ≥ n
+    # / 4·cum ≥ 3n) — pure integer rules, no interpolation
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+                         AND epoch_us(e.ts) > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+                         AND epoch_us(e.ts) > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT CAST(p.t3 - v.t1 AS BIGINT) AS lat_us
+      FROM p JOIN v ON p.user_id = v.user_id
+    ),
+    d AS (
+      SELECT lat_us, CAST(count(*) AS BIGINT) AS cnt FROM lat GROUP BY 1
+    ),
+    r AS (
+      SELECT lat_us,
+             CAST(sum(cnt) OVER (ORDER BY lat_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM d
+    )
+    SELECT CAST(min(n) AS BIGINT) AS n_converted,
+           CAST(min(lat_us) AS BIGINT) AS min_us,
+           CAST(min(CASE WHEN 4 * cum >= n THEN lat_us END) AS BIGINT)
+             AS p25_us,
+           CAST(min(CASE WHEN 2 * cum >= n THEN lat_us END) AS BIGINT)
+             AS med_us,
+           CAST(min(CASE WHEN 4 * cum >= 3 * n THEN lat_us END) AS BIGINT)
+             AS p75_us,
+           CAST(max(lat_us) AS BIGINT) AS max_us
+    FROM r
+    """,
+)
+def q199_conversion_latency_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HOW FAST the q193 funnel converts: exact lower quartiles of
+    view→purchase latency over converting users (min/p25/median/p75/
+    max, integer µs, no interpolation) — counts say whether the
+    funnel works, latency says whether it is usable.
+
+    Scale shape: the q193 first-reach chain, then the latency
+    multiset collapses to (value, count) rows and the global
+    cumulative ranks come from the TWO-PASS range-partitioned prefix
+    sum (operators/ranking.py — distinct latencies scale with users,
+    so never a global ordered window); one 1-row reduce ends it."""
+    from .operators.ranking import global_rank_cumsum
+    from .sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts_us", "event_type")
+
+    def first_after(step: str, prev: DataFrame, tcol: str, out: str):
+        j = ev.filter(F.col("event_type") == step).join(
+            prev, "user_id"
+        ).filter(F.col("ts_us") > F.col(tcol))
+        return j.groupBy("user_id").agg(
+            F.min("ts_us").cast("long").alias(out)
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").cast("long").alias("t1"))
+    )
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    lat = p.join(v, "user_id").select(
+        (F.col("t3") - F.col("t1")).cast("long").alias("lat_us")
+    )
+    d = lat.groupBy("lat_us").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r, _, n = global_rank_cumsum(
+        d, [F.col("lat_us").asc()], rank_col="_rn", sum_col="cnt",
+        cum_col="cum",
+    )
+    return r.agg(
+        F.lit(n).cast("long").alias("n_converted"),
+        F.min("lat_us").cast("long").alias("min_us"),
+        F.min(
+            F.when(4 * F.col("cum") >= F.lit(n), F.col("lat_us"))
+        ).cast("long").alias("p25_us"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.lit(n), F.col("lat_us"))
+        ).cast("long").alias("med_us"),
+        F.min(
+            F.when(4 * F.col("cum") >= F.lit(3 * n), F.col("lat_us"))
+        ).cast("long").alias("p75_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would
