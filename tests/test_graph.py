@@ -403,3 +403,34 @@ def test_hits_matches_python_reference(spark):
     assert max(a, key=a.get) == 10
     # pure sink 12: never a src -> hub 0; pure sources 1,2,3: auth 0
     assert h[12] == 0 and a[1] == a[2] == a[3] == 0
+
+
+def test_sssp_rounds_hand_graph(spark):
+    """sssp_rounds on a hand-weighted path+shortcut graph: source 0,
+    edges 0-1 (w=10), 1-2 (w=10), 0-2 (w=25), 2-3 (w=1).  After 1
+    round: 1→10, 2→25.  After 2: 2→20 (via 1), 3→26.  After 3:
+    3→21.  Round-exactness = the defining contract."""
+    from pyspark.sql import functions as F
+
+    from etl_marketeye_airflow_spark.operators.graph import sssp_rounds
+
+    e = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 10), (0, 2, 25), (2, 3, 1)],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(0,)], "node long")
+    for rounds, want in (
+        (1, {0: 0, 1: 10, 2: 25}),
+        (2, {0: 0, 1: 10, 2: 20, 3: 26}),
+        (3, {0: 0, 1: 10, 2: 20, 3: 21}),
+    ):
+        got = {
+            r.node: r.dist
+            for r in sssp_rounds(e, src, rounds=rounds).collect()
+        }
+        assert got == want, rounds
+    # a source keeps dist 0 even when a positive cycle passes through
+    assert sssp_rounds(e, src, rounds=0).collect()[0].asDict() == {
+        "node": 0,
+        "dist": 0,
+    }
