@@ -802,7 +802,7 @@ def test_edit_distance_join_matches_brute_force(spark):
     names = {
         r.c_custkey: r.c_name
         for r in load_table(spark, SF, "customer")
-        .filter("c_custkey % 7 = 0 AND length(c_name) >= 12")
+        .filter("c_custkey % 37 = 0 AND length(c_name) >= 12")
         .collect()
     }
 
