@@ -19,9 +19,29 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None, approx: boo
     ``approx=True`` swaps exact distinct counts for HLL sketches
     (approx_count_distinct) — the 100 TB mode, where exact distinct on
     every column is a shuffle per column.
+
+    FLOAT/DOUBLE columns render min/max as ``fx20:<floor(v·2^20)>`` —
+    the conv-14 dyadic fixed point.  A plain double→string cast is NOT
+    engine-stable (Spark/Java switches to scientific notation at 1e7,
+    DuckDB later — the r8 fuzz magnitude probe), and decimal-rounding
+    renderings hit the conv-6d tie divergence on short-expansion
+    doubles (1/128 ties at 6 dp).  floor(v·2^20) is exact on every
+    engine and preserves ordering.
     """
     cols = columns or df.columns
     distinct = F.approx_count_distinct if approx else F.countDistinct
+    dtypes = dict(df.dtypes)
+
+    def _render(c: F.Column, dt: str) -> F.Column:
+        if dt in ("float", "double"):
+            return F.concat(
+                F.lit("fx20:"),
+                F.floor(c.cast("double") * F.lit(1048576.0))
+                .cast("long")
+                .cast("string"),
+            )
+        return c.cast("string")
+
     # internal positional aliases: arbitrary column names (spaces, quotes)
     # must not reach selectExpr; min/max aggregate on the NATIVE type and
     # cast after — casting first would make numeric ranges lexicographic
@@ -29,13 +49,14 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None, approx: boo
     aggs = []
     for i, c in enumerate(cols):
         col = F.col(c)
+        dt = dtypes.get(c, "")
         aggs.extend(
             [
                 F.count(F.lit(1)).alias(f"_p{i}_rows"),
                 F.count(col).alias(f"_p{i}_non_null"),
                 distinct(col).alias(f"_p{i}_distinct"),
-                F.min(col).cast("string").alias(f"_p{i}_min"),
-                F.max(col).cast("string").alias(f"_p{i}_max"),
+                _render(F.min(col), dt).alias(f"_p{i}_min"),
+                _render(F.max(col), dt).alias(f"_p{i}_max"),
             ]
         )
     wide = df.agg(*aggs)

@@ -11,10 +11,11 @@ pattern `corpus.vocab_coverage` and `skyline.skyline_2d` already prove:
 
 1. ``repartitionByRange`` on the total order — the range sampler keeps
    every partition ≈ rows/N regardless of data volume.  The partitioned
-   frame is PERSISTED and materialized once: partition ids must freeze
-   before fan-out (each re-execution of a range exchange re-samples its
-   boundaries, so ``spark_partition_id`` over two exchange instances is
-   not consistent).
+   frame is LOCALCHECKPOINTED (lineage truncated, not merely cached):
+   partition ids must freeze before fan-out — each re-execution of a
+   range exchange re-samples its boundaries, so ``spark_partition_id``
+   over two exchange instances is not consistent, and a plain persist()
+   can silently recompute after cached-partition loss.
 2. per-partition (count, sum) totals — ≤ N rows, a CONFIG-bounded
    collect — prefix-folded on the driver into exclusive offsets.
 3. global rank = broadcast offset + per-partition ``row_number``;
@@ -23,8 +24,8 @@ pattern `corpus.vocab_coverage` and `skyline.skyline_2d` already prove:
 Callers must pass a TOTAL order (include a unique tiebreaker column):
 rows with identical full sort keys could straddle a range boundary and
 the per-partition ``row_number`` would then disagree with a single-sort
-rank.  Eager by design (multi-job): the small result materializes via
-``localCheckpoint`` and the partitioned base unpersists before return.
+rank.  Eager by design (multi-job): both the partitioned base and the
+small result materialize via ``localCheckpoint``.
 """
 
 from __future__ import annotations
@@ -53,21 +54,39 @@ def global_rank_cumsum(
     Returns ``(ranked_df, total_rows, total_sum)`` — the totals come
     free from the bounded per-partition collect, so callers never need
     an unpartitioned ``Window.partitionBy()`` global count/sum either.
-    The returned frame is materialized (localCheckpoint) and the
-    intermediate persist released.
+    The returned frame is materialized (localCheckpoint).  Input columns
+    must not collide with the internal ``_pid``/``_lrn``/``_rank_off``/
+    ``_sum_off``/``_lcum`` names (guarded).
     """
+    reserved = {"_pid", "_lrn", "_rank_off", "_sum_off", "_lcum"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_rank_cumsum: input columns {sorted(clash)} collide "
+            "with internal names — rename them first"
+        )
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    # localCheckpoint, not persist: a persist() merely CACHES — if an
+    # executor loses a cached partition, recompute re-runs the range
+    # exchange, which RE-SAMPLES its boundaries, making the recomputed
+    # spark_partition_id inconsistent with the offsets collected below
+    # (silently wrong ranks).  localCheckpoint truncates lineage, so
+    # partition ids are truly frozen across both jobs.
     with_pid = (
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     aggs = [F.count(F.lit(1)).cast("long").alias("_pn")]
     if sum_col is not None:
-        aggs.append(F.sum(sum_col).cast("long").alias("_psum"))
+        # coalesce: an all-NULL sum partition yields psum=None, which
+        # would TypeError in the driver-side prefix fold
+        aggs.append(
+            F.coalesce(F.sum(sum_col), F.lit(0)).cast("long").alias("_psum")
+        )
     per_pid = sorted(
         (
             (r["_pid"], r["_pn"], r["_psum"] if sum_col is not None else 0)
@@ -101,5 +120,4 @@ def global_rank_cumsum(
     )
     keep = df.columns + [rank_col] + ([cum_col] if sum_col else [])
     out = ranked.select(*keep).localCheckpoint(eager=True)
-    with_pid.unpersist()
     return out, total_rows, total_sum

@@ -42,6 +42,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def nonzero_vec(a: Column) -> Column:
+    """True iff the vector has any nonzero component, i.e. a direction.
+
+    Cosine is UNDEFINED (0/0) for zero vectors, and real corpora contain
+    them (failed/null encodes); under ANSI Spark the norm division is a
+    hard DIVIDE_BY_ZERO error while DuckDB silently yields NULL — found
+    by the tools/fuzz_gate.py zero-vector probe (r8).  Every cosine
+    consumer excludes zero vectors with THIS predicate, and the oracles
+    mirror it as ``len(list_filter(e, x -> x <> 0)) > 0``.  Exact: an
+    element-wise != 0 short-circuit, no FP accumulation (conv 2: never
+    filter on a heavy derived column like the norm fold)."""
+    return F.exists(a, lambda x: x != F.lit(0.0))
+
+
+def _empty_topk(embeddings: DataFrame, id_col: str) -> DataFrame:
+    """Empty (id, cosine) frame — the defined result of querying with a
+    zero-norm vector (no direction → no neighbors)."""
+    return embeddings.filter(F.lit(False)).select(
+        F.col(id_col), F.lit(None).cast("double").alias("cosine")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -49,10 +71,15 @@ def brute_force_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k against one query vector."""
+    """Exact cosine top-k against one query vector.  Zero-norm corpus
+    vectors are excluded (cosine undefined); a zero query returns the
+    empty frame."""
+    if not any(float(x) != 0.0 for x in query_vec):
+        return _empty_topk(embeddings, id_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        embeddings.select(
+        embeddings.filter(nonzero_vec(F.col(emb_col)))
+        .select(
             F.col(id_col),
             cosine(F.col(emb_col), q).alias("cosine"),
         )
@@ -129,6 +156,8 @@ def lsh_topk(
 
     if hamming_radius < 0:
         raise ValueError(f"hamming_radius must be >= 0, got {hamming_radius}")
+    if not any(float(x) != 0.0 for x in query_vec):
+        return _empty_topk(embeddings, id_col)
     planes = hyperplanes(n_planes, len(query_vec), seed)
     q_bucket = _py_bucket(query_vec, planes)
     # full probe set for ANY radius: all C(n_planes, r') bit-flip masks,
@@ -142,6 +171,7 @@ def lsh_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         bucketed.filter(F.col("_bucket").isin(sorted(probe)))
+        .filter(nonzero_vec(F.col(emb_col)))
         .select(F.col(id_col), cosine(F.col(emb_col), q).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
@@ -293,12 +323,18 @@ def ivf_topk(
     train_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: scan only the nprobe nearest centroid
-    cells (~nprobe/n_centroids of the corpus), exact cosine within."""
+    cells (~nprobe/n_centroids of the corpus), exact cosine within.
+    Zero-norm vectors assign/probe fine (squared distance is total) but
+    are excluded at the SCORING stage (cosine undefined); a zero query
+    returns the empty frame."""
+    if not any(float(x) != 0.0 for x in query_vec):
+        return _empty_topk(embeddings, id_col)
     assigned, cents = ivf_assign(embeddings, n_centroids, id_col, emb_col, train_iters)
     probe = _nearest_centroids(query_vec, cents, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.filter(F.col("_centroid").isin(probe))
+        .filter(nonzero_vec(F.col(emb_col)))
         .select(F.col(id_col), cosine(F.col(emb_col), q).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
@@ -337,11 +373,15 @@ def query_ann_index(
 
     The `_centroid IN (...)` filter is a PARTITION filter — Spark prunes
     to nprobe directories before any IO (asserted in tests)."""
+    df = spark.read.parquet(index_path)
+    if not any(float(x) != 0.0 for x in query_vec):
+        return _empty_topk(df, id_col)
     probe = _nearest_centroids(query_vec, centroids, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    df = spark.read.parquet(index_path).filter(F.col("_centroid").isin(probe))
     return (
-        df.select(F.col(id_col), cosine(F.col(emb_col), q).alias("cosine"))
+        df.filter(F.col("_centroid").isin(probe))
+        .filter(nonzero_vec(F.col(emb_col)))
+        .select(F.col(id_col), cosine(F.col(emb_col), q).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
@@ -393,8 +433,14 @@ def embedding_near_dup_pairs(
     """
     # One projection reused by every branch (auto-size probe, bucket
     # build, cosine verify) — persisted when we'd otherwise re-execute
-    # the upstream lineage per branch.
-    base = embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_e"))
+    # the upstream lineage per branch.  Zero-norm vectors are excluded
+    # up front: they have no direction, so cosine-near-dup is undefined
+    # for them (and the unit-normalize below would DIVIDE_BY_ZERO under
+    # ANSI — the fuzz_gate zero-vector probe, r8); the oracles agree for
+    # free since NULL-cosine pairs never pass a >= threshold.
+    base = embeddings.filter(nonzero_vec(F.col(emb_col))).select(
+        F.col(id_col).alias("_id"), F.col(emb_col).alias("_e")
+    )
     do_persist = eager or n_planes is None
     if do_persist:
         base = base.persist()

@@ -111,6 +111,37 @@ def _sql_stddev(c: str, n: str = "count(*)") -> str:
     return f"sqrt(greatest(({ss} - ({s} * {s}) / {nd}) / ({nd} - 1.0), 0.0))"
 
 
+# Decimal is an INTERMEDIATE type, never an OUTPUT type (conv 19; r7
+# verdict root cause).  The driver canonicalizes results through pandas,
+# where DuckDB's `.df()` renders DECIMAL as float64 while Spark's
+# `toPandas()` yields an object column of `decimal.Decimal` — the two
+# representations can never hash equal, at ANY magnitude (q176's 1.2e8
+# numerator was as red as q140's 1e21).  Exact decimal payload columns
+# therefore cross the output boundary as their exact DIGIT STRINGS:
+# Spark decimal→string and DuckDB decimal→VARCHAR both render a scale-0
+# decimal as the plain (sign +) integer digits, identical byte-for-byte,
+# and strings survive pandas on both engines as object str.  All decimal
+# ARITHMETIC stays exact and internal; only the final select changes.
+def _str_decimals(df: DataFrame) -> DataFrame:
+    """Cast every decimal-typed OUTPUT column to its exact digit string."""
+    dec = {c for c, t in df.dtypes if t.startswith("decimal")}
+    if not dec:
+        return df
+    return df.select(
+        *[
+            F.col(c).cast("string").alias(c) if c in dec else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _sql_str_out(sql: str, cols: tuple[str, ...]) -> str:
+    """Oracle-side mirror of ``_str_decimals``: VARCHAR-cast the named
+    decimal output columns without touching the rest of the select."""
+    repl = ", ".join(f"CAST({c} AS VARCHAR) AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n)"
+
+
 # ---------------------------------------------------------------------------
 # Flagship (SURVEY §7.1 step 1): scan → broadcast join → groupBy → top-k.
 # Marketeye shape: "avg/min/max price + offer count per brand, top-5 brands
@@ -956,9 +987,13 @@ def q23_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q24_cosine_topk",
+    # zero-norm vectors (no direction → cosine undefined) are excluded
+    # on BOTH sides, query vector included — the fuzz_gate zero-vector
+    # probe (r8); predicate mirrors operators/similarity.nonzero_vec
     oracle="""
     WITH q AS (
-      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+      SELECT embedding AS qv FROM embeddings
+      WHERE vec_id = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     scored AS (
       SELECT vec_id,
@@ -972,6 +1007,7 @@ def q23_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
                                    (a, b) -> a + b))) AS c
       FROM embeddings, q
+      WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     )
     SELECT vec_id, round(c, 6) AS cosine FROM scored
     ORDER BY c DESC, vec_id LIMIT 20
@@ -980,17 +1016,16 @@ def q23_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-20 vs the vec_id=0 query vector — the exact
     ANN baseline.  Rounded to 6 dp: engines agree to ~1 ulp (DuckDB
-    reduces pairwise), and no boundary values exist at that precision."""
-    from .operators.similarity import cosine
+    reduces pairwise), and no boundary values exist at that precision.
+    Zero-norm corpus vectors are excluded and a missing/zero query
+    yields the empty frame (operators/similarity.brute_force_topk)."""
+    from .operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    q = F.array(*[F.lit(float(x)) for x in qv])
-    return (
-        emb.select("vec_id", cosine(F.col("embedding"), q).alias("_c"))
-        .orderBy(F.desc("_c"), "vec_id")
-        .limit(20)
-        .select("vec_id", F.round(F.col("_c"), 6).alias("cosine"))
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = list(row[0]) if row is not None else [0.0]
+    return brute_force_topk(emb, qv, k=20).select(
+        "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
     )
 
 
@@ -1008,6 +1043,15 @@ def _planes_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
         f"({i}, {p})" for i, p in enumerate(hyperplanes(n_planes, dim, seed))
     )
     return f"(VALUES {rows})"
+
+
+# Zero-norm exclusion (mirrors operators/similarity.py:nonzero_vec —
+# cosine is undefined for zero vectors; ANSI Spark errors on the norm
+# division while DuckDB silently NULLs.  Every cosine consumer filters
+# candidates AND the query vector with this predicate on both sides;
+# found by the tools/fuzz_gate.py zero-vector probe, r8).
+def _sql_nonzero(e: str) -> str:
+    return f"len(list_filter({e}, x -> x <> 0)) > 0"
 
 
 # DuckDB cosine fragment, q24 op order: left-fold dot / (sqrt·sqrt norms).
@@ -1044,11 +1088,13 @@ _SQL_COS = """
       FROM embeddings e CROSS JOIN {_planes_sql(8)} AS pl(p_idx, p)
       GROUP BY e.vec_id
     ),
-    qk AS (SELECT key AS qkey, embedding AS qv FROM keys WHERE vec_id = 0),
+    qk AS (SELECT key AS qkey, embedding AS qv FROM keys
+           WHERE vec_id = 0 AND {_sql_nonzero('embedding')}),
     scored AS (
       SELECT k.vec_id, {_SQL_COS.format(a="k.embedding", b="qk.qv")} AS c
       FROM keys k, qk
       WHERE bit_count(xor(k.key, qk.qkey)) <= 1
+        AND {_sql_nonzero('k.embedding')}
     )
     SELECT vec_id, round(c, 6) AS cosine FROM scored
     ORDER BY c DESC, vec_id LIMIT 10
@@ -1066,8 +1112,9 @@ def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    out = lsh_topk(emb, list(qv), k=10, n_planes=8, hamming_radius=1)
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = list(row[0]) if row is not None else [0.0]
+    out = lsh_topk(emb, qv, k=10, n_planes=8, hamming_radius=1)
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
@@ -1424,12 +1471,16 @@ def q33_salted_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q34_stateful_running_totals",
     # The stream drains fully (AvailableNow over one file = one batch), so
     # the final per-user state MUST equal the batch GROUP BY.  Exactness:
-    # the operator accumulates integer cents (exact_decimals=2), the
-    # oracle sums DECIMAL — both yield the exact cent total as a double.
+    # the operator accumulates dyadic ticks floor(v·2^20) (conv 14 —
+    # engine-free, unlike decimal rounding whose x.xx5 ties split
+    # HALF_UP vs numpy HALF_EVEN: the r8 fuzz tie probe), the oracle
+    # replays the identical tick rule; one division per key at the end.
     oracle="""
     SELECT user_id,
            count(*) AS total_events,
-           CAST(coalesce(sum(CAST(value AS DECIMAL(19,4))), 0) AS DOUBLE) AS total_value
+           CAST(coalesce(sum(CAST(floor(coalesce(value, 0)
+                  * 1048576.0) AS BIGINT)), 0) AS DOUBLE) / 1048576.0
+             AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -1459,7 +1510,7 @@ def q34_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
-            running_user_totals(stream, exact_decimals=2)
+            running_user_totals(stream, exact_bits=20)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
@@ -1553,7 +1604,8 @@ def q35_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
       ) WHERE rn = 1
     ),
-    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    qv AS (SELECT embedding AS q FROM embeddings
+           WHERE vec_id = 0 AND {_sql_nonzero('embedding')}),
     probe AS (
       SELECT cell_idx FROM cents, qv
       ORDER BY list_reduce(list_transform(list_zip(c, q),
@@ -1565,6 +1617,7 @@ def q35_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT a.vec_id, {_SQL_COS.format(a="a.embedding", b="qv.q")} AS c
       FROM assigned a JOIN probe p ON a.cell_idx = p.cell_idx, qv
+      WHERE {_sql_nonzero('a.embedding')}
     )
     SELECT vec_id, round(c, 6) AS cosine FROM scored
     ORDER BY c DESC, vec_id LIMIT 10
@@ -1581,8 +1634,9 @@ def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    out = ivf_topk(emb, list(qv), k=10, n_centroids=16, nprobe=4, train_iters=0)
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = list(row[0]) if row is not None else [0.0]
+    out = ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=4, train_iters=0)
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
@@ -1693,16 +1747,37 @@ _PROFILE_ORACLE_ROW = """
            count(*)                          AS n_rows,
            count({c})                        AS n_non_null,
            count(DISTINCT {c})               AS n_distinct,
-           CAST(min({c}) AS VARCHAR)         AS min_value,
-           CAST(max({c}) AS VARCHAR)         AS max_value,
+           {minr}                            AS min_value,
+           {maxr}                            AS max_value,
            CAST(count(*) - count({c}) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS null_fraction
     FROM part
 """
 
+# float columns render fx20 (conv 14 — see operators/profile.py: plain
+# double→VARCHAR diverges on notation thresholds, decimal rounding on
+# conv-6d ties); the rest render as plain VARCHAR casts
+_PROFILE_FLOAT_COLS = {"p_retailprice"}
+
+
+def _profile_render(c: str, agg: str) -> str:
+    if c in _PROFILE_FLOAT_COLS:
+        return (
+            f"'fx20:' || CAST(CAST(floor({agg}({c}) * 1048576.0) "
+            f"AS BIGINT) AS VARCHAR)"
+        )
+    return f"CAST({agg}({c}) AS VARCHAR)"
+
 
 @query(
     "q40_column_profile",
-    oracle=" UNION ALL ".join(_PROFILE_ORACLE_ROW.format(c=c) for c in _PROFILE_COLS),
+    oracle=" UNION ALL ".join(
+        _PROFILE_ORACLE_ROW.format(
+            c=c,
+            minr=_profile_render(c, "min"),
+            maxr=_profile_render(c, "max"),
+        )
+        for c in _PROFILE_COLS
+    ),
 )
 def q40_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column profile (rows/nulls/distincts/min-max) — the
@@ -2491,9 +2566,16 @@ def q58_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fits DECIMAL(7,4); their product and its sum never round, and the
 # final double cast of the same exact rational is bit-identical.
 _REV_SPARK = None  # built inline; SQL twin below
+# VARCHAR roundtrip (conv 16): the revenue sum is DECIMAL(_,8) — price
+# (12,4) × (1−disc) (6,4) — whose UNSCALED value (revenue·10^8 ≈ 2e16
+# per group at sf0.01) already exceeds 2^53, so DuckDB's direct
+# decimal→double DOUBLE-ROUNDS while Spark's cast is correctly rounded.
+# Which group lands in the divergent window is data luck per round
+# (r8 fuzz ×100 magnitude probe pinned it on q145/q148 at 1 ulp).
 _SQL_REV = (
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * "
-    "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)"
+    "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * "
+    "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) "
+    "AS VARCHAR) AS DOUBLE)"
 )
 
 
@@ -3051,10 +3133,12 @@ def q68_udtf_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o_orderdate <  TIMESTAMP '2000-01-01'
     )
     SELECT CAST(o_year AS INT) AS o_year,
-           CAST(COALESCE(sum(volume) FILTER (WHERE supp_nation = 'NATION_3'),
-                         0) AS DOUBLE)
-             / CAST(sum(volume) AS DOUBLE)              AS mkt_share,
-           CAST(sum(volume) AS DOUBLE)                  AS total_volume
+           -- conv 16: scale-8 volume sums exceed 2^53 unscaled —
+           -- VARCHAR roundtrip for the correctly-rounded conversion
+           CAST(CAST(COALESCE(sum(volume) FILTER (WHERE supp_nation = 'NATION_3'),
+                         0) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS mkt_share,
+           CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE)     AS total_volume
     FROM vols
     GROUP BY o_year
     """,
@@ -4012,8 +4096,9 @@ def q82_tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q83_tpch_q6_forecast_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-                    * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * CAST(l_discount AS DECIMAL(6,4))) AS VARCHAR)
+               AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -4053,9 +4138,10 @@ def q83_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n_name AS nation,
            CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-           CAST(sum({_SQL_VOL}
+           CAST(CAST(sum({_SQL_VOL}
                     - CAST(p_retailprice AS DECIMAL(12,4))
-                      * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+                      * CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR)
+               AS DOUBLE)
              AS sum_profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
@@ -4115,7 +4201,7 @@ def q84_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q85_tpch_q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           CAST(sum({_SQL_VOL}) AS DOUBLE) AS revenue,
+           CAST(CAST(sum({_SQL_VOL}) AS VARCHAR) AS DOUBLE) AS revenue,
            c_acctbal, n_name, c_mktsegment
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
@@ -4188,11 +4274,11 @@ def q85_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'ASIA'
       GROUP BY l_partkey
     ),
-    g AS (SELECT CAST(sum(val) AS DOUBLE) AS tot,
+    g AS (SELECT CAST(CAST(sum(val) AS VARCHAR) AS DOUBLE) AS tot,
                  CAST(count(*) AS DOUBLE) AS n FROM v)
-    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    SELECT l_partkey, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS part_value
     FROM v, g
-    WHERE CAST(val AS DOUBLE) > 1.5 * (tot / n)
+    WHERE CAST(CAST(val AS VARCHAR) AS DOUBLE) > 1.5 * (tot / n)
     ORDER BY part_value DESC, l_partkey
     """,
 )
@@ -4341,9 +4427,11 @@ def q88_tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> Data
     "q89_tpch_q14_promo_revenue",
     oracle=f"""
     SELECT CAST(100.0 AS DOUBLE)
-             * CAST(COALESCE(sum({_SQL_VOL})
-                             FILTER (WHERE p_type = 'PROMO'), 0) AS DOUBLE)
-             / CAST(sum({_SQL_VOL}) AS DOUBLE) AS promo_revenue_pct,
+             * CAST(CAST(COALESCE(sum({_SQL_VOL})
+                             FILTER (WHERE p_type = 'PROMO'), 0) AS VARCHAR)
+                   AS DOUBLE)
+             / CAST(CAST(sum({_SQL_VOL}) AS VARCHAR) AS DOUBLE)
+               AS promo_revenue_pct,
            count(*) AS n_items
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -4396,7 +4484,8 @@ def q89_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate <  TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS total_revenue
     FROM r
     JOIN supplier ON s_suppkey = l_suppkey
     WHERE rev = (SELECT max(rev) FROM r)
@@ -4436,7 +4525,7 @@ def q90_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q91_tpch_q19_disjunctive_predicates",
     oracle=f"""
-    SELECT CAST(sum({_SQL_VOL}) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(sum({_SQL_VOL}) AS VARCHAR) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -6446,13 +6535,22 @@ _HLL_ALPHA_NUM_P10 = (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024 * float(1 << 
 
 def _hll_lc_sql_p10() -> str:
     """The p=10 linear-counting table [1024·ln(1024/V) for V in 1..1024]
-    as a DuckDB list literal — repr() round-trips each IEEE double
-    exactly, so the oracle indexes the SAME values hll_estimate embeds
-    via F.lit.  (The dyadic flog2_fx is NOT usable here — its chord
-    error is ~6% of m on a single scalar; see operators/corpus.py.)"""
+    as a DuckDB DOUBLE[] literal.  Each element goes through
+    CAST('<repr>' AS DOUBLE) — strtod, correctly rounded (conv 16).  A
+    bare decimal literal is NOT safe: DuckDB lexes a 17-digit literal
+    as DECIMAL, the list becomes DECIMAL[], and the CASE-merge with the
+    DOUBLE raw_est double-rounds each element — a 1-ulp divergence from
+    the exact doubles hll_estimate embeds via F.lit (caught by the r8
+    fuzz sweep at V=986; which V is data luck).  (The dyadic flog2_fx
+    is NOT usable here — its chord error is ~6% of m on a single
+    scalar; see operators/corpus.py.)"""
     from .operators.corpus import hll_lc_table
 
-    return "[" + ", ".join(repr(x) for x in hll_lc_table(10)) + "]"
+    return (
+        "["
+        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in hll_lc_table(10))
+        + "]"
+    )
 
 
 @query(
@@ -6476,7 +6574,7 @@ def _hll_lc_sql_p10() -> str:
     ),
     st2 AS (
       SELECT empty_buckets,
-             CAST({_HLL_ALPHA_NUM_P10!r} AS DOUBLE)
+             CAST('{_HLL_ALPHA_NUM_P10!r}' AS DOUBLE)
                / CAST(s_fx AS DOUBLE) AS raw_est,
              greatest(empty_buckets, CAST(1 AS BIGINT)) AS v1
       FROM st
@@ -6973,11 +7071,13 @@ def q131_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS rank_bm25
       FROM bm
     ),
-    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qv AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = 0 AND {_sql_nonzero('embedding')}),
     cs AS (
       SELECT e.vec_id,
              {_SQL_COS.format(a="e.embedding", b="q.qv")} AS c
       FROM embeddings e, qv q
+      WHERE {_sql_nonzero('e.embedding')}
       ORDER BY c DESC, vec_id LIMIT 20
     ),
     rb AS (
@@ -7015,7 +7115,7 @@ def q132_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from .operators.corpus import bm25_topk
-    from .operators.similarity import cosine
+    from .operators.similarity import cosine, nonzero_vec
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
@@ -7028,14 +7128,21 @@ def q132_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_bm25"),
     )
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    q = F.array(*[F.lit(float(x)) for x in qv])
-    cs = (
-        emb.select("vec_id", cosine(F.col("embedding"), q).alias("_c"))
-        .orderBy(F.desc("_c"), "vec_id")
-        .limit(20)
-        .localCheckpoint(eager=True)  # freeze the top-k before ranking
-    )
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = list(row[0]) if row is not None else [0.0]
+    if any(float(x) != 0.0 for x in qv):
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        cs = (
+            emb.filter(nonzero_vec(F.col("embedding")))
+            .select("vec_id", cosine(F.col("embedding"), q).alias("_c"))
+            .orderBy(F.desc("_c"), "vec_id")
+            .limit(20)
+            .localCheckpoint(eager=True)  # freeze the top-k before ranking
+        )
+    else:  # zero/missing query → fusion degrades to bm25-only
+        cs = emb.filter(F.lit(False)).select(
+            "vec_id", F.lit(None).cast("double").alias("_c")
+        )
     rb = cs.select(
         F.col("vec_id").alias("doc_id"),
         F.row_number()
@@ -7513,7 +7620,8 @@ def q139_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's correctly-rounded BigDecimal.doubleValue in the last bit
     # (2 of 1494 rows, r6 driver red); strtod on the exact digit
     # string is correctly rounded, matching Spark bit-for-bit.
-    oracle="""
+    # The exact num/den PAYLOAD columns ship as digit strings (conv 19).
+    oracle=_sql_str_out("""
     WITH o AS (
       SELECT o_custkey,
              CAST(date_diff('day', DATE '1970-01-01',
@@ -7555,7 +7663,7 @@ def q139_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / CAST(CAST(slope_den AS VARCHAR) AS DOUBLE)
            END AS intercept
     FROM d
-    """,
+    """, ("slope_num", "slope_den")),
 )
 def q140_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer spend-trend OLS fit: cents of o_totalprice regressed
@@ -7583,7 +7691,7 @@ def q140_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("y"),
     )
-    return grouped_ols(o, ["o_custkey"], "x", "y", min_n=3)
+    return _str_decimals(grouped_ols(o, ["o_custkey"], "x", "y", min_n=3))
 
 
 @query(
@@ -7591,8 +7699,9 @@ def q140_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same suff-stat algebra; corr = num / (sqrt(vx)·sqrt(vy)) with the
     # identical operand order — sqrt is correctly rounded on both
     # engines.  >2^53 decimal→double via VARCHAR roundtrip (conv 16 —
-    # DuckDB's direct cast double-rounds; see q140)
-    oracle="""
+    # DuckDB's direct cast double-rounds; see q140); exact payload
+    # columns ship as digit strings (conv 19)
+    oracle=_sql_str_out("""
     WITH o AS (
       SELECT l_suppkey,
              CAST(floor(l_quantity) AS BIGINT) AS x,
@@ -7632,7 +7741,7 @@ def q140_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * sqrt(CAST(CAST(var_y_n AS VARCHAR) AS DOUBLE)))
            END AS corr
     FROM d
-    """,
+    """, ("corr_num", "var_x_n", "var_y_n")),
 )
 def q141_grouped_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier Pearson correlation between line quantity and
@@ -7649,7 +7758,9 @@ def q141_grouped_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity")).cast("long").alias("x"),
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
-    return grouped_pearson(li, ["l_suppkey"], "x", "y", min_n=2)
+    return _str_decimals(
+        grouped_pearson(li, ["l_suppkey"], "x", "y", min_n=2)
+    )
 
 
 @query(
@@ -7798,9 +7909,13 @@ def q184_median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
       SELECT l_orderkey,
+             -- the first product widens to DECIMAL(24,8) explicitly:
+             -- DuckDB keeps (12,4)x(6,4) in int64 internals and the
+             -- second multiply overflows on domain-legal magnitudes
+             -- (r8 fuzz x100 probe); Spark auto-widens the same chain
              CAST(floor(100 * sum(
-               CAST(l_extendedprice AS DECIMAL(12,4))
-               * (1 + CAST(l_tax AS DECIMAL(6,4)))
+               CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (1 + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(24,8))
                * (1 - CAST(l_discount AS DECIMAL(6,4)))
              )) AS BIGINT) AS rc
       FROM lineitem GROUP BY l_orderkey
@@ -8051,7 +8166,10 @@ def q188_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q189_pareto_concentration",
     # identical exact rule: per-customer cents (floor of a decimal
     # sum), desc (cents, key) total order, first rank where 5·cum ≥
-    # 4·total (cross-multiplied 80% — no division on the gate path)
+    # 4·total (cross-multiplied 80% — no division on the gate path).
+    # coalesce on n_customers/total_cents: on EMPTY input Spark emits
+    # the F.lit totals (0) while min() over an empty frame is NULL —
+    # pin the degenerate case to 0 on both sides (ADVICE r7)
     oracle="""
     WITH c AS (
       SELECT o_custkey,
@@ -8071,9 +8189,9 @@ def q188_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT CAST(min(rn) AS BIGINT) AS n_top,
-           CAST(min(n_customers) AS BIGINT) AS n_customers,
+           CAST(coalesce(min(n_customers), 0) AS BIGINT) AS n_customers,
            CAST(min_by(cw, rn) AS BIGINT) AS covered_cents,
-           CAST(min(w) AS BIGINT) AS total_cents,
+           CAST(coalesce(min(w), 0) AS BIGINT) AS total_cents,
            CAST((1000000 * min(rn)) // min(n_customers) AS BIGINT)
              AS top_frac_ppm
     FROM r WHERE 5 * cw >= 4 * w
@@ -8550,8 +8668,9 @@ def q146_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical integer algebra both sides: add-one-smoothed bucket
     # counts, 1-row totals, x=n'·M' / y=m'·N', fixed-point dyadic log2
     # (conv 6d — never libm), decimal(38,0) term product, one display
-    # division of identical operands
-    oracle=f"""
+    # division of identical operands; term_fx ships as digit string
+    # (conv 19)
+    oracle=_sql_str_out(f"""
     WITH a AS (
       SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
              CAST(count(*) AS BIGINT) AS n_a
@@ -8599,7 +8718,7 @@ def q146_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(term_fx AS VARCHAR) AS DOUBLE)
              / (CAST(N1 AS DOUBLE) * CAST(M1 AS DOUBLE) * 1048576.0) AS term
     FROM f
-    """,
+    """, ("term_fx",)),
 )
 def q147_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability drift of the order-value distribution
@@ -8619,7 +8738,7 @@ def q147_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_a = o.filter(F.col("o_orderdate") < "1997-01-01")
     df_b = o.filter(F.col("o_orderdate") >= "1997-01-01")
-    return psi_drift(df_a, df_b, "bucket")
+    return _str_decimals(psi_drift(df_a, df_b, "bucket"))
 
 
 @query(
@@ -9935,11 +10054,11 @@ def q166_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q167_distinctive_tokens_chi2",
     # identical 2x2 presence counts; χ² num/den exact (HUGEINT on the
-    # DuckDB side cast to DECIMAL(38,0) for output parity, decimal on
-    # Spark's); the ranking double is one division of identical
+    # DuckDB side, decimal on Spark's — both ship as digit strings,
+    # conv 19); the ranking double is one division of identical
     # operands — and at tested scales every operand < 2^53, so the
     # casts are exact, not merely identically-rounded
-    oracle="""
+    oracle=_sql_str_out("""
     WITH tok AS (
       SELECT doc_id, source, unnest(list_distinct({tok})) AS token
       FROM documents
@@ -9994,7 +10113,7 @@ def q166_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT src AS source, token, a, b, chi2_num, chi2_den, chi2,
            CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 5
-    """.replace("{tok}", _SQL_TOKENIZE),
+    """.replace("{tok}", _SQL_TOKENIZE), ("chi2_num", "chi2_den")),
 )
 def q167_distinctive_tokens_chi2(
     spark: SparkSession, sf_dir: str
@@ -10011,8 +10130,8 @@ def q167_distinctive_tokens_chi2(
     source top-k window over the vocab frame."""
     from .operators.corpus import distinctive_tokens_chi2
 
-    return distinctive_tokens_chi2(
-        _t(spark, sf_dir, "documents"), k=5, min_df=5
+    return _str_decimals(
+        distinctive_tokens_chi2(_t(spark, sf_dir, "documents"), k=5, min_df=5)
     )
 
 
@@ -10330,8 +10449,8 @@ def q172_top_trigram_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q173_table_digest",
     # identical md5-row-hash + exact decimal sum; chr(31) separator and
     # the NULL sentinel rendered identically; integer/string columns
-    # only (contract)
-    oracle="""
+    # only (contract); the digest ships as its digit string (conv 19)
+    oracle=_sql_str_out("""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(coalesce(sum(CAST(('0x' || substring(md5(
              CAST(o_orderkey AS VARCHAR) || chr(31)
@@ -10340,7 +10459,7 @@ def q172_top_trigram_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
              || coalesce(o_orderpriority, chr(0) || 'NULL')
            ), 1, 15)) AS BIGINT)), 0) AS DECIMAL(38,0)) AS digest
     FROM orders
-    """,
+    """, ("digest",)),
 )
 def q173_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive fingerprint of the orders table's key columns
@@ -10353,9 +10472,11 @@ def q173_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     digested columns."""
     from .operators.profile import table_digest
 
-    return table_digest(
-        _t(spark, sf_dir, "orders"),
-        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    return _str_decimals(
+        table_digest(
+            _t(spark, sf_dir, "orders"),
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        )
     )
 
 
@@ -10468,8 +10589,9 @@ def q175_exact_median_selection(
     "q176_key_skew_report",
     # identical exact algebra; rank ties in count are Σ-invariant so
     # both engines agree regardless of tie order (pinned by the
-    # composite (cnt, k) order anyway)
-    oracle="""
+    # composite (cnt, k) order anyway); gini num/den ship as digit
+    # strings (conv 19)
+    oracle=_sql_str_out("""
     WITH c AS (
       SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt
       FROM lineitem GROUP BY l_partkey
@@ -10502,7 +10624,7 @@ def q175_exact_median_selection(
              / CAST(CAST(CAST(CAST(n_keys AS HUGEINT) * n_rows
                   AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS gini
     FROM a
-    """,
+    """, ("gini_num", "gini_den")),
 )
 def q176_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnosis of lineitem's part key: cardinality, hottest-key
@@ -10516,7 +10638,9 @@ def q176_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); one-row output."""
     from .operators.skew import key_skew_report
 
-    return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_partkey")
+    return _str_decimals(
+        key_skew_report(_t(spark, sf_dir, "lineitem"), "l_partkey")
+    )
 
 
 @query(
@@ -10633,8 +10757,9 @@ def q178_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q179_entropy_report",
     # identical fixed-point log2 algebra (conv 6d), exact decimal sum,
-    # one display division of identical operands
-    oracle=f"""
+    # one display division of identical operands; h_fx ships as digit
+    # string (conv 19)
+    oracle=_sql_str_out(f"""
     WITH c AS (
       SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt
       FROM events GROUP BY user_id
@@ -10656,7 +10781,7 @@ def q178_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(CAST(sum(term) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
              / (CAST(max(n_rows) AS DOUBLE) * 1048576.0) AS entropy_bits
     FROM s
-    """,
+    """, ("h_fx",)),
 )
 def q179_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of the event stream's user-id distribution —
@@ -10667,9 +10792,10 @@ def q179_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one key-count agg + 1-row broadcast + per-key
     expressions; no window."""
     from .operators.profile import entropy_report
-    from .sources.tables import load_events
 
-    return entropy_report(load_events(spark, sf_dir), "user_id")
+    return _str_decimals(
+        entropy_report(load_events(spark, sf_dir), "user_id")
+    )
 
 
 @query(
@@ -10908,8 +11034,9 @@ def _q191_oracle() -> str:
     "q191_grouped_covariance_matrix",
     # identical exact algebra to q140/q141 generalized to all pairs;
     # one display double per pair with the q141 operand order and
-    # conv-16 VARCHAR casts (cov_num ~ n·S_ab reaches ~1e21 here)
-    oracle=_q191_oracle(),
+    # conv-16 VARCHAR casts (cov_num ~ n·S_ab reaches ~1e21 here);
+    # exact payload columns ship as digit strings (conv 19)
+    oracle=_sql_str_out(_q191_oracle(), ("cov_num", "var_a_n", "var_b_n")),
 )
 def q191_grouped_covariance_matrix(
     spark: SparkSession, sf_dir: str
@@ -10933,8 +11060,10 @@ def q191_grouped_covariance_matrix(
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.floor(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
     )
-    return grouped_covariance(
-        li, ["l_returnflag"], ["qty", "cents", "disc_bp"], min_n=2
+    return _str_decimals(
+        grouped_covariance(
+            li, ["l_returnflag"], ["qty", "cents", "disc_bp"], min_n=2
+        )
     )
 
 
@@ -10943,8 +11072,9 @@ def q191_grouped_covariance_matrix(
     # identical lead window over the per-user (ts_us, event_id) total
     # order; segment products exact as decimal(19,0)·(19,0) → (38,0)
     # sums (cents·µs ~ 1e18 wraps int64 — conv 11); display double via
-    # conv-16 VARCHAR on the >2^53 numerator
-    oracle="""
+    # conv-16 VARCHAR on the >2^53 numerator; twap_num ships as digit
+    # string (conv 19)
+    oracle=_sql_str_out("""
     WITH c AS (
       SELECT user_id, epoch_us(ts) AS ts_us, event_id,
              CAST(floor(value * 100) AS BIGINT) AS cents
@@ -10972,7 +11102,7 @@ def q191_grouped_covariance_matrix(
                      / CAST(span_us AS DOUBLE) / 100.0
            END AS twap
     FROM a
-    """,
+    """, ("twap_num",)),
 )
 def q192_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user TIME-weighted average purchase value (TWAP): the
@@ -11015,17 +11145,19 @@ def q192_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_points") >= 2)
     )
-    return a.select(
-        "user_id",
-        "n_points",
-        "span_us",
-        "twap_num",
-        F.when(
-            F.col("span_us") > 0,
-            F.col("twap_num").cast("double")
-            / F.col("span_us").cast("double")
-            / F.lit(100.0),
-        ).alias("twap"),
+    return _str_decimals(
+        a.select(
+            "user_id",
+            "n_points",
+            "span_us",
+            "twap_num",
+            F.when(
+                F.col("span_us") > 0,
+                F.col("twap_num").cast("double")
+                / F.col("span_us").cast("double")
+                / F.lit(100.0),
+            ).alias("twap"),
+        )
     )
 
 
@@ -11146,10 +11278,19 @@ def q194_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. char 3-gram SETS per name (an edit destroys ≤ q distinct
        grams, so k edits destroy ≤ k·q — the count-filter theorem);
-    2. each name indexes only its k·q+1 = 7 RAREST grams under the
-       global (frequency, gram) order — two names at ed ≤ k MUST
-       share one (prefix principle with t = max|G| − k·q, and the
-       length-≥12 floor keeps |G| > k·q so the bound stays positive);
+    2. each name indexes min(k·q+1, |G|) = up to 7 of its RAREST
+       grams under the global (frequency, gram) order.  Losslessness
+       case split (ADVICE r7 — array_distinct can shrink |G| below
+       k·q for repetitive names, so the invariant is NOT "|G| > k·q"):
+       when max(|G_a|,|G_b|) > k·q the prefix principle applies with
+       t = max − k·q ≥ 1 (the smaller side's slice is its FULL set,
+       ≥ its required |G| − t + 1 ≥ 1 prefix); when BOTH |G| ≤ k·q
+       both slices are full sets, and the join still finds the pair
+       because ed ≤ k with length ≥ 12 forces a shared distinct gram:
+       ≥ len−q+1 = 10 > k·q = 6 gram OCCURRENCES per name, each edit
+       kills ≤ q of them, so an untouched occurrence survives into
+       both strings.  Degenerate repetitive-name recall is pytest-
+       pinned (test_properties: edjoin_degenerate).
     3. candidates get the lossless length band |len_a−len_b| ≤ k,
        then ONE exact levenshtein verify per candidate.
 
@@ -11539,7 +11680,10 @@ def q198_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical first-reach chain as q193, then exact LOWER order
     # statistics on the latency multiset: smallest value whose scaled
     # cumulative count reaches the rank target (4·cum ≥ n / 2·cum ≥ n
-    # / 4·cum ≥ 3n) — pure integer rules, no interpolation
+    # / 4·cum ≥ 3n) — pure integer rules, no interpolation.
+    # coalesce(min(n),0): Spark's global agg over an EMPTY frame emits
+    # F.lit(n)=0 while min(n) over an empty CTE is NULL — pin the
+    # degenerate zero-conversions case to 0 on both sides (ADVICE r7)
     oracle="""
     WITH v AS (
       SELECT user_id, min(epoch_us(ts)) AS t1
@@ -11572,7 +11716,7 @@ def q198_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(cnt) OVER () AS BIGINT) AS n
       FROM d
     )
-    SELECT CAST(min(n) AS BIGINT) AS n_converted,
+    SELECT CAST(coalesce(min(n), 0) AS BIGINT) AS n_converted,
            CAST(min(lat_us) AS BIGINT) AS min_us,
            CAST(min(CASE WHEN 4 * cum >= n THEN lat_us END) AS BIGINT)
              AS p25_us,

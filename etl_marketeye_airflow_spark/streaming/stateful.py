@@ -21,23 +21,29 @@ STATE_SCHEMA = "total_events long, total_value double"
 
 
 def running_user_totals(
-    events_stream: DataFrame, exact_decimals: int | None = None
+    events_stream: DataFrame, exact_bits: int | None = None
 ) -> DataFrame:
     """events(user_id, value, ...) stream → cumulative totals per user,
     one output row per user per micro-batch that touched them.
 
-    ``exact_decimals=d`` accumulates value in fixed-point ticks of 10^-d
-    (stored in the double state slot — ticks are integers, exact in a
-    double up to 2^53).  This makes the running total independent of
-    row/batch arrival order — required for deterministic restarts and
-    for cross-engine verification (a float left-fold differs at the ulp
-    level per order).  ``None`` keeps plain float accumulation.
+    ``exact_bits=k`` accumulates value in DYADIC fixed-point ticks of
+    2^-k via floor(v·2^k) — conv 14: float→double exact, ×2^k exact,
+    floor exact, so the tick is a pure function of the input bits on
+    ANY engine (ticks are integers, exact in the double state slot up
+    to 2^53).  This makes the running total independent of row/batch
+    arrival order AND of the engine — required for deterministic
+    restarts and cross-engine verification.  The earlier decimal-ticks
+    form ((v·10^d).round()) was order-free but NOT engine-free: numpy
+    rounds half-to-even on an already-rounded product while a decimal
+    cast rounds the true value half-up — the fuzz_gate tie probe
+    (x.xx5 values, r8) diverged exactly there.  ``None`` keeps plain
+    float accumulation (order-dependent; never oracle it).
     """
 
     def update(key, pdfs, state):
         import pandas as pd
 
-        scale = None if exact_decimals is None else 10.0 ** exact_decimals
+        scale = None if exact_bits is None else float(1 << exact_bits)
         (user_id,) = key
         n, acc = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
@@ -46,7 +52,9 @@ def running_user_totals(
             if scale is None:
                 acc += float(v.sum())
             else:
-                acc += float((v * scale).round().sum())
+                import numpy as np
+
+                acc += float(np.floor(v.to_numpy() * scale).sum())
         state.update((n, acc))
         total = acc if scale is None else acc / scale
         yield pd.DataFrame(

@@ -831,3 +831,34 @@ def test_edit_distance_join_matches_brute_force(spark):
         for r in QUERIES["q194_edit_distance_join"](spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_edjoin_degenerate_repetitive_names(spark, tmp_path_factory):
+    """q194 recall on names whose DISTINCT 3-gram count collapses below
+    K*Q = 6 (array_distinct on repetitive text — ADVICE r7): the prefix
+    slice degrades to the FULL gram set, and ed<=2 pairs of length>=12
+    still share a distinct gram (>= len-q+1 = 10 occurrences, <= 6
+    destroyed), so the pair MUST be found.  Also pins that a far pair
+    stays out."""
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    sf = str(tmp_path_factory.mktemp("edjoin"))
+    rows = [
+        # |G| = 1 ({aaa}) and |G| = 4 — both <= K*Q, ed = 1
+        (37, "aaaaaaaaaaaa"),
+        (74, "aaaaabaaaaaa"),
+        # repetitive but far from the a-block (ed >> 2)
+        (111, "cccccccccccc"),
+        # not in the %37 universe — must be ignored even at ed 0
+        (38, "aaaaaaaaaaaa"),
+        # too short for the floor
+        (148, "aaaa"),
+    ]
+    spark.createDataFrame(rows, "c_custkey long, c_name string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in QUERIES["q194_edit_distance_join"](spark, sf).collect()
+    }
+    assert got == {(37, 74): 1}

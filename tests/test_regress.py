@@ -256,3 +256,38 @@ class TestGlobalRankCumsum:
         # (test_registry_has_no_unbounded_global_windows) — here just
         # pin that the checkpointed result itself is window-free
         assert not unpartitioned_windows(executed_plan(out))
+
+    def test_reserved_column_name_guard(self, spark):
+        """A caller frame already containing an internal name must fail
+        EARLY and loudly, not with a duplicate-column analysis error
+        three operators deep (ADVICE r7)."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from etl_marketeye_airflow_spark.operators.ranking import (
+            global_rank_cumsum,
+        )
+
+        df = spark.createDataFrame([(1, 2)], "k long, _pid long")
+        with pytest.raises(ValueError, match="_pid"):
+            global_rank_cumsum(df, [F.col("k").asc()])
+
+    def test_all_null_sum_partition(self, spark):
+        """An all-NULL sum column coalesces to 0 in the driver-side
+        prefix fold instead of raising TypeError on None (ADVICE r7);
+        cum stays NULL per row (sum over nulls) but ranks and totals
+        are exact."""
+        from pyspark.sql import functions as F
+
+        from etl_marketeye_airflow_spark.operators.ranking import (
+            global_rank_cumsum,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, None)], "k long, v long"
+        )
+        out, n, s = global_rank_cumsum(
+            df, [F.col("k").asc()], sum_col="v", num_partitions=2
+        )
+        assert n == 3 and s == 0
+        assert [r["rn"] for r in out.orderBy("k").collect()] == [1, 2, 3]

@@ -174,3 +174,93 @@ def test_conv16_scaled_decimal_roundtrip():
         ).fetchone()[0]
         want = float(Fraction(unscaled, 10**8))
         assert via_str == want, txt
+
+
+class TestPandasPathCanon:
+    """The driver compares through pandas (`duckdb .df()` vs Spark
+    `toPandas()`), not through cursor fetches — the r7 verdict's root
+    cause was exactly the dtype classes pandas mangles.  These tests
+    pin the gate's pandas-path canon (`canon_pd_value`) against every
+    output dtype the registry emits, and assert decimal REJECTION
+    (conv 19): a decimal cell must never canon equal to its float64
+    rendering."""
+
+    def _canon(self):
+        from check_correctness import canon_pd_value
+
+        return canon_pd_value
+
+    def test_scalar_dtypes_roundtrip_identically(self):
+        """For every dtype the registry may output (long, double,
+        string, bool, date), a DuckDB `.df()` cell and the equivalent
+        Spark-side pandas cell canon identically."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        canon = self._canon()
+        pdf = duckdb.connect().execute(
+            "SELECT CAST(42 AS BIGINT) AS l, CAST(1.5 AS DOUBLE) AS d,"
+            " 'x' AS s, true AS b, DATE '1995-10-05' AS dt,"
+            " CAST(NULL AS BIGINT) AS nl, CAST(NULL AS DOUBLE) AS nd"
+        ).df()
+        r = pdf.iloc[0]
+        # Spark toPandas equivalents: numpy scalars for numerics,
+        # python str/bool, datetime.date for dates, NaN for null
+        # doubles, float64 NaN for null bigints (both engines promote)
+        import datetime
+
+        assert canon(r["l"]) == canon(np.int64(42)) == "42"
+        assert canon(r["d"]) == canon(1.5) == (1.5).hex()
+        assert canon(r["s"]) == canon("x") == "x"
+        assert canon(r["b"]) == canon(True) == "true"
+        # DuckDB date -> midnight datetime64; Spark -> datetime.date
+        assert canon(r["dt"]) == canon(datetime.date(1995, 10, 5))
+        assert canon(r["nd"]) == "nan"  # NULL double -> NaN both sides
+
+    def test_decimal_rejected_never_equals_float64(self):
+        """THE r7 red class: DuckDB renders DECIMAL as float64 while
+        Spark yields decimal.Decimal objects — the canon must keep
+        them UNEQUAL at any magnitude so the divergence reproduces
+        locally (magnitude-independence: q176 maxed at 1.2e8)."""
+        import decimal as dec
+
+        canon = self._canon()
+        for v in ("120000000", "5", "-3", "123456789012345678901"):
+            assert canon(dec.Decimal(v)) != canon(float(dec.Decimal(v)))
+            assert canon(dec.Decimal(v)).startswith("dec:")
+
+    def test_digit_string_fix_is_engine_identical(self):
+        """The conv-19 fix shape: decimal -> VARCHAR in DuckDB and
+        decimal -> string in Spark must produce the same canon."""
+        import duckdb
+
+        pdf = duckdb.connect().execute(
+            "SELECT CAST(CAST(123456789012345678901234567890 AS"
+            " DECIMAL(38,0)) AS VARCHAR) AS s,"
+            " CAST(CAST(-42 AS DECIMAL(38,0)) AS VARCHAR) AS neg"
+        ).df()
+        canon = self._canon()
+        # Spark's decimal(38,0).cast('string') renders the same plain
+        # digit strings (BigDecimal.toPlainString, scale 0)
+        assert canon(pdf.iloc[0]["s"]) == "123456789012345678901234567890"
+        assert canon(pdf.iloc[0]["neg"]) == "-42"
+
+    def test_timestamp_vs_date_normalization_is_exact_guarded(self):
+        """Midnight tz-naive timestamps canon as the date (the q05
+        DATE-column shape, driver-green in r7); a NON-midnight
+        timestamp never collapses to a date."""
+        import datetime
+
+        import pandas as pd
+
+        canon = self._canon()
+        assert (
+            canon(pd.Timestamp("1995-10-05"))
+            == canon(datetime.date(1995, 10, 5))
+            == "1995-10-05"
+        )
+        assert canon(pd.Timestamp("1995-10-05 00:00:01")) == (
+            "1995-10-05 00:00:01"
+        )
+        assert canon(pd.NaT) == "␀"

@@ -66,6 +66,67 @@ def canon_rows(cols: list[str], rows) -> list[tuple]:
     return sorted(tuple(canon_value(r[i]) for i in order) for r in rows)
 
 
+def canon_pd_value(v):
+    """Canon over a PANDAS-materialized cell — the driver's comparison
+    path (DuckDB ``.df()`` vs Spark ``toPandas()``).  This pass exists
+    because pandas mangles types the cursor fetch keeps exact: DuckDB
+    renders DECIMAL as float64 while Spark yields object-dtype
+    ``decimal.Decimal`` — so any decimal output column hashes unequal on
+    the driver at ANY magnitude (the r6/r7 q140-class reds, invisible to
+    the exact pass).  Decimal stays TAGGED here (never collapsed to
+    float) precisely so that divergence reproduces locally."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "␀"
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if bool(v) else "false"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "nan"
+        if f == 0:
+            return "0"
+        return f.hex()
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + format(v.normalize(), "f")
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return "␀"
+        # a DATE column reaches pandas as datetime.date objects from
+        # Spark but as midnight datetime64 from DuckDB `.df()`; the
+        # driver compares date outputs green (q05 r7), so midnight
+        # tz-naive timestamps canon as the date.  The exact cursor
+        # pass (which sees true dates on both sides) runs first, so
+        # this cannot mask a date-value divergence.
+        if v.tz is None and v == v.normalize():
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.datetime):
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    try:
+        if pd.isna(v):  # NaT and friends in object columns
+            return "␀"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canon_pd_rows(pdf) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(canon_pd_value(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -167,19 +228,28 @@ def main() -> int:
                     f"oracle col {c!r} is {t} — nested outputs crash the "
                     "driver's canonicalizer; stringify or explode"
                 )
+        # Decimal is an INTERMEDIATE type, never an OUTPUT type (conv 19;
+        # r7 verdict root cause): the driver's pandas canonicalization
+        # renders DuckDB decimals as float64 but Spark decimals as
+        # Decimal objects — ANY decimal output column is driver-red,
+        # independent of magnitude.  Reject on EITHER side; ship exact
+        # decimal payloads as digit strings instead.
+        for c, t in s_types.items():
+            if t.startswith("decimal"):
+                problems.append(
+                    f"spark col {c!r} is {t} — decimal outputs never "
+                    "survive the driver's pandas canon; cast to string"
+                )
         for c, t in d_types.items():
             tu = t.upper()
             if "HUGEINT" in tu:
                 problems.append(f"oracle col {c!r} is {t} — CAST it "
                                 "(Spark has no int128)")
-            sd = s_types.get(c, "")
-            # containment, not prefix: DuckDB renders list-of-decimal as
-            # 'DECIMAL(p,s)[]' but Spark as 'array<decimal(p,s)>' — a
-            # prefix test would false-fail the pair the value canon
-            # compares correctly
-            if ("DECIMAL" in tu) != ("decimal" in sd):
+            if tu.startswith("DECIMAL"):
                 problems.append(
-                    f"col {c!r} decimal mismatch: duck={t} spark={sd}")
+                    f"oracle col {c!r} is {t} — decimal outputs never "
+                    "survive the driver's pandas canon; CAST AS VARCHAR"
+                )
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
@@ -189,6 +259,28 @@ def main() -> int:
             if cs != cd:
                 diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diffs}")
+        if not problems:
+            # driver-faithful pass: both result sets re-materialized
+            # through pandas, the way the driver actually compares (r7
+            # verdict item 2).  Catches dtype classes the exact cursor
+            # fetch is blind to.
+            try:
+                pdf_s = sdf.toPandas()
+                pdf_d = con.execute(oracles[name]).df()
+                cps, cpd = canon_pd_rows(pdf_s), canon_pd_rows(pdf_d)
+                if cps != cpd:
+                    diffs = [
+                        (a, b) for a, b in zip(cps, cpd) if a != b
+                    ][:3]
+                    problems.append(
+                        "PANDAS-path values differ (driver-red even "
+                        f"though exact pass agreed), first diffs: {diffs}"
+                    )
+            except Exception as e:  # noqa: BLE001
+                problems.append(
+                    f"PANDAS-path comparison raised {type(e).__name__}: "
+                    f"{e} — the driver's canonicalizer would crash too"
+                )
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))

@@ -1,0 +1,217 @@
+"""Fuzzed-testdata gate sweep (VERDICT r7 item 3).
+
+The driver REGENERATES the parquet testdata every round, so a query can
+pass the gate on this round's data and diverge on the next round's —
+the r6→r7 q140 class (which rows land on a decimal→double rounding
+boundary is data luck).  This tool converts those classes into
+locally-reproducible failures: it derives K seeded perturbations of the
+sf0.01 tables and runs the FULL oracle gate against each.
+
+Perturbations are chosen to stress exactly the divergence classes the
+gate history has produced, while preserving every schema and value
+domain (the gate compares Spark vs DuckDB on the SAME parquet, so
+referential integrity is not required for correctness — but domains
+are, so queries' filters still select):
+
+- MAGNITUDE: measure columns (prices, event values) scale ×100 on a
+  seeded ~4% slice — squared-sum unscaled values cross 2^53 at sf0.01
+  (the conv-16 decimal→double class) while every value stays inside
+  the documented DECIMAL(12,4) price-domain contract the revenue
+  queries are entitled to assume (a ×10^6 probe run correctly
+  OVERFLOWED those casts — that is the fuzzer breaking the input
+  contract, not the engine breaking);
+- TIES: a seeded slice of measures is snapped to exact half-cent /
+  dyadic values — the HALF_UP vs HALF_EVEN class (conv 6d/14);
+- SHAPE: a seeded ~10% of rows drop per table and row order shuffles —
+  group sizes, empty-group edges, and partial-agg merge orders move;
+- TIME: order/ship/event timestamps jitter by seeded ± days — date
+  bucketing and window contents move;
+- DEGENERATE TEXT: a seeded ~2% of document texts become highly
+  repetitive — the |distinct grams| <= k·q dedup edge (q194 class).
+
+Keys, enum domains (event_type, flags, priorities), NULL-patterns, and
+embedding dimensionality are preserved.
+
+Usage:
+  python tools/fuzz_gate.py                 # 2 seeds, full registry
+  python tools/fuzz_gate.py --seeds 3 --names q140_grouped_ols_trend
+  python tools/fuzz_gate.py --keep          # keep generated dirs
+
+Exit 0 iff every seed's gate run passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import duckdb
+
+SRC = "/root/testdata/sf0.01"
+HERE = Path(__file__).resolve().parent
+
+
+def _gen(seed: int, out: Path) -> None:
+    """Write a seeded perturbation of every sf0.01 table to ``out``."""
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 8")
+
+    def h(expr: str, mod: int) -> str:
+        # seeded deterministic per-row coin in [0, mod)
+        return f"(hash(CAST({expr} AS VARCHAR) || '#s{seed}') % {mod})"
+
+    def copy(table: str, select: str) -> None:
+        con.execute(
+            f"COPY ({select}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+    def jitter_price(col: str, key: str) -> str:
+        """Magnitude + tie stress for a positive measure column:
+        ~4% of rows scale ×100 (squared-decimal sums cross 2^53 while
+        values stay inside the DECIMAL(12,4) domain contract), ~4%
+        snap to an exact half-cent (x.xx5 — the rounding-tie class),
+        the rest keep the original value."""
+        return (
+            f"CASE WHEN {h(key, 25)} = 0 THEN {col} * 100.0 "
+            f"WHEN {h(key, 25)} = 1 THEN floor({col}) + 0.005 "
+            f"ELSE {col} END"
+        )
+
+    def keep(key: str) -> str:
+        return f"{h(key, 10)} < 9"  # drop a seeded ~10%
+
+    def day_jitter(col: str, key: str) -> str:
+        return (
+            f"{col} + INTERVAL 1 DAY * (CAST({h(key, 61)} AS INTEGER) - 30)"
+        )
+
+    src = lambda t: f"read_parquet('{SRC}/{t}.parquet')"  # noqa: E731
+
+    # dimension tables pass through (domains ARE the data)
+    for t in ("region", "nation"):
+        copy(t, f"SELECT * FROM {src(t)}")
+
+    copy(
+        "customer",
+        f"""SELECT c_custkey, c_name, c_nationkey,
+              CASE WHEN {h('c_custkey', 25)} = 0 THEN c_acctbal * 100.0
+                   ELSE c_acctbal END AS c_acctbal,
+              c_mktsegment
+            FROM {src('customer')} WHERE {keep('c_custkey')}
+            ORDER BY {h('c_custkey', 1000003)}""",
+    )
+    copy(
+        "supplier",
+        f"SELECT * FROM {src('supplier')} WHERE {keep('s_suppkey')}",
+    )
+    copy(
+        "part",
+        f"""SELECT p_partkey, p_name, p_brand, p_type, p_size,
+              {jitter_price('p_retailprice', 'p_partkey')} AS p_retailprice
+            FROM {src('part')} WHERE {keep('p_partkey')}
+            ORDER BY {h('p_partkey', 1000003)}""",
+    )
+    copy(
+        "orders",
+        f"""SELECT o_orderkey, o_custkey, o_orderstatus,
+              {jitter_price('o_totalprice', 'o_orderkey')} AS o_totalprice,
+              {day_jitter('o_orderdate', 'o_orderkey')} AS o_orderdate,
+              o_orderpriority
+            FROM {src('orders')} WHERE {keep('o_orderkey')}
+            ORDER BY {h('o_orderkey', 1000003)}""",
+    )
+    copy(
+        "lineitem",
+        f"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+              l_quantity,
+              {jitter_price('l_extendedprice',
+                            "l_orderkey || '-' || l_linenumber")}
+                AS l_extendedprice,
+              l_discount, l_tax, l_returnflag, l_linestatus,
+              {day_jitter('l_shipdate',
+                          "l_orderkey || '-' || l_linenumber")}
+                AS l_shipdate
+            FROM {src('lineitem')}
+            WHERE {keep("l_orderkey || '-' || l_linenumber")}
+            ORDER BY {h("l_orderkey || '-' || l_linenumber", 1000003)}""",
+    )
+    copy(
+        "events",
+        f"""SELECT event_id,
+              {day_jitter('ts', 'event_id')} AS ts,
+              user_id, event_type,
+              CASE WHEN {h('event_id', 25)} = 0 THEN value * 100.0
+                   WHEN {h('event_id', 25)} = 1 THEN floor(value) + 0.005
+                   ELSE value END AS value,
+              props
+            FROM {src('events')} WHERE {keep('event_id')}
+            ORDER BY {h('event_id', 1000003)}""",
+    )
+    copy(
+        "documents",
+        f"""SELECT doc_id,
+              CASE WHEN {h('doc_id', 50)} = 0
+                   THEN repeat(substring(text, 1, 3), 12)
+                   ELSE text END AS text,
+              lang, source,
+              CAST(length(CASE WHEN {h('doc_id', 50)} = 0
+                   THEN repeat(substring(text, 1, 3), 12)
+                   ELSE text END) AS BIGINT) AS n_chars
+            FROM {src('documents')} WHERE {keep('doc_id')}
+            ORDER BY {h('doc_id', 1000003)}""",
+    )
+    copy(
+        "embeddings",
+        f"""SELECT vec_id,
+              CASE WHEN {h('vec_id', 50)} = 0
+                   THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                   ELSE embedding END AS embedding,
+              label
+            FROM {src('embeddings')} WHERE {keep('vec_id')}
+            ORDER BY {h('vec_id', 1000003)}""",
+    )
+    con.close()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--first-seed", type=int, default=101)
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    failures = []
+    for i in range(args.seeds):
+        seed = args.first_seed + i
+        d = Path(tempfile.mkdtemp(prefix=f"fuzzgate-s{seed}-"))
+        print(f"== seed {seed}: generating {d}", flush=True)
+        _gen(seed, d)
+        r = subprocess.run(
+            [
+                sys.executable,
+                str(HERE / "check_correctness.py"),
+                "--sf-dir",
+                str(d),
+                *args.names,
+            ],
+            cwd=str(HERE.parent),
+        )
+        if r.returncode != 0:
+            failures.append(seed)
+        if not args.keep:
+            shutil.rmtree(d, ignore_errors=True)
+    if failures:
+        print(f"FUZZ FAIL: seeds {failures}")
+        return 1
+    print(f"FUZZ PASS: {args.seeds} seeds")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
