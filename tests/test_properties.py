@@ -862,3 +862,87 @@ def test_edjoin_degenerate_repetitive_names(spark, tmp_path_factory):
         for r in QUERIES["q194_edit_distance_join"](spark, sf).collect()
     }
     assert got == {(37, 74): 1}
+
+
+def _write_docs(spark, tmp, rows):
+    """Crafted documents parquet (doc_id, text, lang, source, n_chars)."""
+    full = [(i, t, "en", "src", len(t)) for i, t in rows]
+    spark.createDataFrame(
+        full, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "_d_dir"))
+    part = next((tmp / "_d_dir").glob("part-*.parquet"))
+    part.rename(tmp / "documents.parquet")
+    return str(tmp)
+
+
+def test_leakage_safe_split_coassigns_clusters(spark, tmp_path_factory):
+    """q200: near-identical docs (Jaccard >= 0.35) must land in the SAME
+    split (the whole point — no train/test straddle), labeled by the
+    min cluster id; a distinct doc is its own singleton root."""
+    import hashlib
+
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, dup),
+        (2, dup + " eta"),  # near-dup of 1 (shared 3-gram shingles)
+        (9, "one two three four five six seven"),  # unrelated singleton
+    ]
+    sf = _write_docs(spark, tmp_path_factory.mktemp("split"), rows)
+    got = {r.doc_id: r for r in QUERIES["q200_leakage_safe_split"](spark, sf).collect()}
+    assert got[1].root == 1 and got[2].root == 1 and got[9].root == 9
+    assert got[1].split == got[2].split
+    # the coin is a pure function of the root — replay it
+    h = int(hashlib.md5(b"split-v1:9").hexdigest()[:15], 16) % 10
+    expect = "test" if h == 0 else ("valid" if h == 1 else "train")
+    assert got[9].split == expect
+
+
+def test_cluster_representatives_keep_best(spark, tmp_path_factory):
+    """q202: the LONGEST member represents its cluster; ties go to the
+    smallest doc id; singletons represent themselves."""
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, dup),
+        (2, dup + " eta"),        # longer -> representative of {1,2}
+        (5, "solo text here ok"),  # singleton
+        (7, "one two three four five"),
+        (8, "one two three four five"),  # tie on length -> keep 7
+    ]
+    sf = _write_docs(spark, tmp_path_factory.mktemp("reps"), rows)
+    got = {
+        r.root: (r.kept_doc, r.n_members)
+        for r in QUERIES["q202_cluster_representatives"](spark, sf).collect()
+    }
+    assert got[1] == (2, 2)   # longer member kept
+    assert got[5] == (5, 1)   # singleton
+    assert got[7] == (7, 2)   # equal lengths -> smallest id
+
+
+def test_token_budget_fill_inclusive_gate(spark, tmp_path_factory):
+    """q201: docs draw in md5-coin order and keep while the INCLUSIVE
+    running token count fits the budget — replayed in pure python."""
+    import hashlib
+
+    from etl_marketeye_airflow_spark.queries import QUERIES
+
+    rows = [(i, " ".join(f"w{j}" for j in range(10 * i))) for i in range(1, 9)]
+    sf = _write_docs(spark, tmp_path_factory.mktemp("fill"), rows)
+    toks = {i: 10 * i for i, _ in rows}
+    order = sorted(
+        toks,
+        key=lambda i: (int(hashlib.md5(f"fill-v1:{i}".encode()).hexdigest()[:15], 16), i),
+    )
+    expect, cum = {}, 0
+    for pos, i in enumerate(order, start=1):
+        cum += toks[i]
+        if cum <= 20000:
+            expect[i] = (pos, cum)
+    got = {
+        r.doc_id: (r.pos, r.cum_tokens)
+        for r in QUERIES["q201_token_budget_fill"](spark, sf).collect()
+    }
+    assert got == expect
