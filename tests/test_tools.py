@@ -264,3 +264,54 @@ class TestPandasPathCanon:
             "1995-10-05 00:00:01"
         )
         assert canon(pd.NaT) == "␀"
+
+
+def test_fuzz_gate_generator_schema_parity(tmp_path):
+    """tools/fuzz_gate.py perturbs VALUES, never SCHEMA or domains: every
+    generated table must carry exactly the source column names/types,
+    non-empty rows, and the perturbation invariants the queries' filters
+    rely on (positive prices, event_type enum unchanged)."""
+    import duckdb
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from fuzz_gate import SRC, _gen
+
+    out = tmp_path / "fz"
+    _gen(999, out)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+        " documents embeddings".split()
+    ):
+        src = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchall()
+        got = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out}/{t}.parquet')"
+        ).fetchall()
+        assert [(c[0], c[1]) for c in src] == [(c[0], c[1]) for c in got], t
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
+        ).fetchone()[0]
+        assert n > 0, t
+    # domain invariants the registry's filters assume
+    assert (
+        con.execute(
+            f"SELECT min(o_totalprice) FROM read_parquet('{out}/orders.parquet')"
+        ).fetchone()[0]
+        > 0
+    )
+    types = {
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT event_type FROM read_parquet('{out}/events.parquet')"
+        ).fetchall()
+    }
+    src_types = {
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT event_type FROM read_parquet('{SRC}/events.parquet')"
+        ).fetchall()
+    }
+    assert types <= src_types

@@ -183,6 +183,11 @@ def main() -> int:
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--first-seed", type=int, default=101)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--plain",
+        action="store_true",
+        help="run the gate under a driver-style bare session too",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -198,6 +203,7 @@ def main() -> int:
                 str(HERE / "check_correctness.py"),
                 "--sf-dir",
                 str(d),
+                *(["--plain"] if args.plain else []),
                 *args.names,
             ],
             cwd=str(HERE.parent),
