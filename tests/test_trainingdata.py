@@ -1491,3 +1491,37 @@ def test_centroid_classifier_perfect_on_separated_corpus(spark, tmp_path_factory
     got = {(r.true_label, r.predicted): r.n
            for r in QUERIES["q163_centroid_classifier"](spark, str(sf)).collect()}
     assert got == {(0, 0): 10, (1, 1): 10}
+
+
+def test_zero_norm_vectors_excluded_everywhere(spark):
+    """r8 fuzz class: zero-norm embeddings (failed/null encodes) must
+    never reach a cosine division — candidates are excluded, a zero
+    query yields the EMPTY frame (no ANSI DIVIDE_BY_ZERO crash), and
+    the near-dup pair set silently skips them."""
+    from etl_marketeye_airflow_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_near_dup_pairs,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+        (3, [0.95, 0.05, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r.vec_id for r in brute_force_topk(emb, [1.0, 0, 0, 0], k=4).collect()]
+    assert 2 not in got and set(got) == {0, 1, 3}
+    got = [r.vec_id for r in lsh_topk(emb, [1.0, 0, 0, 0], k=4, n_planes=4).collect()]
+    assert 2 not in got
+    got = [r.vec_id for r in ivf_topk(emb, [1.0, 0, 0, 0], k=4, n_centroids=2).collect()]
+    assert 2 not in got
+    # zero QUERY vector -> empty result, not a crash
+    assert brute_force_topk(emb, [0.0, 0, 0, 0], k=4).count() == 0
+    assert lsh_topk(emb, [0.0, 0, 0, 0], k=4, n_planes=4).count() == 0
+    assert ivf_topk(emb, [0.0, 0, 0, 0], k=4, n_centroids=2).count() == 0
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9, n_planes=4).collect()
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert 2 not in ids and {0, 1} <= ids
