@@ -1712,3 +1712,134 @@ def distinctive_tokens_chi2(
             "rank",
         )
     )
+
+
+def kmv_sketch_grouped(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 256,
+    seed: str = "kmv-v1",
+) -> DataFrame:
+    """Per-group KMV sketches in ONE pass: (group, rank, h) — the k
+    smallest distinct 60-bit token hashes of each group's vocabulary.
+    The grouped sibling of ``kmv_sketch`` (same hash, same seed), for
+    the all-pairs overlap matrix below.
+
+    Scale shape: one (group, hash)-distinct agg (map-side partial
+    dedup), then a per-GROUP rank window whose rn <= k filter Spark
+    rewrites to WindowGroupLimit (per-partition top-k heaps — the
+    window never sorts a group's full vocabulary)."""
+    from .dedup import portable_token_hash, spread, words
+
+    if k < 2:
+        raise ValueError(f"kmv k must be >= 2, got {k}")
+    h = portable_token_hash(F.concat(F.lit(seed + ":"), F.col("token")))
+    dist = (
+        spread(docs)
+        .select(F.col(group_col), F.explode(words(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .select(F.col(group_col), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, F.col("rank").cast("int").alias("rank"), "h")
+    )
+
+
+def kmv_overlap_matrix(
+    sketch: DataFrame, group_col: str = "source", k: int = 256
+) -> DataFrame:
+    """All-pairs theta-sketch overlap from grouped KMV sketches: one row
+    per (group_a < group_b) with the theta cut, exact cut/intersection
+    counts, and the ratio Jaccard estimate — the cross-source
+    contamination / overlap matrix (which corpora share vocabulary?)
+    at sketch cost instead of an all-pairs exact token join.
+
+    Same estimator discipline as ``kmv_set_ops``: theta = min of the
+    two groups' inclusion bounds (a group with n < k is complete, its
+    theta is the full hash space); both cut counts and the
+    intersection are exact integers over the h <= theta region; the
+    ONLY float op is one division of identical integer operands
+    (jaccard = inter/union — the theta scale factor cancels).
+
+    Scale shape: every frame here is <= k·|groups| rows — the sketch
+    build is the only data-sized work; the pair join is
+    |groups|²-bounded, never corpus-bounded.  The sketch has SIX
+    consumers below (theta agg, two cut counts, both intersection
+    sides), so it materializes once via localCheckpoint — without it
+    the corpus-sized build re-executes per consumer (41-exchange plan,
+    measured 10 s vs ~2 s at sf0.01)."""
+    g = group_col
+    sketch = sketch.localCheckpoint(eager=True)  # <= k·|groups| rows
+    th = sketch.groupBy(g).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.when(F.count(F.lit(1)) < k, F.lit(KMV_HASH_SPACE).cast("long"))
+        .otherwise(F.max("h"))
+        .alias("_theta"),
+    )
+    a = th.select(F.col(g).alias("source_a"), F.col("_theta").alias("_tha"))
+    b = th.select(F.col(g).alias("source_b"), F.col("_theta").alias("_thb"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b")).select(
+        "source_a",
+        "source_b",
+        F.least("_tha", "_thb").cast("long").alias("theta_cut"),
+    )
+    ska = sketch.select(F.col(g).alias("source_a"), "h")
+    skb = sketch.select(F.col(g).alias("source_b"), "h")
+
+    def cut_count(side: str, frame: DataFrame, out: str) -> DataFrame:
+        return (
+            pairs.join(frame, side)
+            .filter(F.col("h") <= F.col("theta_cut"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    ca = cut_count("source_a", ska, "n_cut_a")
+    cb = cut_count("source_b", skb, "n_cut_b")
+    # intersection: equi-join the two sides on h within each pair
+    iv = (
+        ska.join(skb, "h")
+        .join(pairs, ["source_a", "source_b"])
+        .filter(F.col("h") <= F.col("theta_cut"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_seen"))
+    )
+    out = (
+        pairs.join(ca, ["source_a", "source_b"], "left")
+        .join(cb, ["source_a", "source_b"], "left")
+        .join(iv, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "theta_cut",
+            F.coalesce("n_cut_a", F.lit(0)).cast("long").alias("n_cut_a"),
+            F.coalesce("n_cut_b", F.lit(0)).cast("long").alias("n_cut_b"),
+            F.coalesce("inter_seen", F.lit(0)).cast("long").alias("inter_seen"),
+        )
+        .withColumn(
+            "union_seen",
+            (F.col("n_cut_a") + F.col("n_cut_b") - F.col("inter_seen")).cast(
+                "long"
+            ),
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "theta_cut",
+        "n_cut_a",
+        "n_cut_b",
+        "inter_seen",
+        "union_seen",
+        F.when(F.col("union_seen") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("inter_seen").cast("double")
+            / F.col("union_seen").cast("double")
+        )
+        .alias("jaccard_est"),
+    )

@@ -12028,6 +12028,147 @@ def q202_cluster_representatives(
     )
 
 
+@query(
+    "q203_source_overlap_matrix",
+    # identical per-source KMV sketches (same 60-bit md5 hash, same
+    # seed), identical theta = min rule (n < k -> full hash space
+    # 2^60), exact integer cut/intersection counts over h <= theta,
+    # one ratio division of identical operands
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(('0x' || substring(md5('kmv-v1:' || token), 1, 15))
+               AS BIGINT) AS h
+      FROM (SELECT source, unnest({_SQL_TOKENIZE}) AS token
+            FROM documents)
+      WHERE token <> ''
+    ),
+    dist AS (SELECT DISTINCT source, h FROM tok),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM dist
+      ) WHERE rn <= 16
+    ),
+    th AS (
+      SELECT source,
+             CASE WHEN count(*) < 16
+                  THEN CAST(1152921504606846976 AS BIGINT)
+                  ELSE CAST(max(h) AS BIGINT) END AS theta
+      FROM sk GROUP BY source
+    ),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(least(a.theta, b.theta) AS BIGINT) AS theta_cut
+      FROM th a JOIN th b ON a.source < b.source
+    ),
+    ca AS (
+      SELECT p.source_a, p.source_b, CAST(count(*) AS BIGINT) AS n_cut_a
+      FROM p JOIN sk s ON s.source = p.source_a AND s.h <= p.theta_cut
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT p.source_a, p.source_b, CAST(count(*) AS BIGINT) AS n_cut_b
+      FROM p JOIN sk s ON s.source = p.source_b AND s.h <= p.theta_cut
+      GROUP BY 1, 2
+    ),
+    iv AS (
+      SELECT p.source_a, p.source_b,
+             CAST(count(*) AS BIGINT) AS inter_seen
+      FROM p
+      JOIN sk x ON x.source = p.source_a AND x.h <= p.theta_cut
+      JOIN sk y ON y.source = p.source_b AND y.h = x.h
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.theta_cut,
+           CAST(coalesce(ca.n_cut_a, 0) AS BIGINT) AS n_cut_a,
+           CAST(coalesce(cb.n_cut_b, 0) AS BIGINT) AS n_cut_b,
+           CAST(coalesce(iv.inter_seen, 0) AS BIGINT) AS inter_seen,
+           CAST(coalesce(ca.n_cut_a, 0) + coalesce(cb.n_cut_b, 0)
+                - coalesce(iv.inter_seen, 0) AS BIGINT) AS union_seen,
+           CASE WHEN coalesce(ca.n_cut_a, 0) + coalesce(cb.n_cut_b, 0)
+                     - coalesce(iv.inter_seen, 0) = 0 THEN 0.0
+                ELSE CAST(coalesce(iv.inter_seen, 0) AS DOUBLE)
+                     / CAST(coalesce(ca.n_cut_a, 0)
+                            + coalesce(cb.n_cut_b, 0)
+                            - coalesce(iv.inter_seen, 0) AS DOUBLE)
+           END AS jaccard_est
+    FROM p
+    LEFT JOIN ca USING (source_a, source_b)
+    LEFT JOIN cb USING (source_a, source_b)
+    LEFT JOIN iv USING (source_a, source_b)
+    """,
+)
+def q203_source_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALL-PAIRS cross-source vocabulary overlap from per-source KMV
+    sketches (k=16) — the contamination / redundancy matrix between
+    corpus slices (which sources feed each other?), at sketch cost:
+    q125 compares TWO fixed corpora; this sketches every source in one
+    pass and compares all pairs.  Theta-cut counts are exact integers;
+    jaccard is the ratio estimator (theta cancels).
+
+    Scale shape: one (source, hash)-distinct agg + a WindowGroupLimit
+    per-group top-k; everything downstream is k·|sources|-row frames
+    and a |sources|²-bounded pair join — corpus size never appears
+    after the sketch build."""
+    from .operators.corpus import kmv_overlap_matrix, kmv_sketch_grouped
+
+    sk = kmv_sketch_grouped(
+        _t(spark, sf_dir, "documents"), group_col="source", k=16
+    )
+    return kmv_overlap_matrix(sk, group_col="source", k=16)
+
+
+@query(
+    "q204_source_duplication_report",
+    # identical content digest (md5 of the shared normalize rule) and
+    # truncating-ppm rate — pure integers after the digest
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS content_hash
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct,
+           CAST((1000000 * (count(*) - count(DISTINCT content_hash)))
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM d GROUP BY source
+    """,
+)
+def q204_source_duplication_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source EXACT duplication rate (docs vs distinct normalized
+    contents, truncating ppm) — the per-slice data-sheet number that
+    decides which source needs the full near-dup pass first; the
+    grouped rollup of q20's exact-dedup digests.
+
+    Scale shape: one groupBy(source) with a distinct-count over
+    32-byte digests — the text never shuffles."""
+    from .operators.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.md5(normalize_text(F.col("text"))).alias("content_hash")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("content_hash").cast("long").alias("n_distinct"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        F.expr("(1000000 * (n_docs - n_distinct)) div n_docs")
+        .cast("long")
+        .alias("dup_ppm"),
+    )
+
+
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
 # per round against an 80+-entry registry, so a fixed numeric order would

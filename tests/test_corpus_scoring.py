@@ -1063,3 +1063,59 @@ def test_distinctive_tokens_chi2_planted_keyness(spark):
     assert r1.chi2 == 20.0
     # uniform tokens never appear (det <= 0 filtered)
     assert all(r.token not in ("common", "filler", "text") for r in out)
+
+
+def test_kmv_grouped_matches_per_group_sketch(spark):
+    """kmv_sketch_grouped(source) must equal kmv_sketch() run on each
+    source's slice (same hash/seed/k) — the grouped form is an
+    optimization, never a semantic change."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        kmv_sketch,
+        kmv_sketch_grouped,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta", "s1"),
+        (2, "beta gamma epsilon", "s1"),
+        (3, "zeta eta theta", "s2"),
+        (4, "theta iota kappa lambda mu", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    grouped = {
+        (r.source, r.rank): r.h
+        for r in kmv_sketch_grouped(docs, "source", k=3).collect()
+    }
+    for src in ("s1", "s2"):
+        per = {
+            (src, r.rank): r.h
+            for r in kmv_sketch(
+                docs.filter(docs.source == src), k=3
+            ).collect()
+        }
+        assert {kk: v for kk, v in grouped.items() if kk[0] == src} == per
+
+
+def test_kmv_overlap_matrix_identical_and_disjoint(spark):
+    """Two sources with the SAME text estimate jaccard 1.0; fully
+    disjoint vocabularies estimate 0.0; counts are exact under the
+    theta cut."""
+    from etl_marketeye_airflow_spark.operators.corpus import (
+        kmv_overlap_matrix,
+        kmv_sketch_grouped,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", "a"),
+        (2, "alpha beta gamma", "b"),
+        (3, "zeta eta theta", "c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sk = kmv_sketch_grouped(docs, "source", k=8)
+    m = {
+        (r.source_a, r.source_b): r
+        for r in kmv_overlap_matrix(sk, "source", k=8).collect()
+    }
+    assert m[("a", "b")].jaccard_est == 1.0
+    assert m[("a", "b")].inter_seen == 3 and m[("a", "b")].union_seen == 3
+    assert m[("a", "c")].jaccard_est == 0.0
+    assert m[("b", "c")].inter_seen == 0
