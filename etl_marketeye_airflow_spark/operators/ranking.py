@@ -35,6 +35,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the persisted blocks behind a localCheckpoint'ed frame.
+
+    ``DataFrame.unpersist()`` goes through the SQL cache manager and is
+    a NO-OP for checkpoint blocks (they are RDD-level persists on the
+    ``LogicalRDD`` the checkpoint left behind — verified empirically on
+    Spark 4.1).  Without this, every call leaves a corpus-sized
+    MEMORY_AND_DISK block pinned until the ContextCleaner happens to GC
+    the dereferenced RDD — a long registry sweep accumulates them (r8
+    ADVICE).  Best-effort: on any non-classic-Spark surface (no _jdf /
+    different plan shape) it silently does nothing, which merely
+    restores the old rely-on-GC behavior."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def global_rank_cumsum(
     df: DataFrame,
     order_by: list[Column],
@@ -120,4 +140,10 @@ def global_rank_cumsum(
     )
     keep = df.columns + [rank_col] + ([cum_col] if sum_col else [])
     out = ranked.select(*keep).localCheckpoint(eager=True)
+    # `out` is itself lineage-truncated, so nothing depends on the
+    # data-sized intermediate checkpoint blocks anymore — free them now
+    # rather than waiting for the ContextCleaner to GC the dereferenced
+    # RDD (a long registry sweep would otherwise accumulate corpus-sized
+    # MEMORY_AND_DISK blocks per call; r8 ADVICE).
+    release_local_checkpoint(with_pid)
     return out, total_rows, total_sum

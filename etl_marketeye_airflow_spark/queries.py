@@ -1023,7 +1023,10 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    qv = list(row[0]) if row is not None else [0.0]
+    # NULL embedding cell degrades to the defined empty-frame path like a
+    # zero vector (r8 ADVICE: list(None) would raise engine-asymmetrically
+    # while the oracle's _sql_nonzero filter yields the defined result).
+    qv = list(row[0]) if row is not None and row[0] is not None else [0.0]
     return brute_force_topk(emb, qv, k=20).select(
         "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
     )
@@ -1113,7 +1116,10 @@ def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    qv = list(row[0]) if row is not None else [0.0]
+    # NULL embedding cell degrades to the defined empty-frame path like a
+    # zero vector (r8 ADVICE: list(None) would raise engine-asymmetrically
+    # while the oracle's _sql_nonzero filter yields the defined result).
+    qv = list(row[0]) if row is not None and row[0] is not None else [0.0]
     out = lsh_topk(emb, qv, k=10, n_planes=8, hamming_radius=1)
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
@@ -1635,7 +1641,10 @@ def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    qv = list(row[0]) if row is not None else [0.0]
+    # NULL embedding cell degrades to the defined empty-frame path like a
+    # zero vector (r8 ADVICE: list(None) would raise engine-asymmetrically
+    # while the oracle's _sql_nonzero filter yields the defined result).
+    qv = list(row[0]) if row is not None and row[0] is not None else [0.0]
     out = ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=4, train_iters=0)
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
@@ -7136,7 +7145,10 @@ def q132_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rank_bm25"),
     )
     row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    qv = list(row[0]) if row is not None else [0.0]
+    # NULL embedding cell degrades to the defined empty-frame path like a
+    # zero vector (r8 ADVICE: list(None) would raise engine-asymmetrically
+    # while the oracle's _sql_nonzero filter yields the defined result).
+    qv = list(row[0]) if row is not None and row[0] is not None else [0.0]
     if any(float(x) != 0.0 for x in qv):
         q = F.array(*[F.lit(float(x)) for x in qv])
         cs = (
@@ -11993,15 +12005,19 @@ def q201_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q202_cluster_representatives",
     # identical components; keep-best = arg_max over ONE packed integer
     # key n_chars·10^10 − doc_id (conv 12: max n_chars, ties to the
-    # SMALLEST doc id — doc ids bounded far below 10^10 here)
+    # SMALLEST doc id — doc ids bounded far below 10^10 here).  The pack
+    # is WIDE on both sides (decimal(38,0) / HUGEINT, conv 11/12): in
+    # int64 it wraps silently on Spark once n_chars ≳ 9.2e8 while DuckDB
+    # raises — the conv-11 silent-wrap class (r8 ADVICE).  HUGEINT stays
+    # INSIDE the arg_max comparison; outputs are BIGINT (conv 19).
     oracle="WITH RECURSIVE"
     + _SQL_CLOSURE_035.format(grams=_SQL_GRAMS)
     + """
     SELECT root,
-           CAST(arg_max(doc_id, n_chars * 10000000000 - doc_id)
-             AS BIGINT) AS kept_doc,
-           CAST(arg_max(n_chars, n_chars * 10000000000 - doc_id)
-             AS BIGINT) AS n_chars_kept,
+           CAST(arg_max(doc_id, CAST(n_chars AS HUGEINT) * 10000000000
+                                - doc_id) AS BIGINT) AS kept_doc,
+           CAST(arg_max(n_chars, CAST(n_chars AS HUGEINT) * 10000000000
+                                 - doc_id) AS BIGINT) AS n_chars_kept,
            CAST(count(*) AS BIGINT) AS n_members
     FROM (SELECT l.doc_id, l.root, d.n_chars
           FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
@@ -12020,7 +12036,14 @@ def q202_cluster_representatives(
     Scale shape: the q200 component labeling plus ONE map-side-combined
     groupBy(root) with a packed-integer max_by — no windows."""
     lab = _labeled_docs(spark, sf_dir)
-    pack = F.col("n_chars") * F.lit(10_000_000_000) - F.col("doc_id")
+    # decimal(38,0) pack (conv 11): an int64 pack wraps SILENTLY under
+    # non-ANSI Spark once n_chars ≳ 9.2e8 (wrong representative) while
+    # DuckDB raises; decimal keeps the key exact to ~1e28 n_chars and
+    # stays an INTERMEDIATE type only (conv 19 — outputs below are long).
+    pack = (
+        F.col("n_chars").cast("decimal(38,0)") * F.lit(10_000_000_000)
+        - F.col("doc_id")
+    )
     return lab.groupBy("root").agg(
         F.max_by(F.col("doc_id"), pack).cast("long").alias("kept_doc"),
         F.max_by(F.col("n_chars"), pack).cast("long").alias("n_chars_kept"),
@@ -12171,31 +12194,48 @@ def q204_source_duplication_report(
 
 # Driver-sweep ordering — EXPLICIT ROTATION CONTRACT (documented, not a
 # hidden re-sort): the external driver records at most ~50 correctness rows
-# per round against an 80+-entry registry, so a fixed numeric order would
+# per round against a 200+-entry registry, so a fixed numeric order would
 # leave the tail permanently unverified.  The registry therefore emits
-# queries in "staleness" order: any key WITHOUT a row in the most recent
-# CORRECTNESS_r*.json at the repo root comes first (numeric order within
-# each group).  With an N-entry cap and an ~80-entry registry this is a
-# round-robin that re-verifies every query at least every 2 rounds and
-# puts brand-new queries in the very next sweep.  If no correctness file
-# is readable the order degrades to plain numeric — deterministic either
-# way given the repo state.  Local tooling (bench.py, check_correctness)
-# iterates in numeric order regardless, so this affects ONLY the capped
-# external sweep's budget allocation.
-def _sweep_key_sets() -> tuple[frozenset, frozenset, frozenset]:
-    """(keys in the newest CORRECTNESS_r*.json, keys in ANY such file,
-    keys whose MOST RECENT appearance was a failure — any mismatch or
-    error in the newest file that contains them)."""
+# queries in RISK order (r9 change-aware upgrade; the r8 verdict's top
+# item — a staleness-only order is blind to "edited since last check"):
+#
+#   tier 0  red at its last driver check (a claimed fix must be confirmed
+#           before anything else gets budget — the q87 case)
+#   tier 1  never driver-checked (brand-new queries)
+#   tier 2  NARROW-changed: the query function's source or its oracle SQL
+#           text changed since the code state the driver last checked
+#   tier 3  DEP-changed: only a package module the function references
+#           (operators/… etc.) changed since that check
+#   tier 4  unchanged since its last check
+#
+# within each tier: oldest last-checked round first, then numeric.
+# "Since the driver last checked" is exact, not heuristic: the digest of
+# each query AT its last check is rebuilt from git history by
+# `tools/stamp_digests.py` (the driver's round-N commit contains exactly
+# the code the round-N sweep ran against) into `tools/sweep_stamps.json`,
+# and compared here against the digest of the CURRENT tree
+# (`sweep_digest.query_digest`).  A missing/stale/unparseable stamp file
+# degrades that query (or all of them) to tier 2 — the fail direction is
+# over-re-checking, never letting an edited query ride a green verdict.
+# If no correctness file is readable the order is plain numeric —
+# deterministic either way given the repo state.  Local tooling
+# (bench.py, check_correctness) iterates in numeric order regardless, so
+# this affects ONLY the capped external sweep's budget allocation.
+def _sweep_key_sets() -> tuple[frozenset, frozenset, dict]:
+    """(keys in ANY CORRECTNESS_r*.json, keys whose MOST RECENT
+    appearance was a failure, {key: newest round containing it})."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    latest: frozenset = frozenset()
     ever: set = set()
     last_row: dict = {}  # key -> its row in the newest file containing it
-    for i, path in enumerate(files):
+    last_round: dict = {}
+    for path in files:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -12203,8 +12243,10 @@ def _sweep_key_sets() -> tuple[frozenset, frozenset, frozenset]:
             continue
         ever |= set(data)
         last_row.update(data)
-        if i == len(files) - 1:
-            latest = frozenset(data)
+        if m:
+            n = int(m.group(1))
+            for k in data:
+                last_round[k] = max(last_round.get(k, 0), n)
 
     def _failed(row) -> bool:
         if not isinstance(row, dict):
@@ -12216,10 +12258,58 @@ def _sweep_key_sets() -> tuple[frozenset, frozenset, frozenset]:
         )
 
     red = frozenset(k for k, r in last_row.items() if _failed(r))
-    return latest, frozenset(ever), red
+    return frozenset(ever), red, last_round
 
 
-_LATEST_SWEPT, _EVER_SWEPT, _LAST_RED = _sweep_key_sets()
+_EVER_SWEPT, _LAST_RED, _LAST_ROUND = _sweep_key_sets()
+
+
+def _load_stamps() -> dict:
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root, "tools", "sweep_stamps.json")) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _current_digests() -> tuple[dict, dict]:
+    """{name: full digest}, {name: narrow digest} for the CURRENT tree.
+    Any failure yields empty maps → every checked query sorts tier 2
+    (over-re-check, the safe direction)."""
+    import inspect
+    import os
+
+    try:
+        from . import sweep_digest
+    except ImportError:
+        return {}, {}
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    cache: dict = {}
+    full: dict = {}
+    narrow: dict = {}
+    for name, fn in QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        orc = ORACLES.get(name, "")
+        try:
+            full[name] = sweep_digest.query_digest(src, orc, pkg_dir, cache)
+            narrow[name] = sweep_digest.query_digest(
+                src, orc, pkg_dir, cache, include_deps=False
+            )
+        except Exception:
+            continue
+    return full, narrow
+
+
+_STAMPS = _load_stamps()
+_CUR_FULL, _CUR_NARROW = _current_digests()
 
 
 def _qnum(name: str) -> int:
@@ -12229,34 +12319,33 @@ def _qnum(name: str) -> int:
     return int(m.group(1)) if m else 999
 
 
-def _sweep_order(name: str) -> tuple[int, int]:
-    # Group -1: the last external verdict on this query was a FAILURE —
-    # a claimed fix MUST be confirmed before anything else gets budget
-    # (the q87 case: with 65 never-verified queries ahead of it, a plain
-    # staleness order would push the one known-red-until-proven-green
-    # query past the ~50-row cap for another round).  _LAST_RED is
-    # derived from each key's row in the NEWEST file containing it, so a
-    # re-verified-green query drops out of it by construction — no extra
-    # guard.  (r7 fix: the old `and name not in _LATEST_SWEPT` guard
-    # demoted queries red IN the newest file — exactly the 5 r6 reds —
-    # to group 2, starving their re-check.)  Group 0: never externally
-    # verified — these land inside the next capped sweep.  Group 1:
-    # verified at some point but missing from the latest file (one round
-    # stale).  Group 2: green in the latest file.  Numeric within each
-    # group.
+def _sweep_order(name: str) -> tuple[int, int, int]:
     import os
 
     if os.environ.get("SPARK_GRAFT_SWEEP_ORDER") == "numeric":
-        return (0, _qnum(name))
+        return (0, 0, _qnum(name))
+    last_round = _LAST_ROUND.get(name, -1)
     if name in _LAST_RED:
-        group = -1
+        tier = 0
     elif name not in _EVER_SWEPT:
-        group = 0
-    elif name not in _LATEST_SWEPT:
-        group = 1
+        tier = 1
     else:
-        group = 2
-    return (group, _qnum(name))
+        stamp = _STAMPS.get(name)
+        cur_n = _CUR_NARROW.get(name)
+        cur_f = _CUR_FULL.get(name)
+        if (
+            not isinstance(stamp, dict)
+            or stamp.get("round") != last_round  # stamp predates a newer check
+            or cur_n is None
+            or stamp.get("narrow") in (None, "UNKNOWN")
+            or stamp.get("narrow") != cur_n
+        ):
+            tier = 2
+        elif stamp.get("digest") != cur_f:
+            tier = 3
+        else:
+            tier = 4
+    return (tier, last_round, _qnum(name))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

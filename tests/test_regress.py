@@ -291,3 +291,45 @@ class TestGlobalRankCumsum:
         )
         assert n == 3 and s == 0
         assert [r["rn"] for r in out.orderBy("k").collect()] == [1, 2, 3]
+
+    def test_intermediate_checkpoint_blocks_released(self, spark):
+        """Each call leaves exactly ONE persisted RDD alive (the
+        returned frame's own localCheckpoint) — the data-sized _pid
+        intermediate is freed eagerly, not left for the ContextCleaner
+        (ADVICE r8).  DataFrame.unpersist() is a no-op for checkpoint
+        blocks (cache-manager path), so the release goes through the
+        LogicalRDD handle; this pins both facts."""
+        from pyspark.sql import functions as F
+
+        from etl_marketeye_airflow_spark.operators.ranking import (
+            global_rank_cumsum,
+            release_local_checkpoint,
+        )
+
+        sc = spark.sparkContext
+
+        def persisted_ids() -> set:
+            it = sc._jsc.sc().getPersistentRDDs().keysIterator()
+            out = set()
+            while it.hasNext():
+                out.add(it.next())
+            return out
+
+        # Compare ID SETS, not counts: other tests' dereferenced
+        # checkpoint RDDs may be ContextCleaner-GC'd concurrently,
+        # which would flake a count-based assertion.
+        base = persisted_ids()
+        df = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        out, n, _ = global_rank_cumsum(
+            df, [F.col("v").asc(), F.col("k").asc()], sum_col="v"
+        )
+        assert n == 10_000
+        added = persisted_ids() - base
+        assert len(added) == 1, added  # out only; with_pid released
+        assert out.count() == 10_000  # result still fully readable
+        release_local_checkpoint(out)
+        assert not (persisted_ids() - base)
+        # non-checkpointed frames are a safe no-op
+        release_local_checkpoint(df)

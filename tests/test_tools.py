@@ -69,47 +69,125 @@ def test_duckdb_hugeint_detectable_via_describe():
     assert "HUGEINT" in t["c"].upper()
 
 
-def test_sweep_order_red_first():
-    """A query whose last external verdict was a failure outranks
-    never-verified queries, which outrank stale-green, which outrank
-    latest-green; numeric inside each group; the env override restores
-    plain numeric order.  Red-first holds even when the failure is in
-    the LATEST file (r7 fix: the old not-in-latest guard demoted
-    exactly those — the just-diagnosed reds — to the back of the
-    sweep)."""
-    import importlib
+def test_sweep_order_change_aware_tiers():
+    """r9 change-aware ordering: red at last check (tier 0) outranks
+    never-checked (1) outranks narrow-changed fn/oracle (2) outranks
+    dep-only-changed (3) outranks unchanged (4); within a tier the
+    OLDEST last-checked round goes first, then numeric; a missing or
+    stale stamp degrades to tier 2 (over-re-check — the safe
+    direction); the env override restores plain numeric order."""
     import os
 
     from etl_marketeye_airflow_spark import queries as Q
 
-    orig = (Q._LAST_RED, Q._EVER_SWEPT, Q._LATEST_SWEPT)
+    orig = (
+        Q._LAST_RED, Q._EVER_SWEPT, Q._LAST_ROUND,
+        Q._STAMPS, Q._CUR_FULL, Q._CUR_NARROW,
+    )
     try:
-        Q._LAST_RED = frozenset({"q87_x"})
-        Q._EVER_SWEPT = frozenset({"q87_x", "q01_a", "q02_b"})
-        Q._LATEST_SWEPT = frozenset({"q01_a"})
-        order = sorted(
-            ["q01_a", "q02_b", "q87_x", "q150_new", "q140_new"],
-            key=Q._sweep_order,
-        )
-        assert order == ["q87_x", "q140_new", "q150_new", "q02_b", "q01_a"]
+        checked = {
+            "q87_red": 8, "q01_unchanged_old": 3, "q02_unchanged_new": 8,
+            "q03_narrow": 7, "q04_dep": 5, "q05_stale_stamp": 8,
+            "q06_no_stamp": 8,
+        }
+        Q._LAST_RED = frozenset({"q87_red"})
+        Q._EVER_SWEPT = frozenset(checked)
+        Q._LAST_ROUND = dict(checked)
+        Q._STAMPS = {
+            "q87_red": {"round": 8, "digest": "f", "narrow": "n"},
+            "q01_unchanged_old": {"round": 3, "digest": "f", "narrow": "n"},
+            "q02_unchanged_new": {"round": 8, "digest": "f", "narrow": "n"},
+            "q03_narrow": {"round": 7, "digest": "f", "narrow": "OLD"},
+            "q04_dep": {"round": 5, "digest": "OLDFULL", "narrow": "n"},
+            # stamp round 7 but last checked round 8 → stale → tier 2
+            "q05_stale_stamp": {"round": 7, "digest": "f", "narrow": "n"},
+            # q06 has no stamp at all → tier 2
+        }
+        every = list(checked) + ["q150_new"]
+        Q._CUR_FULL = {k: "f" for k in every}
+        Q._CUR_NARROW = {k: "n" for k in every}
+        order = sorted(every, key=Q._sweep_order)
+        assert order == [
+            "q87_red",            # tier 0
+            "q150_new",           # tier 1 (never checked)
+            "q03_narrow",         # tier 2, r7
+            "q05_stale_stamp",    # tier 2, r8
+            "q06_no_stamp",       # tier 2, r8
+            "q04_dep",            # tier 3
+            "q01_unchanged_old",  # tier 4, r3
+            "q02_unchanged_new",  # tier 4, r8
+        ]
         os.environ["SPARK_GRAFT_SWEEP_ORDER"] = "numeric"
         try:
-            order2 = sorted(
-                ["q87_x", "q140_new", "q01_a"], key=Q._sweep_order
-            )
-            assert order2 == ["q01_a", "q87_x", "q140_new"]
+            order2 = sorted(["q87_red", "q150_new", "q01_unchanged_old"],
+                            key=Q._sweep_order)
+            assert order2 == ["q01_unchanged_old", "q87_red", "q150_new"]
         finally:
             del os.environ["SPARK_GRAFT_SWEEP_ORDER"]
-        # red in the LATEST file still sorts first (the r6 failure mode)
-        Q._LATEST_SWEPT = frozenset({"q01_a", "q87_x"})
-        assert Q._sweep_order("q87_x")[0] == -1
         # a re-verified-green query leaves _LAST_RED by construction
-        # (_sweep_key_sets derives red from each key's NEWEST row) and
-        # only then demotes to latest-green
         Q._LAST_RED = frozenset()
-        assert Q._sweep_order("q87_x")[0] == 2
+        assert Q._sweep_order("q87_red")[0] == 4
     finally:
-        Q._LAST_RED, Q._EVER_SWEPT, Q._LATEST_SWEPT = orig
+        (Q._LAST_RED, Q._EVER_SWEPT, Q._LAST_ROUND,
+         Q._STAMPS, Q._CUR_FULL, Q._CUR_NARROW) = orig
+
+
+def test_sweep_stamps_file_covers_registry_and_digests_live():
+    """The committed stamps file covers every registry entry that has a
+    correctness row, stamp rounds equal each query's newest correctness
+    round, and the live digest machinery produced a digest for every
+    registry entry (a silent _current_digests failure would quietly
+    demote the whole registry to tier 2)."""
+    import json
+    from pathlib import Path
+
+    from etl_marketeye_airflow_spark import queries as Q
+
+    stamps = json.loads(
+        (Path(__file__).resolve().parent.parent / "tools" / "sweep_stamps.json")
+        .read_text()
+    )
+    for name, rnd in Q._LAST_ROUND.items():
+        assert name in stamps, f"{name} missing from sweep_stamps.json"
+        assert stamps[name]["round"] == rnd, (
+            f"{name}: stamp round {stamps[name]['round']} != newest "
+            f"correctness round {rnd} — rerun tools/stamp_digests.py"
+        )
+    assert set(Q._CUR_FULL) == set(Q.QUERIES)
+    assert set(Q._CUR_NARROW) == set(Q.QUERIES)
+    for name, d in Q._CUR_FULL.items():
+        assert len(d) == 16, name
+
+
+def test_sweep_digest_sensitivity(tmp_path):
+    """The digest changes when (a) the fn source changes, (b) the oracle
+    changes, (c) a referenced module file changes; the narrow digest
+    ignores (c)."""
+    from etl_marketeye_airflow_spark import sweep_digest as SD
+
+    pkg = tmp_path
+    (pkg / "operators").mkdir()
+    (pkg / "operators" / "dedup.py").write_text("A = 1\n")
+    src = "def q(spark, sf):\n    from .operators.dedup import A\n    return A\n"
+    base = SD.query_digest(src, "SELECT 1", str(pkg))
+    assert SD.query_digest(src + "#x\n", "SELECT 1", str(pkg)) != base
+    assert SD.query_digest(src, "SELECT 2", str(pkg)) != base
+    (pkg / "operators" / "dedup.py").write_text("A = 2\n")
+    assert SD.query_digest(src, "SELECT 1", str(pkg)) != base
+    # narrow digest is blind to the module edit by design
+    n1 = SD.query_digest(src, "SELECT 1", str(pkg), include_deps=False)
+    (pkg / "operators" / "dedup.py").write_text("A = 3\n")
+    n2 = SD.query_digest(src, "SELECT 1", str(pkg), include_deps=False)
+    assert n1 == n2
+    # `from .operators import text as tx` resolves the module too
+    (pkg / "operators" / "text.py").write_text("B = 1\n")
+    src2 = "def q(spark, sf):\n    from .operators import text as tx\n    return tx.B\n"
+    assert "operators/text.py" in SD.referenced_modules(src2, str(pkg))
+    # load_events pins sources/tables.py even without an import statement
+    (pkg / "sources").mkdir()
+    (pkg / "sources" / "tables.py").write_text("C = 1\n")
+    src3 = "def q(spark, sf):\n    return load_events(spark, sf)\n"
+    assert "sources/tables.py" in SD.referenced_modules(src3, str(pkg))
 
 
 def test_conv16_varchar_roundtrip_is_correctly_rounded():
