@@ -158,8 +158,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     # fixed numeric order, NOT the rotating driver-sweep order — bench
-    # deltas must compare like with like across rounds
+    # deltas must compare like with like across rounds.  The optional
+    # SPARK_GRAFT_BENCH_NAMES=qa,qb filter exists for targeted scale
+    # probes (sf10 runs a ~15-query data-heavy subset); the driver's
+    # per-round run never sets it.
+    names_env = os.environ.get("SPARK_GRAFT_BENCH_NAMES", "")
+    only = {n.strip() for n in names_env.split(",") if n.strip()}
+    unknown = only - set(registry.QUERIES)
+    assert not unknown, f"SPARK_GRAFT_BENCH_NAMES unknown: {sorted(unknown)}"
     for name in sorted(registry.QUERIES, key=lambda n: (n[1:3], n)):
+        if only and name not in only:
+            continue
         fn = registry.QUERIES[name]
         best = float("inf")
         for _ in range(max(1, runs)):

@@ -187,8 +187,9 @@ def chunk_documents(
         (F.greatest(n - chunk_size, F.lit(0)) + (stride - 1)) / stride
     ).cast("long")
     chunk = lambda k: F.slice(w, k * stride + 1, chunk_size)  # noqa: E731
+    # NULL-text docs carry no tokens to chunk — excluded (conv 22)
     return (
-        spread(docs)
+        spread(docs.filter(F.col(text_col).isNotNull()))
         .select(F.col(id_col), words(F.col(text_col)).alias("_w"))
         .select(
             id_col,
@@ -1243,6 +1244,11 @@ def dyadic_histogram(
     combine (partial sum/min/max) does nearly all the work and the
     sketch broadcasts anywhere it's consumed.
     """
+    # NULL measurements are ABSENT from the sketch (conv 22: order
+    # statistics exclude missing values on both engines — a NULL bucket
+    # row would also sort NULLS FIRST in Spark's cum-window vs NULLS
+    # LAST in DuckDB's, shifting every quantile estimate).
+    values = values.filter(F.col(value_col).isNotNull())
     staged = with_dyadic_bucket(values, value_col, "bucket_idx", sub_bits)
     keys = list(group_cols or []) + ["bucket_idx"]
     return staged.groupBy(*keys).agg(

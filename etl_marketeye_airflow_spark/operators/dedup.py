@@ -571,7 +571,12 @@ def simhash_signatures(
         return pd.Series(out.view(np.int64))
 
     th = token_hash if token_hash is not None else (lambda t: F.xxhash64(t))
-    return spread(docs).select(
+    # Docs with NULL text carry no content — EXCLUDE them (conv 22, the
+    # zero-norm-embedding discipline).  Without this every NULL-text doc
+    # gets the same empty-vote signature and they all pair with each
+    # other at hamming 0, while the oracle's unnest path never sees them
+    # (observed: 83 vs 17 pairs under the NULL-fuzz perturbation).
+    return spread(docs.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("_id"),
         sig_kernel(F.transform(words(F.col(text_col)), th)).alias("_sig"),
     )

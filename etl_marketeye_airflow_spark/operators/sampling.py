@@ -177,7 +177,12 @@ def length_buckets(
     """Sequence-length bucketing plan: group rows into fixed-width
     length buckets and report per-bucket count/volume plus the running
     cumulative volume in bucket order — the packing table a trainer uses
-    to budget tokens per batch shape."""
+    to budget tokens per batch shape.
+
+    Rows with a NULL length metric are excluded (conv 22): an
+    unmeasured doc can't be packed, and a NULL bucket row would sort
+    NULLS FIRST in Spark's cum-window vs NULLS LAST in an oracle's."""
+    df = df.filter(F.col(metric_col).isNotNull())
     bucketed = df.withColumn(
         "bucket", F.expr(f"{metric_col} div {bucket_width}").cast("long")
     )

@@ -247,8 +247,16 @@ def train_centroids(
     pass so ulp-level partial-agg reorder can't flip a boundary
     assignment between runs (keeps downstream results deterministic).
     Cells that lose all members keep their previous centroid.
+
+    NULL embeddings are excluded at entry (conv 22): a missing vector
+    can neither seed a centroid (``list(None)`` raised engine-
+    asymmetrically under the NULL-fuzz perturbation) nor be assigned.
     """
-    train = embeddings.select(id_col, emb_col).persist()
+    train = (
+        embeddings.filter(F.col(emb_col).isNotNull())
+        .select(id_col, emb_col)
+        .persist()
+    )
     try:
         cents = [
             list(r[0])
@@ -294,7 +302,12 @@ def ivf_assign(
     Scale path: write the corpus ``partitionBy("_centroid")`` once; each
     query then reads only nprobe partitions (partition pruning — see
     build_ann_index/query_ann_index).
+
+    NULL embeddings are excluded at entry (conv 22) — no cell exists
+    for a missing vector; zero vectors still assign fine (squared
+    distance is total) and are only dropped at cosine-scoring stages.
     """
+    embeddings = embeddings.filter(F.col(emb_col).isNotNull())
     if train_iters > 0:
         cents = train_centroids(embeddings, n_centroids, train_iters, id_col, emb_col)
     else:
@@ -585,8 +598,14 @@ def semdedup(
     id, and ``train_iters>0`` buys better-separated cells at the same
     cost.  The oracled registry config pins 16 cells on the fixed test
     corpus.
+
+    NULL embeddings are excluded at entry (conv 22): a missing vector
+    has no cell and no cosine — it appears in NEITHER the kept nor the
+    dropped output rows (oracles mirror with an IS NOT NULL filter).
     """
-    base = embeddings.select(id_col, emb_col)
+    base = embeddings.filter(F.col(emb_col).isNotNull()).select(
+        id_col, emb_col
+    )
     if n_centroids is None:
         n = base.count()
         n_centroids = max(1, -(-n // target_cell_rows))

@@ -1154,10 +1154,16 @@ def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings CROSS JOIN (VALUES (1), (2), (3)) AS t(t)
       WHERE vec_id % 10 = 0
     ),
+    cc AS (
+      -- mirror Spark's nonzero_vec on the UNIONED corpus (conv 21/22):
+      -- NULL or all-zero members have no direction and are excluded
+      -- BEFORE any cosine list_reduce can see a NULL/empty zip
+      SELECT * FROM c WHERE {_sql_nonzero('e')}
+    ),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {_SQL_COS.format(a="a.e", b="b.e")} AS c2
-      FROM c a JOIN c b ON a.vec_id < b.vec_id
+      FROM cc a JOIN cc b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, round(c2, 6) AS cosine FROM p WHERE c2 >= 0.95
     """,
@@ -1296,6 +1302,9 @@ def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q29_doc_fingerprint",
+    # NULL-text docs are excluded on both sides (conv 22): a missing
+    # document has no fingerprint — Spark's fold yields NULL while
+    # DuckDB's list_concat([0], NULL) degrades to a 0 fingerprint.
     oracle="""
     SELECT doc_id,
            list_reduce(
@@ -1305,6 +1314,7 @@ def q28_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  w -> CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 1000000007)),
              (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
     FROM documents
+    WHERE text IS NOT NULL
     """,
 )
 def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,7 +1325,9 @@ def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread: the per-word interpreted fold is the cost here — a single
     # parquet file must not serialize it onto one core (no-op at scale)
-    docs = spread(_t(spark, sf_dir, "documents"))
+    docs = spread(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -1591,8 +1603,10 @@ def q35_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test_trainingdata; ulp noise is ~1e-15.
     oracle=f"""
     WITH cents AS (
+      -- NULL embeddings excluded (conv 22, mirrors ivf_assign's entry
+      -- filter): a missing vector can neither seed nor join a cell
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, embedding AS c
-      FROM embeddings ORDER BY vec_id LIMIT 16
+      FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16
     ),
     d AS (
       SELECT e.vec_id, e.embedding, c.cell_idx,
@@ -1603,6 +1617,7 @@ def q35_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
                                  (x, y) -> x + y) AS d2
       FROM embeddings e CROSS JOIN cents c
+      WHERE e.embedding IS NOT NULL
     ),
     assigned AS (
       SELECT vec_id, embedding, cell_idx FROM (
@@ -2007,22 +2022,29 @@ def q44_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q45_rank_family",
+    # NULLS LAST pinned on both sides (conv 22): Spark's asc default is
+    # NULLS FIRST, DuckDB's is NULLS LAST — any rank over a nullable
+    # order key silently shifts every non-NULL rank otherwise.
     oracle="""
     SELECT o_custkey, o_orderkey,
            dense_rank()   OVER w AS price_dense_rank,
            percent_rank() OVER w AS price_pct_rank,
            ntile(4)       OVER w AS price_quartile
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey)
     """,
 )
 def q45_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_rank / percent_rank / ntile per customer by order value —
     the remaining window-rank family (unique ORDER BY tiebreak keeps
     every rank deterministic; percent_rank = (rank-1)/(n-1) is one
-    integer-derived division, engine-exact)."""
+    integer-derived division, engine-exact).  NULL order values rank
+    LAST on both sides (conv 22)."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -2389,7 +2411,7 @@ def q53_quantile_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n_chars // 64 AS bucket,
              count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS bucket_volume
-      FROM documents GROUP BY 1
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
     )
     SELECT bucket, n_docs, bucket_volume,
            CAST(sum(bucket_volume) OVER (
@@ -2710,9 +2732,11 @@ def q60_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataF
 
 @query(
     "q61_document_chunking",
+    # NULL-text docs excluded on both sides (conv 22)
     oracle=f"""
     WITH w AS (
       SELECT doc_id, {_SQL_TOKENIZE} AS ws FROM documents
+      WHERE text IS NOT NULL
     ),
     k AS (
       SELECT doc_id, ws, (greatest(len(ws) - 32, 0) + 23) // 24 AS kmax FROM w
@@ -2984,8 +3008,16 @@ def q66_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_content(_t(spark, sf_dir, "documents"), kind="image")
     feats = extract_features(media)
     first_max = F.array_position(F.col("feature"), F.array_max(F.col("feature")))
+    # missing content ≡ empty bytes — the multimodal stub contract the
+    # featurize kernel and q30's decoder already follow (NULL text →
+    # zero histogram); length(NULL) would emit NULL vs the oracle's 0
     return (
-        media.select("media_id", F.length(F.col("content")).cast("long").alias("n_bytes"))
+        media.select(
+            "media_id",
+            F.coalesce(F.length(F.col("content")), F.lit(0))
+            .cast("long")
+            .alias("n_bytes"),
+        )
         .join(feats, "media_id")
         .select(
             "media_id",
@@ -3065,12 +3097,13 @@ def q67_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q68_udtf_token_offsets",
     # char_offset recomputed in SQL as the joined length of preceding
     # tokens (+1 separator) — exact integer math; the O(len²) slice-sum
-    # is oracle-side only (Spark carries a running sum per row)
+    # is oracle-side only (Spark carries a running sum per row).
+    # NULL-text docs excluded on both sides (conv 22).
     oracle="""
     WITH w AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     e AS (
       SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w
@@ -3109,9 +3142,16 @@ def q68_udtf_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     fn = f"token_offsets_{uuid.uuid4().hex[:8]}"
     view = f"docs_{uuid.uuid4().hex[:8]}"
     spark.udtf.register(fn, TokenOffsets)
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("_norm"),
+    # conv 22: NULL-text docs excluded (the UDTF's `text or ""` shim
+    # would otherwise fabricate a single empty token per missing doc
+    # while the oracle's unnest path emits nothing)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("_norm"),
+        )
     )
     docs.createOrReplaceTempView(view)
     return spark.sql(
@@ -3335,10 +3375,14 @@ def q71_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + 0.01 * CAST(((vec_id * 31 + (i - 1)) % 7) - 3 AS DOUBLE))
       FROM embeddings
     ),
+    cc AS (
+      -- mirror Spark's nonzero_vec on the UNIONED corpus (conv 21/22)
+      SELECT * FROM c WHERE {_sql_nonzero('e')}
+    ),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {_SQL_COS.format(a="a.e", b="b.e")} AS c2
-      FROM c a JOIN c b ON a.vec_id < b.vec_id
+      FROM cc a JOIN cc b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, round(c2, 6) AS cosine FROM p WHERE c2 >= 0.95
     """,
@@ -5637,8 +5681,10 @@ def q107_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ≥ 4e-4 within cells at all 3 SFs, pinned)
     oracle=f"""
     WITH cents AS (
+      -- NULL embeddings excluded (conv 22, mirrors ivf_assign's entry
+      -- filter): a missing vector can neither seed nor join a cell
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, embedding AS c
-      FROM embeddings ORDER BY vec_id LIMIT 16
+      FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16
     ),
     d AS (
       SELECT e.vec_id, e.embedding, c.cell_idx,
@@ -5649,6 +5695,7 @@ def q107_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
                                  (x, y) -> x + y) AS d2
       FROM embeddings e CROSS JOIN cents c
+      WHERE e.embedding IS NOT NULL
     ),
     assigned AS (
       SELECT vec_id, embedding, cell_idx FROM (
@@ -5781,8 +5828,9 @@ def q109_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(score_fx AS HUGEINT) * d > ssum
     ),
     cents AS (
+      -- NULL embeddings excluded (conv 22, mirrors ivf_assign)
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, embedding AS c
-      FROM embeddings ORDER BY vec_id LIMIT 16
+      FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16
     ),
     d AS (
       SELECT e.vec_id, e.embedding, c.cell_idx,
@@ -5793,6 +5841,7 @@ def q109_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
                                  (x, y) -> x + y) AS d2
       FROM embeddings e CROSS JOIN cents c
+      WHERE e.embedding IS NOT NULL
     ),
     assigned AS (
       SELECT vec_id, embedding, cell_idx FROM (
@@ -6725,7 +6774,8 @@ def _sql_dyadic_sketch(grp: list[str] | None = None) -> str:
     gsel = (g + ", ") if g else ""
     gby = f" GROUP BY {gsel}bucket_idx" if g else " GROUP BY bucket_idx"
     return f"""
-    WITH v AS (SELECT {gsel}CAST(n_chars AS BIGINT) AS v FROM documents),
+    WITH v AS (SELECT {gsel}CAST(n_chars AS BIGINT) AS v FROM documents
+               WHERE n_chars IS NOT NULL),
     bl AS (SELECT {gsel}v, length(bin(v)) - 1 AS b FROM v),
     ix AS (
       SELECT {gsel}v,
@@ -8399,7 +8449,7 @@ def q142_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT l_partkey,
              CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     r AS (
       SELECT l_partkey, price_cents,
@@ -8455,11 +8505,18 @@ def q143_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, one shuffle key throughout — never a global sort."""
     from .operators.anomaly import mad_outliers
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.floor(F.col("l_extendedprice") * 100)
-        .cast("long")
-        .alias("price_cents"),
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        # conv 22: order statistics exclude missing measurements — a
+        # NULL price would rank NULLS FIRST (Spark) vs LAST (DuckDB)
+        # and shift the median row picks
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
     )
     return mad_outliers(
         li, ["l_partkey"], "price_cents", threshold_ppm=3_000_000, min_n=5
@@ -10021,7 +10078,7 @@ def q165_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT l_partkey,
              CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     r AS (
       SELECT l_partkey, price_cents,
@@ -10058,11 +10115,16 @@ def q166_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back on the key (the q143 cost model)."""
     from .operators.anomaly import winsorize
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.floor(F.col("l_extendedprice") * 100)
-        .cast("long")
-        .alias("price_cents"),
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        # conv 22: order statistics exclude missing measurements
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
     )
     return winsorize(
         li, ["l_partkey"], "price_cents", lower_pct=5, upper_pct=95,
@@ -10211,6 +10273,7 @@ def q168_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(o_totalprice * 100) AS BIGINT) AS v
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        AND o_totalprice IS NOT NULL
     ),
     blocks AS (
       SELECT g, v, CAST(count(*) AS BIGINT) AS cnt,
@@ -10254,9 +10317,14 @@ def q169_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over raw rows."""
     from .operators.regress import mann_whitney_u
 
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    orders = (
+        _t(spark, sf_dir, "orders")
+        # conv 22: order statistics exclude missing measurements
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
     )
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment"
@@ -10285,6 +10353,7 @@ def q169_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(o_totalprice * 100) AS BIGINT) AS v
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        AND o_totalprice IS NOT NULL
     ),
     blocks AS (
       SELECT g, v,
@@ -10328,9 +10397,14 @@ def q170_kolmogorov_smirnov(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group window over DISTINCT values, per-group max."""
     from .operators.regress import kolmogorov_smirnov
 
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    orders = (
+        _t(spark, sf_dir, "orders")
+        # conv 22: order statistics exclude missing measurements
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
     )
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment"
@@ -10566,7 +10640,7 @@ def q174_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     r AS (
       SELECT v, row_number() OVER (ORDER BY v) AS rn,
@@ -10598,8 +10672,15 @@ def q175_exact_median_selection(
     broadcast; no global sort, no driver collect."""
     from .operators.stats import exact_median_selection
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        # conv 22: order statistics exclude missing measurements
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
     )
     return exact_median_selection(li, "cents", bucket_width=8192)
 
@@ -10825,7 +10906,7 @@ def q179_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT l_partkey,
              CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     r AS (
       SELECT l_partkey, cents,
@@ -10858,9 +10939,16 @@ def q180_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost model)."""
     from .operators.anomaly import trimmed_mean
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        # conv 22: order statistics exclude missing measurements
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
     )
     return trimmed_mean(li, ["l_partkey"], "cents", trim_pct=10, min_n=5)
 
@@ -10932,7 +11020,7 @@ def q181_embedding_dim_health(
       SELECT l_partkey,
              CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
              CAST(floor(l_quantity) AS BIGINT) AS w
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     g AS (
       SELECT l_partkey, cents, CAST(sum(w) AS BIGINT) AS w
@@ -10963,10 +11051,17 @@ def q182_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: (group, value) weight agg collapses ties first, one
     per-group cumulative window over DISTINCT values, one grouped
     min — the q169/q170 cost model."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-        F.floor(F.col("l_quantity")).cast("long").alias("w"),
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        # conv 22: order statistics exclude missing measurements
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.floor(F.col("l_quantity")).cast("long").alias("w"),
+        )
     )
     g = li.groupBy("l_partkey", "cents").agg(
         F.sum("w").cast("long").alias("w")
@@ -11928,7 +12023,10 @@ def q200_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical priority order (60-bit md5 coin, doc_id tiebreak),
     # identical non-empty-token counts, identical INCLUSIVE prefix-sum
     # gate cum <= B — the oracle replays with a plain window, the
-    # engine uses the two-pass range-partitioned prefix sum
+    # engine uses the two-pass range-partitioned prefix sum.
+    # NULL-text docs excluded on both sides (conv 22): a missing doc
+    # contributes no tokens, and a NULL n_tokens would poison the
+    # running sum differently per engine.
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
@@ -11937,7 +12035,7 @@ def q200_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(('0x' || substring(md5('fill-v1:'
                      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                AS coin
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     r AS (
       SELECT doc_id, n_tokens,
@@ -11967,7 +12065,9 @@ def q201_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import words
     from .operators.ranking import global_rank_cumsum
 
-    docs = _t(spark, sf_dir, "documents")
+    # conv 22: NULL-text docs excluded (no tokens to contribute; a NULL
+    # count would poison the prefix sum engine-asymmetrically)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     t = docs.select(
         "doc_id",
         F.size(F.filter(words(F.col("text")), lambda x: x != F.lit("")))
@@ -12072,11 +12172,11 @@ def q202_cluster_representatives(
         SELECT source, h,
                row_number() OVER (PARTITION BY source ORDER BY h) AS rn
         FROM dist
-      ) WHERE rn <= 16
+      ) WHERE rn <= 256
     ),
     th AS (
       SELECT source,
-             CASE WHEN count(*) < 16
+             CASE WHEN count(*) < 256
                   THEN CAST(1152921504606846976 AS BIGINT)
                   ELSE CAST(max(h) AS BIGINT) END AS theta
       FROM sk GROUP BY source
@@ -12127,11 +12227,18 @@ def q203_source_overlap_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """ALL-PAIRS cross-source vocabulary overlap from per-source KMV
-    sketches (k=16) — the contamination / redundancy matrix between
+    sketches (k=256) — the contamination / redundancy matrix between
     corpus slices (which sources feed each other?), at sketch cost:
     q125 compares TWO fixed corpora; this sketches every source in one
     pass and compares all pairs.  Theta-cut counts are exact integers;
     jaccard is the ratio estimator (theta cancels).
+
+    Estimator variance (r8 verdict item 5): the ratio estimator's
+    relative std-err is ~1/sqrt(k) of the union cut — k=16 gave ±25%
+    bands, k=256 gives ~±6%; correctness is unaffected either way
+    (every output is an exact integer over the pinned h <= theta
+    region plus one division of identical operands), and cost is nil
+    because no frame after the sketch build exceeds k·|sources| rows.
 
     Scale shape: one (source, hash)-distinct agg + a WindowGroupLimit
     per-group top-k; everything downstream is k·|sources|-row frames
@@ -12140,9 +12247,9 @@ def q203_source_overlap_matrix(
     from .operators.corpus import kmv_overlap_matrix, kmv_sketch_grouped
 
     sk = kmv_sketch_grouped(
-        _t(spark, sf_dir, "documents"), group_col="source", k=16
+        _t(spark, sf_dir, "documents"), group_col="source", k=256
     )
-    return kmv_overlap_matrix(sk, group_col="source", k=16)
+    return kmv_overlap_matrix(sk, group_col="source", k=256)
 
 
 @query(
@@ -12189,6 +12296,154 @@ def q204_source_duplication_report(
         F.expr("(1000000 * (n_docs - n_distinct)) div n_docs")
         .cast("long")
         .alias("dup_ppm"),
+    )
+
+
+@query(
+    "q205_cross_source_contamination",
+    # Exact inverted-index Jaccard closure (conv 7, the q22 oracle) +
+    # source joins; valid because LSH recall is complete at this
+    # operating point (pinned by test_minhash_lsh_recall_vs_exact), so
+    # Spark's verified pair set IS the exact >= 0.3 pair set.  Pure
+    # integer outputs: counts + truncating-ppm rates (conv 15: the ppm
+    # div is exact integer arithmetic, no float ranking).
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 1) + 1),
+                 i -> array_to_string(
+                        list_slice(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), i, i + 2), ' ')
+               )
+             ) AS grams
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.3
+    ),
+    sp AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             CASE WHEN da.source < db.source THEN p.id_a ELSE p.id_b END AS d_a,
+             CASE WHEN da.source < db.source THEN p.id_b ELSE p.id_a END AS d_b
+      FROM pr p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+      WHERE da.source <> db.source
+    ),
+    ag AS (
+      SELECT source_a, source_b, count(*) AS np,
+             count(DISTINCT d_a) AS na, count(DISTINCT d_b) AS nb
+      FROM sp GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, count(*) AS t FROM documents GROUP BY source)
+    SELECT ag.source_a, ag.source_b,
+           CAST(np AS BIGINT) AS n_pairs,
+           CAST(na AS BIGINT) AS n_docs_a,
+           CAST(nb AS BIGINT) AS n_docs_b,
+           CAST((1000000 * na) // ta.t AS BIGINT) AS contam_a_ppm,
+           CAST((1000000 * nb) // tb.t AS BIGINT) AS contam_b_ppm
+    FROM ag
+    JOIN tot ta ON ta.source = ag.source_a
+    JOIN tot tb ON tb.source = ag.source_b
+    """,
+)
+def q205_cross_source_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOC-LEVEL cross-source contamination matrix (r8 verdict item 7):
+    q203 measures vocabulary overlap via KMV sketches; the training-data
+    question is "how many of source A's DOCUMENTS near-dup into source
+    B" — this composes the proven MinHash+LSH band join (q22's verified
+    pair set, J >= 0.3) grouped by unordered source pair, with per-side
+    distinct-doc counts and truncating-ppm contamination rates against
+    each source's total document count.
+
+    Scale shape: candidate generation is the bucketed band join (never
+    all-pairs); the pair set joins documents twice on doc_id for the
+    source labels; everything after is a |sources|²-bounded aggregate.
+    Totals come from one grouped count, broadcast into the final join."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.3
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            F.when(F.col("_sa") < F.col("_sb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("_da"),
+            F.when(F.col("_sa") < F.col("_sb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("_db"),
+        )
+    )
+    agg = labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("_da").cast("long").alias("n_docs_a"),
+        F.countDistinct("_db").cast("long").alias("n_docs_b"),
+    )
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("_t")
+    )
+    return (
+        agg.join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("source_a"), F.col("_t").alias("_ta")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("source_b"), F.col("_t").alias("_tb")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            F.expr("(1000000 * n_docs_a) div _ta")
+            .cast("long")
+            .alias("contam_a_ppm"),
+            F.expr("(1000000 * n_docs_b) div _tb")
+            .cast("long")
+            .alias("contam_b_ppm"),
+        )
     )
 
 

@@ -27,10 +27,18 @@ are, so queries' filters still select):
 - TIME: order/ship/event timestamps jitter by seeded ± days — date
   bucketing and window contents move;
 - DEGENERATE TEXT: a seeded ~2% of document texts become highly
-  repetitive — the |distinct grams| <= k·q dedup edge (q194 class).
+  repetitive — the |distinct grams| <= k·q dedup edge (q194 class);
+- NULLS (r8 verdict item 6): a seeded ~2% of nullable measure cells
+  (c_acctbal, p_retailprice, o_totalprice, l_extendedprice, value),
+  document texts (with n_chars recomputed → NULL), and embedding
+  vectors go NULL — the Spark-vs-DuckDB NULL-semantics family
+  (min_by/arg_max NULL keys, count(col) vs count(*), asc NULLS FIRST
+  vs NULLS LAST defaults, sum over all-NULL groups).  Both engines see
+  the SAME parquet, so any red is a real cross-engine divergence, not
+  a data-quality complaint.
 
-Keys, enum domains (event_type, flags, priorities), NULL-patterns, and
-embedding dimensionality are preserved.
+Keys and enum domains (event_type, flags, priorities) are preserved;
+embedding dimensionality is preserved for non-NULL vectors.
 
 Usage:
   python tools/fuzz_gate.py                 # 2 seeds, full registry
@@ -64,6 +72,14 @@ def _gen(seed: int, out: Path) -> None:
     def h(expr: str, mod: int) -> str:
         # seeded deterministic per-row coin in [0, mod)
         return f"(hash(CAST({expr} AS VARCHAR) || '#s{seed}') % {mod})"
+
+    def nullify(col: str, key: str) -> str:
+        # independent salt: the magnitude/tie coins share h(key, ·), so a
+        # same-salt slot would correlate with them across mod choices
+        return (
+            f"CASE WHEN (hash(CAST({key} AS VARCHAR) || '#null#s{seed}')"
+            f" % 50) = 0 THEN NULL ELSE {col} END"
+        )
 
     def copy(table: str, select: str) -> None:
         con.execute(
@@ -99,8 +115,9 @@ def _gen(seed: int, out: Path) -> None:
     copy(
         "customer",
         f"""SELECT c_custkey, c_name, c_nationkey,
-              CASE WHEN {h('c_custkey', 25)} = 0 THEN c_acctbal * 100.0
-                   ELSE c_acctbal END AS c_acctbal,
+              {nullify(
+                  f"CASE WHEN {h('c_custkey', 25)} = 0 THEN c_acctbal * 100.0 "
+                  "ELSE c_acctbal END", 'c_custkey')} AS c_acctbal,
               c_mktsegment
             FROM {src('customer')} WHERE {keep('c_custkey')}
             ORDER BY {h('c_custkey', 1000003)}""",
@@ -112,14 +129,16 @@ def _gen(seed: int, out: Path) -> None:
     copy(
         "part",
         f"""SELECT p_partkey, p_name, p_brand, p_type, p_size,
-              {jitter_price('p_retailprice', 'p_partkey')} AS p_retailprice
+              {nullify(jitter_price('p_retailprice', 'p_partkey'),
+                       'p_partkey')} AS p_retailprice
             FROM {src('part')} WHERE {keep('p_partkey')}
             ORDER BY {h('p_partkey', 1000003)}""",
     )
     copy(
         "orders",
         f"""SELECT o_orderkey, o_custkey, o_orderstatus,
-              {jitter_price('o_totalprice', 'o_orderkey')} AS o_totalprice,
+              {nullify(jitter_price('o_totalprice', 'o_orderkey'),
+                       'o_orderkey')} AS o_totalprice,
               {day_jitter('o_orderdate', 'o_orderkey')} AS o_orderdate,
               o_orderpriority
             FROM {src('orders')} WHERE {keep('o_orderkey')}
@@ -129,8 +148,9 @@ def _gen(seed: int, out: Path) -> None:
         "lineitem",
         f"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
               l_quantity,
-              {jitter_price('l_extendedprice',
-                            "l_orderkey || '-' || l_linenumber")}
+              {nullify(jitter_price('l_extendedprice',
+                                    "l_orderkey || '-' || l_linenumber"),
+                       "l_orderkey || '-' || l_linenumber")}
                 AS l_extendedprice,
               l_discount, l_tax, l_returnflag, l_linestatus,
               {day_jitter('l_shipdate',
@@ -145,32 +165,35 @@ def _gen(seed: int, out: Path) -> None:
         f"""SELECT event_id,
               {day_jitter('ts', 'event_id')} AS ts,
               user_id, event_type,
-              CASE WHEN {h('event_id', 25)} = 0 THEN value * 100.0
-                   WHEN {h('event_id', 25)} = 1 THEN floor(value) + 0.005
-                   ELSE value END AS value,
+              {nullify(
+                  f"CASE WHEN {h('event_id', 25)} = 0 THEN value * 100.0 "
+                  f"WHEN {h('event_id', 25)} = 1 THEN floor(value) + 0.005 "
+                  "ELSE value END", 'event_id')} AS value,
               props
             FROM {src('events')} WHERE {keep('event_id')}
             ORDER BY {h('event_id', 1000003)}""",
     )
     copy(
         "documents",
-        f"""SELECT doc_id,
-              CASE WHEN {h('doc_id', 50)} = 0
-                   THEN repeat(substring(text, 1, 3), 12)
-                   ELSE text END AS text,
-              lang, source,
-              CAST(length(CASE WHEN {h('doc_id', 50)} = 0
-                   THEN repeat(substring(text, 1, 3), 12)
-                   ELSE text END) AS BIGINT) AS n_chars
-            FROM {src('documents')} WHERE {keep('doc_id')}
+        f"""SELECT doc_id, t AS text, lang, source,
+              CAST(length(t) AS BIGINT) AS n_chars
+            FROM (
+              SELECT *,
+                {nullify(
+                    f"CASE WHEN {h('doc_id', 50)} = 0 "
+                    "THEN repeat(substring(text, 1, 3), 12) "
+                    "ELSE text END", 'doc_id')} AS t
+              FROM {src('documents')} WHERE {keep('doc_id')}
+            )
             ORDER BY {h('doc_id', 1000003)}""",
     )
     copy(
         "embeddings",
         f"""SELECT vec_id,
-              CASE WHEN {h('vec_id', 50)} = 0
-                   THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
-                   ELSE embedding END AS embedding,
+              {nullify(
+                  f"CASE WHEN {h('vec_id', 50)} = 0 "
+                  "THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT)) "
+                  "ELSE embedding END", 'vec_id')} AS embedding,
               label
             FROM {src('embeddings')} WHERE {keep('vec_id')}
             ORDER BY {h('vec_id', 1000003)}""",

@@ -22,13 +22,30 @@ quadratic in replicas — an artifact, not a scaling fact).  Instead:
 - region/nation stay fixed (dimension tables do not grow with SF in
   TPC-H either).
 
+A SECOND measured decade (r8 verdict item 3): ``gen10`` replicates
+probes/sf1 by 10 again into probes/sf10 (~60 M lineitem rows, ~2.5 GB
+parquet) with the same key-shift scheme.  Two second-level differences,
+both to keep the workload shape linear rather than artifact-quadratic:
+
+- documents: second-level replica j>0 suffixes tokens with ``-a{j}``
+  (distinct from the first level's ``_i``) — still zero cross-replica
+  shingle overlap;
+- embeddings: second-level replicas apply a per-replica seeded ±1
+  SIGN-FLIP pattern (a diagonal orthogonal transform: within-replica
+  cosines are exactly preserved, cross-replica decorrelates) instead of
+  a second rotation — composing two rotations collides (rot i then
+  rot j = rot i+j, and distinct (i, j) pairs with equal sums would make
+  EXACT duplicate vectors under different vec_ids, inflating near-dup
+  pair counts super-linearly as a pure artifact).
+
 Usage:
   python tools/scale_probe.py gen      # build probes/sf1 (gitignored)
+  python tools/scale_probe.py gen10    # build probes/sf10 from sf1
   SPARK_GRAFT_SF_DIR=$PWD/probes/sf1 python bench.py       # time at 10x
   python tools/scale_probe.py report BENCH_sf01.json BENCH_sf1.json
 
-The generated dataset lives under the repo (probes/sf1, gitignored) —
-the project env rule is "never write outside /root/repo".
+The generated datasets live under the repo (probes/sf1, probes/sf10,
+gitignored) — the project env rule is "never write outside /root/repo".
 """
 
 from __future__ import annotations
@@ -69,31 +86,55 @@ KEY_SPACE = {
 }
 
 
-def gen() -> None:
+def gen(src: str = SRC, dst: str = DST, level: int = 1) -> None:
+    """10-way shape-preserving replication of ``src`` into ``dst``.
+    ``level=1`` is the original sf0.1→sf1 scheme (token ``_i`` suffix,
+    embedding rotation); ``level=2`` is the sf1→sf10 scheme (token
+    ``-a{j}`` suffix, embedding sign-flip — see module docstring for
+    why rotation must not compose)."""
     import duckdb
 
     con = duckdb.connect()
-    Path(DST).mkdir(parents=True, exist_ok=True)
+    Path(dst).mkdir(parents=True, exist_ok=True)
 
     spans: dict[tuple[str, str], int] = {}
     for tbl, col in set(KEY_SPACE.values()):
         (mx,) = con.sql(
-            f"SELECT max({col}) + 1 FROM read_parquet('{SRC}/{tbl}.parquet')"
+            f"SELECT max({col}) + 1 FROM read_parquet('{src}/{tbl}.parquet')"
         ).fetchone()
         spans[(tbl, col)] = int(mx)
 
     for tbl in ("region", "nation"):
         con.sql(
-            f"COPY (SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')) "
-            f"TO '{DST}/{tbl}.parquet' (FORMAT PARQUET)"
+            f"COPY (SELECT * FROM read_parquet('{src}/{tbl}.parquet')) "
+            f"TO '{dst}/{tbl}.parquet' (FORMAT PARQUET)"
         )
-        print(f"{tbl}: copied")
+        print(f"{tbl}: copied", flush=True)
+
+    def doc_text(i: int) -> str:
+        suffix = f"_{i}" if level == 1 else f"-a{i}"
+        return (
+            "array_to_string(list_transform(string_split(text, ' '),"
+            f" t -> t || '{suffix}'), ' ')"
+        )
+
+    def emb(i: int) -> str:
+        if level == 1:
+            return f"list_concat(embedding[{i + 1}:], embedding[1:{i}])"
+        # seeded diagonal ±1: orthogonal, so within-replica cosines are
+        # exactly preserved; distinct patterns per replica → no exact
+        # cross-replica duplicates (unlike composed rotations)
+        return (
+            "list_transform(embedding, (x, d) -> CAST(x * (CASE WHEN "
+            f"(hash(d || '-flip{i}') % 2) = 0 THEN 1.0 ELSE -1.0 END)"
+            " AS FLOAT))"
+        )
 
     for tbl, shift_cols in SHIFTS.items():
         cols = [
             r[0]
             for r in con.sql(
-                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')"
+                f"DESCRIBE SELECT * FROM read_parquet('{src}/{tbl}.parquet')"
             ).fetchall()
         ]
         branches = []
@@ -104,30 +145,22 @@ def gen() -> None:
                     t_o, c_o = KEY_SPACE[c]
                     sel.append(f"{c} + {i * spans[(t_o, c_o)]} AS {c}")
                 elif tbl == "documents" and c == "text" and i > 0:
-                    sel.append(
-                        "array_to_string(list_transform(string_split(text, ' '),"
-                        f" t -> t || '_{i}'), ' ') AS text"
-                    )
+                    sel.append(f"{doc_text(i)} AS text")
                 elif tbl == "documents" and c == "n_chars" and i > 0:
                     sel.append(
-                        "CAST(len(array_to_string(list_transform("
-                        f"string_split(text, ' '), t -> t || '_{i}'), ' ')) AS BIGINT)"
-                        " AS n_chars"
+                        f"CAST(len({doc_text(i)}) AS BIGINT) AS n_chars"
                     )
                 elif tbl == "embeddings" and c == "embedding" and i > 0:
-                    sel.append(
-                        f"list_concat(embedding[{i + 1}:], embedding[1:{i}])"
-                        " AS embedding"
-                    )
+                    sel.append(f"{emb(i)} AS embedding")
                 else:
                     sel.append(c)
             branches.append(
-                f"SELECT {', '.join(sel)} FROM read_parquet('{SRC}/{tbl}.parquet')"
+                f"SELECT {', '.join(sel)} FROM read_parquet('{src}/{tbl}.parquet')"
             )
         q = " UNION ALL ".join(branches)
-        con.sql(f"COPY ({q}) TO '{DST}/{tbl}.parquet' (FORMAT PARQUET)")
-        (n,) = con.sql(f"SELECT count(*) FROM read_parquet('{DST}/{tbl}.parquet')").fetchone()
-        print(f"{tbl}: {n} rows")
+        con.sql(f"COPY ({q}) TO '{dst}/{tbl}.parquet' (FORMAT PARQUET)")
+        (n,) = con.sql(f"SELECT count(*) FROM read_parquet('{dst}/{tbl}.parquet')").fetchone()
+        print(f"{tbl}: {n} rows", flush=True)
 
 
 def report(base_path: str, scaled_path: str) -> None:
@@ -151,6 +184,9 @@ def report(base_path: str, scaled_path: str) -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "gen":
         gen()
+    elif len(sys.argv) > 1 and sys.argv[1] == "gen10":
+        sf10 = str(Path(__file__).resolve().parent.parent / "probes" / "sf10")
+        gen(src=DST, dst=sf10, level=2)
     elif len(sys.argv) > 1 and sys.argv[1] == "report":
         report(sys.argv[2], sys.argv[3])
     else:
