@@ -335,6 +335,18 @@ def near_dup_clusters(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    def _release(df: DataFrame | None) -> None:
+        # free superseded per-round checkpoint blocks eagerly: an
+        # O(log d)-round loop otherwise pins rounds × |labels| of
+        # MEMORY_AND_DISK until the ContextCleaner gets around to it
+        # (the r8-ADVICE ranking.py class, applied to the loop).
+        # Reliable checkpoints live in checkpoint_dir and are managed
+        # there; only the localCheckpoint path holds executor blocks.
+        if df is not None and checkpoint_dir is None:
+            from .ranking import release_local_checkpoint
+
+            release_local_checkpoint(df)
+
     # Edges are scanned EVERY round: materialize once, or each iteration
     # recomputes the entire upstream pairs pipeline (for MinHash input
     # that's the full shingle+signature+join job × rounds).
@@ -348,6 +360,7 @@ def near_dup_clusters(
         .distinct()
         .withColumn("cluster", F.col("id"))
     )
+    prev_materialized: DataFrame | None = labels
     rounds_used = 0
     for _ in range(max_iterations):
         neighbor_min = (
@@ -379,6 +392,8 @@ def near_dup_clusters(
             )
         )
         changed = updated.filter(F.col("new_cluster") != F.col("old_cluster")).count()
+        _release(prev_materialized)
+        prev_materialized = updated
         labels = updated.select("id", F.col("new_cluster").alias("cluster"))
         if changed == 0:
             break

@@ -1525,3 +1525,34 @@ def test_zero_norm_vectors_excluded_everywhere(spark):
     pairs = embedding_near_dup_pairs(emb, threshold=0.9, n_planes=4).collect()
     ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
     assert 2 not in ids and {0, 1} <= ids
+
+
+def test_near_dup_clusters_releases_per_round_checkpoints(spark):
+    """The CC loop frees superseded per-round localCheckpoint blocks
+    eagerly (the r8-ADVICE ranking.py class applied to the loop): after
+    the call only the edges table and the FINAL labels round remain
+    persisted, regardless of how many rounds ran."""
+    from etl_marketeye_airflow_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    sc = spark.sparkContext
+
+    def persisted_ids() -> set:
+        it = sc._jsc.sc().getPersistentRDDs().keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    base = persisted_ids()
+    # a 10-node path graph needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    labels = near_dup_clusters(pairs, stats=stats)
+    assert stats["rounds"] >= 2  # multiple rounds actually happened
+    added = persisted_ids() - base
+    assert len(added) == 2, added  # edges + final round only
+    assert labels.count() == 11  # result still fully readable
