@@ -118,6 +118,19 @@ def gen(src: str = SRC, dst: str = DST, level: int = 1) -> None:
             f" t -> t || '{suffix}'), ' ')"
         )
 
+    def cust_name(i: int) -> str:
+        # Distinct 3-char replica suffixes (level 1: a-i, level 2: j-s)
+        # keep every cross-replica name pair at edit distance >= 3 — an
+        # UNsuffixed replica would duplicate each c_name string 10x per
+        # decade and the ed<=2 self-join's (q194) true output would grow
+        # QUADRATICALLY in replicas as a pure generator artifact (the
+        # sf10 probe timed out on exactly this; the r8 sf1 "true-output
+        # growth" attribution was partly this too).  Within-replica
+        # similarity structure is untouched: one shared suffix can't
+        # change pairwise distances inside a replica.
+        off = 97 if level == 1 else 106  # 'a'.. / 'j'..
+        return f"c_name || ' ' || repeat(chr({off} + {i}), 3)"
+
     def emb(i: int) -> str:
         if level == 1:
             return f"list_concat(embedding[{i + 1}:], embedding[1:{i}])"
@@ -144,6 +157,8 @@ def gen(src: str = SRC, dst: str = DST, level: int = 1) -> None:
                 if c in shift_cols:
                     t_o, c_o = KEY_SPACE[c]
                     sel.append(f"{c} + {i * spans[(t_o, c_o)]} AS {c}")
+                elif tbl == "customer" and c == "c_name" and i > 0:
+                    sel.append(f"{cust_name(i)} AS c_name")
                 elif tbl == "documents" and c == "text" and i > 0:
                     sel.append(f"{doc_text(i)} AS text")
                 elif tbl == "documents" and c == "n_chars" and i > 0:
