@@ -177,6 +177,18 @@ def main() -> None:
             # is belt-and-braces isolation so no leak can feed a later
             # repeat/query a cache hit and skew its timing
             spark.catalog.clearCache()
+            # clearCache() covers the SQL cache ONLY — the blocks behind
+            # eager operators' localCheckpoint()/persist() RESULTS (the
+            # frame a query returns and bench then drops) sit at the RDD
+            # layer and wait on JVM GC + the async ContextCleaner.  Over
+            # a long sweep they accumulate and squeeze the heap: measured
+            # at sf10, q99 is 344 s in a fresh session but >900 s (with
+            # GCLocker retry warnings) as the 24th query of a sweep.
+            # Deterministic release keeps timings independent of sweep
+            # position.  Safe between attempts: nothing is live, and the
+            # next attempt rebuilds its own checkpoints from scratch.
+            for _rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                _rdd.unpersist(False)
             best = min(best, timed_attempt(name, fn))
         timings[name] = round(best, 3)
         # progress to STDERR only — the driver parses the one stdout
