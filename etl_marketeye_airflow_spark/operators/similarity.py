@@ -495,13 +495,6 @@ def embedding_near_dup_pairs(
 
     # All L tables' keys come from ONE Arrow pass over the vectors (one
     # kernel returning array<long>), then posexplode to (table, bucket).
-    # The bucket self-join carries ONLY (id, table, bucket) — replicating
-    # vectors through an L-way explode would shuffle the dominant payload
-    # L× (same discipline as minhash's banding).  Vectors join back onto
-    # the DEDUPED candidate pairs, pre-normalized once per row (norm
-    # staged as an attribute — inlining norm(e) in the transform lambda
-    # would re-fold it per element), so the verify is one dot fold per
-    # unique candidate pair.
     buckets = base.select(
         F.col("_id"),
         F.posexplode(multi_bucket_kernel(F.col("_e"))).alias("_t", "_bucket"),
@@ -511,27 +504,77 @@ def embedding_near_dup_pairs(
 
         bn = F.count(F.lit(1)).over(Window.partitionBy("_t", "_bucket"))
         buckets = buckets.withColumn("_bn", bn).filter(F.col("_bn") <= max_bucket).drop("_bn")
-    x, y = buckets.alias("x"), buckets.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x._t") == F.col("y._t"))
-            & (F.col("x._bucket") == F.col("y._bucket"))
-            & (F.col("x._id") < F.col("y._id")),
-        )
-        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
     unit = base.withColumn("_nrm", norm(F.col("_e"))).select(
         F.col("_id"),
         F.transform(F.col("_e"), lambda v: v.cast("double") / F.col("_nrm")).alias("_u"),
     )
 
-    # Candidate verify = one numpy batch dot (Arrow-batched pandas UDF):
-    # an interpreted per-element fold over ~10^5 candidate pairs was the
-    # dominant cost (measured ~2×).  q24 keeps the Column fold — its
-    # oracle parity depends on the exact left-fold op order; here the
-    # threshold sits in a dead zone so ulp-order differences are inert.
+    # Candidate generation + threshold decision happen INSIDE each
+    # (table, bucket) group: one Arrow group per bucket runs a blocked
+    # numpy Gram over the bucket's unit vectors (the semdedup cell-scan
+    # pattern) and emits only the id pairs that clear the threshold.
+    # The earlier form — bucket self-join to (id_a, id_b), dropDuplicates,
+    # then joining unit vectors onto every candidate — shuffled the
+    # candidate stream THREE times with the vector payload replicated
+    # per candidate; at the auto-sized operating point candidates grow
+    # ~linearly in n (L·n·target_bucket/2 ≈ 3·10^8 at 400k vectors), so
+    # that verify shuffle was ~300 GB at sf10 (measured: q72 >900 s).
+    # Here the vector payload crosses the shuffle/Arrow boundary once
+    # per (table, row) — L·n rows, ~1.6 GB at the same point — and the
+    # Gram flops are numpy's problem, not the shuffle's.  Both axes of
+    # the Gram are sliced so a pathological mega-bucket never
+    # materializes an unbounded matrix (conv: kernels slice per-row
+    # work); ids sort ascending so index order IS id order and i<j
+    # dedup is an upper-triangle mask.
+    thr_scan = float(threshold) - 1e-9  # kernel-noise slack; exact filter below
+
+    def _bucket_scan(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["_id"].to_numpy()
+        n_rows = len(pdf)
+        if n_rows < 2:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64)})
+        U = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_u"]])
+        out_a, out_b = [], []
+        block = 1024
+        for s0 in range(0, n_rows, block):
+            e0 = min(s0 + block, n_rows)
+            for c0 in range(s0, n_rows, block):
+                c1 = min(c0 + block, n_rows)
+                C = U[s0:e0] @ U[c0:c1].T
+                mask = (C >= thr_scan) & (
+                    np.arange(c0, c1)[None, :] > np.arange(s0, e0)[:, None]
+                )
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    out_a.append(ids[s0 + ii])
+                    out_b.append(ids[c0 + jj])
+        if not out_a:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    cand = (
+        buckets.join(unit, "_id")
+        .groupBy("_t", "_bucket")
+        .applyInPandas(_bucket_scan, schema="id_a long, id_b long")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Final cosine recompute = one numpy batch dot per SURVIVING pair
+    # (Arrow-batched pandas UDF) — the survivor set is ~true-pair-sized,
+    # so joining unit vectors onto it is cheap, and the emitted VALUE
+    # comes from the same einsum as always: bucket-scan matmul noise
+    # (~1e-16, BLAS shape-dependent summation order) never reaches the
+    # output, and the threshold decision is re-applied exactly here.
+    # q24 keeps the Column fold — its oracle parity depends on the
+    # exact left-fold op order; here the threshold sits in a dead zone
+    # so ulp-order differences are inert.
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
