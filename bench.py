@@ -143,11 +143,21 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — cancelled or genuinely failed
             # ALWAYS say why: a query that raises instantly (e.g. a
             # renamed column) must not masquerade as a slow one with no
-            # trace — the sentinel time plus this line keep it loud
+            # trace — the sentinel time plus this line keep it loud.
+            # Py4JJavaError's FIRST line is just "error calling o…" —
+            # surface the Java-side cause line too, it's the diagnosis
+            # (r9: a CC-composite failure at sf10 was undebuggable from
+            # the truncated form).
+            detail = str(e).splitlines()[0][:200]
+            jexc = getattr(e, "java_exception", None)
+            if jexc is not None:
+                try:
+                    detail += " | java: " + jexc.toString()[:300]
+                except Exception:  # noqa: BLE001 — gateway already gone
+                    pass
             print(
                 f"[bench] {name} attempt FAILED after "
-                f"{time.time() - t0:.1f}s: {type(e).__name__}: "
-                f"{str(e).splitlines()[0][:200]}",
+                f"{time.time() - t0:.1f}s: {type(e).__name__}: {detail}",
                 file=sys.stderr,
                 flush=True,
             )
