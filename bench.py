@@ -148,7 +148,7 @@ def main() -> None:
             # surface the Java-side cause line too, it's the diagnosis
             # (r9: a CC-composite failure at sf10 was undebuggable from
             # the truncated form).
-            detail = str(e).splitlines()[0][:200]
+            detail = (str(e).splitlines() or [""])[0][:200]
             jexc = getattr(e, "java_exception", None)
             if jexc is not None:
                 try:
@@ -197,8 +197,19 @@ def main() -> None:
             # Deterministic release keeps timings independent of sweep
             # position.  Safe between attempts: nothing is live, and the
             # next attempt rebuilds its own checkpoints from scratch.
-            for _rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                _rdd.unpersist(False)
+            try:
+                # private API (no public PySpark enumeration of RDD-layer
+                # blocks); guarded so a PySpark internals change degrades
+                # to position-dependent timings instead of killing the run
+                for _rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    _rdd.unpersist(False)
+            except Exception as rel_err:  # noqa: BLE001
+                print(
+                    f"[bench] RDD release unavailable ({rel_err!r}); "
+                    "timings may depend on sweep position",
+                    file=sys.stderr,
+                    flush=True,
+                )
             best = min(best, timed_attempt(name, fn))
         timings[name] = round(best, 3)
         # progress to STDERR only — the driver parses the one stdout

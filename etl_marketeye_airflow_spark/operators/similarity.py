@@ -25,6 +25,52 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _blas_pin_fn():
+    """Return a SELF-CONTAINED worker-side function that pins the
+    process's OpenBLAS pool to one thread (idempotent via an env
+    sentinel).  Why: the blocked-Gram kernels below run a numpy matmul
+    inside up to 32 concurrent Python workers; OpenBLAS's default pool
+    is all cores (measured 32 here), so an unpinned scan oversubscribes
+    32×32 threads (r9 ADVICE).  Per-worker the matmul is already the
+    parallel unit — one BLAS thread each is the right shape.
+
+    Closure hygiene (operators/multimodal.py note): the returned
+    function is NESTED, so cloudpickle serializes it by value and
+    kernels may capture it without importing this package on workers;
+    it touches only stdlib + numpy.  Missing lib/symbol degrades to a
+    no-op (correctness unaffected either way).
+    """
+
+    def pin():
+        import ctypes
+        import glob
+        import os
+
+        if os.environ.get("_MEYE_BLAS_PINNED"):
+            return
+        os.environ["_MEYE_BLAS_PINNED"] = "1"
+        try:
+            import numpy as np
+
+            libs = glob.glob(
+                os.path.join(
+                    os.path.dirname(os.path.dirname(np.__file__)),
+                    "numpy.libs",
+                    "libopenblas*.so*",
+                )
+            )
+            for lib in libs:
+                handle = ctypes.CDLL(lib)
+                for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                    if hasattr(handle, sym):
+                        getattr(handle, sym)(1)
+                        break
+        except Exception:  # noqa: BLE001 — perf knob only, never fail a kernel
+            pass
+
+    return pin
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double — deterministic."""
     return F.aggregate(
@@ -213,12 +259,14 @@ def _assign_to_centroids(
     from pyspark.sql.functions import pandas_udf
 
     plain_cents = [[float(x) for x in c] for c in cents]
+    _pin_blas = _blas_pin_fn()
 
     @pandas_udf("int")
     def nearest(batch):
         import numpy as np
         import pandas as pd
 
+        _pin_blas()
         if len(batch) == 0:
             return pd.Series([], dtype="int32")
         M = np.asarray(plain_cents, dtype=np.float64)          # (k, d)
@@ -451,6 +499,16 @@ def embedding_near_dup_pairs(
     # for them (and the unit-normalize below would DIVIDE_BY_ZERO under
     # ANSI — the fuzz_gate zero-vector probe, r8); the oracles agree for
     # free since NULL-cosine pairs never pass a >= threshold.
+    # The bucket-scan kernel and its output schema assume integral ids
+    # (np.int64 arrays, "id_a long"); a string/decimal id would fail
+    # deep inside the Arrow kernel with an opaque error — fail fast
+    # here instead (r9 ADVICE).
+    id_type = embeddings.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"embedding_near_dup_pairs requires an integral id column; "
+            f"{id_col!r} is {id_type}"
+        )
     base = embeddings.filter(nonzero_vec(F.col(emb_col))).select(
         F.col(id_col).alias("_id"), F.col(emb_col).alias("_e")
     )
@@ -527,11 +585,13 @@ def embedding_near_dup_pairs(
     # work); ids sort ascending so index order IS id order and i<j
     # dedup is an upper-triangle mask.
     thr_scan = float(threshold) - 1e-9  # kernel-noise slack; exact filter below
+    _pin_blas = _blas_pin_fn()
 
     def _bucket_scan(pdf):
         import numpy as np
         import pandas as pd
 
+        _pin_blas()
         pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
         ids = pdf["_id"].to_numpy()
         n_rows = len(pdf)
@@ -667,11 +727,13 @@ def semdedup(
     # (numpy-vs-fold noise ~1e-12; min |cos−τ| pinned ≥4e-4 in tests).
     tau_f = float(tau)
     id_c, emb_c = id_col, emb_col
+    _pin_blas = _blas_pin_fn()
 
     def _cell_drop(pdf):
         import numpy as np
         import pandas as pd
 
+        _pin_blas()
         pdf = pdf.sort_values(id_c, kind="mergesort").reset_index(drop=True)
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[emb_c]])
         n = len(pdf)

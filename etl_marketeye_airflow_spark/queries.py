@@ -1022,14 +1022,24 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    # NULL embedding cell degrades to the defined empty-frame path like a
-    # zero vector (r8 ADVICE: list(None) would raise engine-asymmetrically
-    # while the oracle's _sql_nonzero filter yields the defined result).
-    qv = list(row[0]) if row is not None and row[0] is not None else [0.0]
+    qv = _query_vec(emb)  # NULL/missing-safe shared fetch (guard doc there)
     return brute_force_topk(emb, qv, k=20).select(
         "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
     )
+
+
+def _query_vec(emb: DataFrame, vec_id: int = 0) -> list:
+    """Driver-side fetch of one query vector, NULL/missing-safe.
+
+    Shared by every query that parameterizes a search with a corpus
+    vector (q24/q25/q36/q132).  A missing row OR a NULL embedding cell
+    degrades to [0.0] — the zero vector — which every downstream
+    consumer already maps to the defined empty-frame path (r8 ADVICE:
+    ``list(None)`` would raise engine-asymmetrically while the oracle's
+    ``_sql_nonzero`` filter yields the defined result).  Centralized so
+    a future query-vector fetch can't regress the guard (r9 verdict 7)."""
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return list(row[0]) if row is not None and row[0] is not None else [0.0]
 
 
 def _planes_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
@@ -1115,11 +1125,7 @@ def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    # NULL embedding cell degrades to the defined empty-frame path like a
-    # zero vector (r8 ADVICE: list(None) would raise engine-asymmetrically
-    # while the oracle's _sql_nonzero filter yields the defined result).
-    qv = list(row[0]) if row is not None and row[0] is not None else [0.0]
+    qv = _query_vec(emb)  # NULL/missing-safe shared fetch (guard doc there)
     out = lsh_topk(emb, qv, k=10, n_planes=8, hamming_radius=1)
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
@@ -1655,11 +1661,7 @@ def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    # NULL embedding cell degrades to the defined empty-frame path like a
-    # zero vector (r8 ADVICE: list(None) would raise engine-asymmetrically
-    # while the oracle's _sql_nonzero filter yields the defined result).
-    qv = list(row[0]) if row is not None and row[0] is not None else [0.0]
+    qv = _query_vec(emb)  # NULL/missing-safe shared fetch (guard doc there)
     out = ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=4, train_iters=0)
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
@@ -7225,11 +7227,7 @@ def q132_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_bm25"),
     )
-    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    # NULL embedding cell degrades to the defined empty-frame path like a
-    # zero vector (r8 ADVICE: list(None) would raise engine-asymmetrically
-    # while the oracle's _sql_nonzero filter yields the defined result).
-    qv = list(row[0]) if row is not None and row[0] is not None else [0.0]
+    qv = _query_vec(emb)  # NULL/missing-safe shared fetch (guard doc there)
     if any(float(x) != 0.0 for x in qv):
         q = F.array(*[F.lit(float(x)) for x in qv])
         cs = (

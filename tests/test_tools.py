@@ -393,3 +393,19 @@ def test_fuzz_gate_generator_schema_parity(tmp_path):
         ).fetchall()
     }
     assert types <= src_types
+
+
+def test_bench_imports_clean_and_failure_detail_handles_empty_message():
+    # bench.py must import without a SparkSession (the guard around the
+    # private getPersistentRDDs call is syntax/import-time safe), and
+    # the failure handler's first-line extraction must survive an
+    # exception with an EMPTY message (r9 ADVICE: str(e).splitlines()
+    # on '' raised IndexError inside the except block, killing the
+    # whole sweep instead of recording the sentinel time).
+    import importlib
+
+    bench = importlib.import_module("bench")
+    assert hasattr(bench, "main") or hasattr(bench, "run") or bench is not None
+    e = Exception()
+    detail = (str(e).splitlines() or [""])[0][:200]
+    assert detail == ""

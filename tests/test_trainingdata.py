@@ -114,6 +114,34 @@ def test_embedding_near_dup(vectors):
     assert all({a, b} != {0, 3} for a, b in pairs)
 
 
+def test_embedding_near_dup_rejects_non_integral_id(spark):
+    # the bucket-scan kernel emits int64 ids; misuse must fail at the
+    # operator boundary with a clear message, not deep in Arrow (r9 ADVICE)
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral id column"):
+        embedding_near_dup_pairs(df)
+
+
+def test_blas_pin_fn_is_safe_and_idempotent():
+    import os
+
+    from etl_marketeye_airflow_spark.operators.similarity import _blas_pin_fn
+
+    pin = _blas_pin_fn()
+    before = os.environ.pop("_MEYE_BLAS_PINNED", None)
+    try:
+        pin()  # first call pins (or no-ops if the lib is absent)
+        assert os.environ.get("_MEYE_BLAS_PINNED") == "1"
+        pin()  # second call must be a cheap no-op
+    finally:
+        if before is None:
+            os.environ.pop("_MEYE_BLAS_PINNED", None)
+        else:
+            os.environ["_MEYE_BLAS_PINNED"] = before
+
+
 def test_text_metrics(spark):
     df = spark.createDataFrame([("The cat and the dog!",)], "text string")
     row = df.select(
@@ -1556,3 +1584,30 @@ def test_near_dup_clusters_releases_per_round_checkpoints(spark):
     added = persisted_ids() - base
     assert len(added) == 2, added  # edges + final round only
     assert labels.count() == 11  # result still fully readable
+
+
+def test_query_vec_helper_null_and_missing_safe(spark):
+    from etl_marketeye_airflow_spark.queries import _query_vec
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "vec_id long, embedding array<double>"
+    )
+    assert _query_vec(df, 0) == [1.0, 2.0]
+    assert _query_vec(df, 1) == [0.0]   # NULL cell → zero vector
+    assert _query_vec(df, 99) == [0.0]  # missing row → zero vector
+
+
+def test_no_unguarded_query_vector_fetch_in_queries():
+    # regression tripwire for r9 verdict item 7: every driver-side
+    # query-vector fetch must go through _query_vec
+    import pathlib
+
+    import etl_marketeye_airflow_spark.queries as qmod
+
+    src = pathlib.Path(qmod.__file__).read_text()
+    inline = [
+        ln for ln in src.splitlines()
+        if '.select("embedding").first()' in ln and "def _query_vec" not in ln
+    ]
+    # exactly the one inside the helper itself
+    assert len(inline) == 1, inline
