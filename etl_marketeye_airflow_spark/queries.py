@@ -836,19 +836,34 @@ def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
-@query(
-    "q21_ngram_jaccard_pairs",
-    oracle="""
-    WITH sh AS (
-      SELECT doc_id,
+# DuckDB replica of dedup.word_shingles (distinct word 3-grams over
+# lower/trim/whitespace-collapsed text; short texts yield one shingle) —
+# proved bit-compatible by q21's gate.  TOKEN STAGING (r10, conv 23):
+# `__ws` is computed once per row in the nested projection _SQL_DOCS_WS;
+# inlining the split into the shingle lambda instead re-evaluates it PER
+# ELEMENT (DuckDB evaluates captured expression trees per lambda
+# invocation — conv 6b's oracle-side twin), which is O(tokens²) per
+# document: the skew fuzz seed's 53 k-char mega-document took 34 s per
+# oracle scan inline vs 3 s staged (same results).
+_SQL_DOCS_WS = (
+    "(SELECT *, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+    " AS __ws FROM documents)"
+)
+_SQL_GRAMS = """
              list_distinct(
                list_transform(
-                 range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 1) + 1),
-                 i -> array_to_string(
-                        list_slice(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), i, i + 2), ' ')
+                 range(1, greatest(len(__ws) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(__ws, i, i + 2), ' ')
                )
-             ) AS grams
-      FROM documents WHERE doc_id < 120
+             )"""
+
+
+@query(
+    "q21_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, {_SQL_GRAMS} AS grams
+      FROM {_SQL_DOCS_WS} WHERE doc_id < 120
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -894,16 +909,16 @@ def q21_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inverted index.  Recall completeness pinned by
     # tests/test_trainingdata.py::test_minhash_lsh_recall_vs_exact.
     oracle="""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(
                list_transform(
-                 range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 1) + 1),
-                 i -> array_to_string(
-                        list_slice(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), i, i + 2), ' ')
+                 range(1, greatest(len(__ws) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(__ws, i, i + 2), ' ')
                )
              ) AS grams
-      FROM documents
+      FROM (SELECT *, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+            AS __ws FROM documents)
     ),
     ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
     sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
@@ -1884,16 +1899,9 @@ def q42_running_totals_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q43_SH_SQL = """
-  SELECT doc_id,
-         list_distinct(
-           list_transform(
-             range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 1) + 1),
-             i -> array_to_string(
-                    list_slice(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), i, i + 2), ' ')
-           )
-         ) AS grams
-  FROM documents WHERE doc_id < 120
+_Q43_SH_SQL = f"""
+  SELECT doc_id, {_SQL_GRAMS} AS grams
+  FROM {_SQL_DOCS_WS} WHERE doc_id < 120
 """
 
 
@@ -1905,7 +1913,7 @@ _Q43_SH_SQL = """
     # iterative algorithm, not just a row count.
     oracle=f"""
     WITH RECURSIVE
-    sh AS ({_Q43_SH_SQL}),
+    sh AS MATERIALIZED ({_Q43_SH_SQL}),
     ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
     sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
     inter AS (
@@ -1919,7 +1927,7 @@ _Q43_SH_SQL = """
       JOIN sizes sb ON sb.doc_id = inter.id_b
       WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.01
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b AS src, id_a AS dst FROM pairs
@@ -2113,7 +2121,7 @@ _Q47_SH_FULL_SQL = _Q43_SH_SQL.replace("WHERE doc_id < 120", "")
     # pinned by tests/test_trainingdata.py::test_lsh_recall_vs_exact.
     oracle=f"""
     WITH RECURSIVE
-    sh AS ({_Q47_SH_FULL_SQL}),
+    sh AS MATERIALIZED ({_Q47_SH_FULL_SQL}),
     ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
     sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
     inter AS (
@@ -2127,7 +2135,7 @@ _Q47_SH_FULL_SQL = _Q43_SH_SQL.replace("WHERE doc_id < 120", "")
       JOIN sizes sb ON sb.doc_id = inter.id_b
       WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.35
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b AS src, id_a AS dst FROM pairs
@@ -3883,7 +3891,7 @@ _Q80_SH_SQL = _Q47_SH_FULL_SQL.replace(
       FROM documents
       GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
     ),
-    sh AS ({_Q80_SH_SQL}),
+    sh AS MATERIALIZED ({_Q80_SH_SQL}),
     ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
     sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
     inter AS (
@@ -3897,7 +3905,7 @@ _Q80_SH_SQL = _Q47_SH_FULL_SQL.replace(
       JOIN sizes sb ON sb.doc_id = inter.id_b
       WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.35
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b AS src, id_a AS dst FROM pairs
@@ -5053,17 +5061,8 @@ def q97_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closes out the standard blocking taxonomy.
 # ---------------------------------------------------------------------------
 
-# DuckDB replica of dedup.word_shingles (distinct word 3-grams over
-# lower/trim/whitespace-collapsed text; short texts yield one shingle) —
-# the exact fragment q21's oracle proved bit-compatible.
-_SQL_GRAMS = """
-             list_distinct(
-               list_transform(
-                 range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 1) + 1),
-                 i -> array_to_string(
-                        list_slice(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), i, i + 2), ' ')
-               )
-             )"""
+# _SQL_GRAMS / _SQL_DOCS_WS (the shared shingle fragments, staged-token
+# form) are defined next to q21, their proving query.
 
 
 @query(
@@ -5077,7 +5076,7 @@ _SQL_GRAMS = """
       SELECT doc_id, lang,
              lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
              {_SQL_GRAMS} AS grams
-      FROM documents
+      FROM {_SQL_DOCS_WS}
     ),
     r AS (
       SELECT doc_id, grams,
@@ -5159,7 +5158,7 @@ def q98_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     # under one global frequency order must intersect), so the gate
     # checks recall = 100% by construction.
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents),
+    WITH sh AS MATERIALIZED (SELECT doc_id, {_SQL_GRAMS} AS grams FROM {_SQL_DOCS_WS}),
     n AS (SELECT doc_id, len(grams) AS n FROM sh),
     post AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
     inter AS (
@@ -9455,7 +9454,7 @@ def q156_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
         AND levenshtein(a.p_name, b.p_name) <= 3
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT name_a AS src, name_b AS dst FROM pairs
       UNION
       SELECT name_b, name_a FROM pairs
@@ -11523,7 +11522,7 @@ def q194_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (q99) is side-agnostic, so the incremental candidate join is
     # lossless by construction at any data
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents),
+    WITH sh AS MATERIALIZED (SELECT doc_id, {_SQL_GRAMS} AS grams FROM {_SQL_DOCS_WS}),
     n AS (SELECT doc_id, len(grams) AS n FROM sh),
     post AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
     inter AS (
@@ -11946,7 +11945,7 @@ def q199_conversion_latency_quartiles(
 # closure — the oracle-side twin of (_ppjoin_pairs → near_dup_clusters),
 # shared by q200/q202
 _SQL_CLOSURE_035 = f"""
-    sh AS (SELECT doc_id, {{grams}} AS grams FROM documents),
+    sh AS MATERIALIZED (SELECT doc_id, {{grams}} AS grams FROM {_SQL_DOCS_WS}),
     nsz AS (SELECT doc_id, len(grams) AS n FROM sh),
     post AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
     inter AS (
@@ -11960,7 +11959,7 @@ _SQL_CLOSURE_035 = f"""
       JOIN nsz nb ON nb.doc_id = id_b
       WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.35
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b AS src, id_a AS dst FROM pairs
@@ -12337,16 +12336,16 @@ def q204_source_duplication_report(
     # integer outputs: counts + truncating-ppm rates (conv 15: the ppm
     # div is exact integer arithmetic, no float ranking).
     oracle="""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(
                list_transform(
-                 range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 1) + 1),
-                 i -> array_to_string(
-                        list_slice(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), i, i + 2), ' ')
+                 range(1, greatest(len(__ws) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(__ws, i, i + 2), ' ')
                )
              ) AS grams
-      FROM documents
+      FROM (SELECT *, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+            AS __ws FROM documents)
     ),
     ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
     sizes AS (SELECT doc_id, len(grams) AS n FROM sh),

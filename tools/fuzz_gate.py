@@ -37,6 +37,32 @@ are, so queries' filters still select):
   the SAME parquet, so any red is a real cross-engine divergence, not
   a data-quality complaint.
 
+A separate SKEW seed (r9 verdict item 4; on by default, ``--no-skew``
+to disable, ``--skew-only`` to iterate) plants pathological hot spots
+instead of value perturbations — the 100 TB failure mode is a hot key
+or mega-bucket, not a bad value:
+
+- MEGA TEXT CLASS: a seeded ~10% of documents get ONE identical
+  boilerplate text — one minhash/simhash/PPJoin bucket holding the
+  whole class (all C(n,2) pairs real, jaccard exactly 1), one
+  exact-dedup group, one degenerate |distinct grams| profile;
+- MEGA DOCUMENT: one document becomes a ~53 k-char repeated phrase —
+  stresses kernel row-slicing and the conv-6b O(n²)-HOF trap (a
+  captured-tree n-gram build would take minutes on one row);
+- MEGA EMBEDDING CLASS: a seeded ~10% of vectors become ONE fixed
+  direction — an LSH bucket NO plane count can split (identical signs
+  in every table) and one IVF/semdedup mega-cell, so the blocked-Gram
+  slicing and max_bucket guards face their design case;
+- HOT JOIN KEYS: ~20% of lineitems point at one part, ~20% of orders
+  at one customer, ~20% of events at one user — shuffle-key skew in
+  every major join/groupBy/window family, all values in-domain.
+
+Skew thresholds are calibrated to the operators' documented input
+contracts (mega classes stay under max_bucket=1000 at sf0.01; planted
+geometry keeps every cosine far from decision thresholds) — a seed
+that BREAKS a contract tests the fuzzer, not the engine (see the
+×10^6 magnitude note above).
+
 Keys and enum domains (event_type, flags, priorities) are preserved;
 embedding dimensionality is preserved for non-NULL vectors.
 
@@ -201,6 +227,96 @@ def _gen(seed: int, out: Path) -> None:
     con.close()
 
 
+def _gen_skew(seed: int, out: Path) -> None:
+    """Write a seeded SKEW perturbation of every sf0.01 table to ``out``
+    (hot keys + mega-buckets + one mega-document; see module docstring)."""
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 8")
+
+    def h(expr: str, mod: int) -> str:
+        return f"(hash(CAST({expr} AS VARCHAR) || '#skew#s{seed}') % {mod})"
+
+    def copy(table: str, select: str) -> None:
+        con.execute(
+            f"COPY ({select}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+    src = lambda t: f"read_parquet('{SRC}/{t}.parquet')"  # noqa: E731
+
+    # hot-key targets: smallest key of each dimension (always present)
+    hot_part = con.execute(f"SELECT min(p_partkey) FROM {src('part')}").fetchone()[0]
+    hot_cust = con.execute(f"SELECT min(c_custkey) FROM {src('customer')}").fetchone()[0]
+    hot_user = con.execute(f"SELECT min(user_id) FROM {src('events')}").fetchone()[0]
+    mega_doc = con.execute(f"SELECT min(doc_id) + 7 FROM {src('documents')}").fetchone()[0]
+
+    # dimensions and row-identity tables pass through untouched — skew
+    # lives on the FK/bucket side, so every hot key stays in-domain
+    for t in ("region", "nation", "supplier", "part", "customer"):
+        copy(t, f"SELECT * FROM {src(t)}")
+
+    copy(
+        "orders",
+        f"""SELECT o_orderkey,
+              CASE WHEN {h('o_orderkey', 5)} = 0 THEN {hot_cust}
+                   ELSE o_custkey END AS o_custkey,
+              o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM {src('orders')}""",
+    )
+    copy(
+        "lineitem",
+        f"""SELECT l_orderkey,
+              CASE WHEN {h("l_orderkey || '-' || l_linenumber", 5)} = 0
+                   THEN {hot_part} ELSE l_partkey END AS l_partkey,
+              l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+              l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM {src('lineitem')}""",
+    )
+    copy(
+        "events",
+        f"""SELECT event_id, ts,
+              CASE WHEN {h('event_id', 5)} = 0 THEN {hot_user}
+                   ELSE user_id END AS user_id,
+              event_type, value, props
+            FROM {src('events')}""",
+    )
+    # ~10% of docs share ONE boilerplate text; one doc becomes a ~53 k
+    # char repeated phrase.  n_chars recomputed from the final text.
+    boiler = (
+        "Subscribe to our newsletter for the latest updates and offers. "
+        "This boilerplate footer appears on every page of the site. "
+        "All rights reserved worldwide."
+    )
+    copy(
+        "documents",
+        f"""SELECT doc_id, t AS text, lang, source,
+              CAST(length(t) AS BIGINT) AS n_chars
+            FROM (
+              SELECT doc_id,
+                CASE WHEN doc_id = {mega_doc}
+                     THEN repeat('the quick brown fox jumps over the lazy dog ', 1200)
+                     WHEN {h('doc_id', 10)} = 0 THEN '{boiler}'
+                     ELSE text END AS t,
+                lang, source
+              FROM {src('documents')}
+            )""",
+    )
+    # ~10% of vectors collapse onto ONE fixed non-uniform direction
+    # (cosine exactly 1 within the class; isotropic others stay ≤~0.6 —
+    # every decision threshold keeps its documented margin)
+    copy(
+        "embeddings",
+        f"""SELECT vec_id,
+              CASE WHEN {h('vec_id', 10)} = 0
+                   THEN list_transform(range(64),
+                        i -> CAST(0.5 + 0.25 * ((i % 8) + 1) AS FLOAT))
+                   ELSE embedding END AS embedding,
+              label
+            FROM {src('embeddings')}""",
+    )
+    con.close()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=2)
@@ -211,15 +327,28 @@ def main() -> int:
         action="store_true",
         help="run the gate under a driver-style bare session too",
     )
+    ap.add_argument(
+        "--no-skew", action="store_true", help="skip the skew seed"
+    )
+    ap.add_argument(
+        "--skew-only",
+        action="store_true",
+        help="run ONLY the skew seed (iteration aid)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    runs: list[tuple[str, int]] = []
+    if not args.skew_only:
+        runs += [("value", args.first_seed + i) for i in range(args.seeds)]
+    if not args.no_skew:
+        runs.append(("skew", args.first_seed))
+
     failures = []
-    for i in range(args.seeds):
-        seed = args.first_seed + i
-        d = Path(tempfile.mkdtemp(prefix=f"fuzzgate-s{seed}-"))
-        print(f"== seed {seed}: generating {d}", flush=True)
-        _gen(seed, d)
+    for kind, seed in runs:
+        d = Path(tempfile.mkdtemp(prefix=f"fuzzgate-{kind}-s{seed}-"))
+        print(f"== {kind} seed {seed}: generating {d}", flush=True)
+        (_gen_skew if kind == "skew" else _gen)(seed, d)
         r = subprocess.run(
             [
                 sys.executable,
@@ -232,13 +361,13 @@ def main() -> int:
             cwd=str(HERE.parent),
         )
         if r.returncode != 0:
-            failures.append(seed)
+            failures.append(f"{kind}:{seed}")
         if not args.keep:
             shutil.rmtree(d, ignore_errors=True)
     if failures:
         print(f"FUZZ FAIL: seeds {failures}")
         return 1
-    print(f"FUZZ PASS: {args.seeds} seeds")
+    print(f"FUZZ PASS: {len(runs)} runs")
     return 0
 
 
