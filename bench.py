@@ -210,6 +210,18 @@ def main() -> None:
                     file=sys.stderr,
                     flush=True,
                 )
+            # r9 verdict task 2: the driver sweep read 30% slower than a
+            # like-for-like local probe, concentrated on SHORT queries
+            # (q74: 5.01 s driver vs 1.47 s probe) — consistent with GC
+            # debris from earlier heavy queries landing mid-measurement.
+            # An explicit full GC + settle BEFORE t0 moves that pause out
+            # of the timed window; the timed attempt then starts with a
+            # quiet heap.  Guarded like the release above.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — same degradation as above
+                pass
+            time.sleep(0.1)
             best = min(best, timed_attempt(name, fn))
         timings[name] = round(best, 3)
         # progress to STDERR only — the driver parses the one stdout

@@ -6368,7 +6368,24 @@ def q117_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"q117_out_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # State-partition count trades per-trigger state-store setup (8 is
+    # right for small inputs) against per-key Python-call parallelism —
+    # at sf10 the drain makes ~1.5 M per-key calls, and 8 tasks was the
+    # sf10 probe's bottleneck (351.9 s, worst in the r9 subset).  Scale
+    # with the input: small file → 8, big file → every core.  Partition
+    # count never affects results (state is key-partitioned either way).
+    import os as _os
+
+    try:
+        _sz = _os.path.getsize(_os.path.join(sf_dir, "orders.parquet"))
+    except OSError:
+        _sz = 0
+    _parts = (
+        "8"
+        if _sz < (64 << 20)
+        else str(spark.sparkContext.defaultParallelism)
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", _parts)
     try:
         q = (
             cdc_upsert(log)

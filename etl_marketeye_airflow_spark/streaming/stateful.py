@@ -123,16 +123,25 @@ def cdc_upsert(changes_stream, key_col: str = "key"):
             best = (int(s0), str(op0), None if p0 is None else float(p0))
         else:
             best = None
+        # per-chunk numpy argmax, not a per-row Python loop (r9 verdict
+        # task 3: at sf10 the drain crosses 45 M rows / 1.5 M keys
+        # through this function — per-row interpretation was ~40% of
+        # the wall).  seqs are unique per key by construction, so the
+        # chunk's argmax IS the chunk's winner; the running best then
+        # needs one comparison per chunk.
         for pdf in pdfs:
-            for s_, o_, p_ in zip(
-                pdf["seq"].values, pdf["op"].values, pdf["price"].values
-            ):
-                if best is None or int(s_) > best[0]:
-                    best = (
-                        int(s_),
-                        str(o_),
-                        None if pd.isna(p_) else float(p_),
-                    )
+            if not len(pdf):
+                continue
+            seqs = pdf["seq"].values
+            i = int(seqs.argmax())
+            s_ = int(seqs[i])
+            if best is None or s_ > best[0]:
+                p_ = pdf["price"].values[i]
+                best = (
+                    s_,
+                    str(pdf["op"].values[i]),
+                    None if pd.isna(p_) else float(p_),
+                )
         state.update(best)
         yield pd.DataFrame(
             {
