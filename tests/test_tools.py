@@ -409,3 +409,25 @@ def test_bench_imports_clean_and_failure_detail_handles_empty_message():
     e = Exception()
     detail = (str(e).splitlines() or [""])[0][:200]
     assert detail == ""
+
+
+def test_oracles_stage_tokenization_and_materialize_closure_ctes():
+    # conv 23 (r10 skew fuzz): (a) no oracle may inline string_split
+    # inside a shingle lambda (DuckDB re-evaluates captured trees per
+    # element — O(tokens^2) on a mega-document); (b) any CTE referenced
+    # from inside a WITH RECURSIVE member must be MATERIALIZED (plain
+    # CTEs re-evaluate once per recursion iteration).
+    import re
+
+    from etl_marketeye_airflow_spark import queries as Q
+
+    for name, sql in Q.ORACLES.items():
+        assert "list_slice(string_split" not in sql, (
+            f"{name}: inline split inside a gram lambda (conv 23a) — "
+            "stage tokens via _SQL_DOCS_WS"
+        )
+        if "RECURSIVE" in sql and re.search(r"\bFROM edges\b", sql):
+            assert "edges AS MATERIALIZED" in sql, (
+                f"{name}: recursive closure over a non-materialized "
+                "edges CTE (conv 23b)"
+            )
