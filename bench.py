@@ -180,6 +180,19 @@ def main() -> None:
         if only and name not in only:
             continue
         fn = registry.QUERIES[name]
+        # r9 verdict task 2: the driver sweep read 30% slower than the
+        # like-for-like local probe, concentrated on SHORT queries (q74:
+        # 5.01 s driver vs 1.47 s probe) — consistent with GC debris
+        # from earlier HEAVY queries landing mid-measurement.  One
+        # explicit full GC per query (0.15-0.9 s measured; per-attempt
+        # would add ~10 min of wall across 615 attempts) + a short
+        # settle moves that pause out of the timed window.  Guarded:
+        # a JVM without System.gc just skips it.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — perf hygiene only
+            pass
+        time.sleep(0.05)
         best = float("inf")
         for _ in range(max(1, runs)):
             # fan-out operators (minhash/simhash/vocab) unpersist their
@@ -210,18 +223,6 @@ def main() -> None:
                     file=sys.stderr,
                     flush=True,
                 )
-            # r9 verdict task 2: the driver sweep read 30% slower than a
-            # like-for-like local probe, concentrated on SHORT queries
-            # (q74: 5.01 s driver vs 1.47 s probe) — consistent with GC
-            # debris from earlier heavy queries landing mid-measurement.
-            # An explicit full GC + settle BEFORE t0 moves that pause out
-            # of the timed window; the timed attempt then starts with a
-            # quiet heap.  Guarded like the release above.
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:  # noqa: BLE001 — same degradation as above
-                pass
-            time.sleep(0.1)
             best = min(best, timed_attempt(name, fn))
         timings[name] = round(best, 3)
         # progress to STDERR only — the driver parses the one stdout
@@ -236,6 +237,32 @@ def main() -> None:
     # BENCH_r02..r06 unparseable ("parsed": null).  The last stdout line
     # is now a compact <=1 KB summary (total + top-5 slowest); the full
     # per-query map goes to stderr and bench_full.json for humans.
+    # Machine calibration (r10): code-independent fixed workloads so a
+    # round-over-round suite delta can be attributed.  r9→r10 evidence:
+    # IDENTICAL r9-HEAD code measured 9.3 s vs 16.0 s on a matched
+    # 5-query subset in two different wall-clock windows on this box —
+    # host co-tenancy moves throughput ~1.7×, dwarfing any plan change.
+    # pyloop ≈ single-core interpreter speed; matmul ≈ multi-core FLOPS;
+    # memsum ≈ memory bandwidth.
+    import numpy as _np
+
+    _t0 = time.time()
+    _a = _np.random.RandomState(0).rand(2048, 2048)
+    _ = _a @ _a
+    _mat = time.time() - _t0
+    _t0 = time.time()
+    _s = 0
+    for _i in range(2_000_000):
+        _s += _i
+    _py = time.time() - _t0
+    _t0 = time.time()
+    _ = float(_np.sum(_np.ones(25_000_000)))
+    _mem = time.time() - _t0
+    calib = {
+        "matmul2048_s": round(_mat, 3),
+        "pyloop2m_s": round(_py, 3),
+        "memsum200mb_s": round(_mem, 3),
+    }
     full = {
         "metric": "registry_suite_seconds",
         "value": round(sum(timings.values()), 3),
@@ -243,6 +270,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "runs": runs,
+        "calib": calib,
     }
     print("[bench] full: " + json.dumps(full), file=sys.stderr, flush=True)
     with open(Path(__file__).resolve().parent / "bench_full.json", "w") as f:
@@ -258,6 +286,7 @@ def main() -> None:
         "runs": runs,
         "n_queries": len(timings),
         "queries": slowest,
+        "calib": calib,
         "full_map": "stderr + bench_full.json",
     }
     line = json.dumps(compact)
