@@ -166,6 +166,37 @@ def main() -> None:
             done.set()
             sc.setJobGroup("", "")
 
+    # Machine calibration (r10, sampled r11): code-independent fixed
+    # workloads so a round-over-round suite delta can be attributed.
+    # r9→r10 evidence: IDENTICAL r9-HEAD code measured 9.3 s vs 16.0 s
+    # on a matched 5-query subset in two wall-clock windows — host
+    # co-tenancy moves throughput ~1.7×, dwarfing any plan change.
+    # pyloop ≈ single-core interpreter speed; matmul ≈ multi-core
+    # FLOPS; memsum ≈ memory bandwidth.  r11: a single end-of-run
+    # snapshot proved unrepresentative (r10: suite 278.2 s @ memsum
+    # 2.68 vs 278.8 s @ 21.7 — same code), so sample at start, middle,
+    # and end of the sweep and report the per-axis MEDIAN.
+    import numpy as _np
+
+    def _calib_sample() -> dict:
+        t0 = time.time()
+        a = _np.random.RandomState(0).rand(2048, 2048)
+        _ = a @ a
+        mat = time.time() - t0
+        t0 = time.time()
+        s = 0
+        for i in range(2_000_000):
+            s += i
+        py = time.time() - t0
+        t0 = time.time()
+        _ = float(_np.sum(_np.ones(25_000_000)))
+        mem = time.time() - t0
+        return {"matmul2048_s": round(mat, 3),
+                "pyloop2m_s": round(py, 3),
+                "memsum200mb_s": round(mem, 3)}
+
+    calib_samples = [_calib_sample()]
+
     timings: dict[str, float] = {}
     # fixed numeric order, NOT the rotating driver-sweep order — bench
     # deltas must compare like with like across rounds.  The optional
@@ -176,9 +207,13 @@ def main() -> None:
     only = {n.strip() for n in names_env.split(",") if n.strip()}
     unknown = only - set(registry.QUERIES)
     assert not unknown, f"SPARK_GRAFT_BENCH_NAMES unknown: {sorted(unknown)}"
-    for name in sorted(registry.QUERIES, key=lambda n: (n[1:3], n)):
-        if only and name not in only:
-            continue
+    bench_names = [
+        n for n in sorted(registry.QUERIES, key=lambda n: (n[1:3], n))
+        if not only or n in only
+    ]
+    for qi, name in enumerate(bench_names):
+        if qi == len(bench_names) // 2 and qi > 0:
+            calib_samples.append(_calib_sample())
         fn = registry.QUERIES[name]
         # r9 verdict task 2: the driver sweep read 30% slower than the
         # like-for-like local probe, concentrated on SHORT queries (q74:
@@ -237,40 +272,35 @@ def main() -> None:
     # BENCH_r02..r06 unparseable ("parsed": null).  The last stdout line
     # is now a compact <=1 KB summary (total + top-5 slowest); the full
     # per-query map goes to stderr and bench_full.json for humans.
-    # Machine calibration (r10): code-independent fixed workloads so a
-    # round-over-round suite delta can be attributed.  r9→r10 evidence:
-    # IDENTICAL r9-HEAD code measured 9.3 s vs 16.0 s on a matched
-    # 5-query subset in two different wall-clock windows on this box —
-    # host co-tenancy moves throughput ~1.7×, dwarfing any plan change.
-    # pyloop ≈ single-core interpreter speed; matmul ≈ multi-core FLOPS;
-    # memsum ≈ memory bandwidth.
-    import numpy as _np
-
-    _t0 = time.time()
-    _a = _np.random.RandomState(0).rand(2048, 2048)
-    _ = _a @ _a
-    _mat = time.time() - _t0
-    _t0 = time.time()
-    _s = 0
-    for _i in range(2_000_000):
-        _s += _i
-    _py = time.time() - _t0
-    _t0 = time.time()
-    _ = float(_np.sum(_np.ones(25_000_000)))
-    _mem = time.time() - _t0
+    calib_samples.append(_calib_sample())
     calib = {
-        "matmul2048_s": round(_mat, 3),
-        "pyloop2m_s": round(_py, 3),
-        "memsum200mb_s": round(_mem, 3),
+        axis: round(sorted(s[axis] for s in calib_samples)[len(calib_samples) // 2], 3)
+        for axis in calib_samples[0]
     }
+    # Host-normalized suite total (r10 verdict task 7).  Model:
+    #   value_norm = value × (NOMINAL_MEMSUM / max(NOMINAL, memsum_med))^BETA
+    # NOMINAL_MEMSUM_S = 0.15 — a 200 MB alloc+sum at nominal DRAM
+    # bandwidth (probes/r10_bench_variance.json note: 0.1–0.15 s).
+    # BETA = 0.25 — the suite is only PARTLY bandwidth-bound: the r10
+    # matched-subset bisect moved 1.7× between windows whose memsum
+    # moved ~8× (ln 1.7 / ln 8 ≈ 0.26), so a full linear correction
+    # (beta=1) would over-correct ~20×.  value stays the headline
+    # metric; value_norm is the cross-round comparison starting point.
+    _NOMINAL_MEMSUM_S, _BETA = 0.15, 0.25
+    _factor = (_NOMINAL_MEMSUM_S / max(_NOMINAL_MEMSUM_S, calib["memsum200mb_s"])) ** _BETA
+    value = round(sum(timings.values()), 3)
+    value_norm = round(value * _factor, 3)
     full = {
         "metric": "registry_suite_seconds",
-        "value": round(sum(timings.values()), 3),
+        "value": value,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
         "runs": runs,
         "calib": calib,
+        "calib_samples": calib_samples,
+        "value_norm": value_norm,
+        "norm_model": f"value*({_NOMINAL_MEMSUM_S}/max({_NOMINAL_MEMSUM_S},memsum_med))^{_BETA}",
     }
     print("[bench] full: " + json.dumps(full), file=sys.stderr, flush=True)
     with open(Path(__file__).resolve().parent / "bench_full.json", "w") as f:
@@ -280,13 +310,14 @@ def main() -> None:
     )
     compact = {
         "metric": "registry_suite_seconds",
-        "value": round(sum(timings.values()), 3),
+        "value": value,
         "unit": "sec",
         "sf": sf_val,
         "runs": runs,
         "n_queries": len(timings),
         "queries": slowest,
         "calib": calib,
+        "value_norm": value_norm,
         "full_map": "stderr + bench_full.json",
     }
     line = json.dumps(compact)

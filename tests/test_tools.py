@@ -99,10 +99,18 @@ def test_sweep_order_change_aware_tiers():
             "q02_unchanged_new": {"round": 8, "digest": "f", "narrow": "n"},
             "q03_narrow": {"round": 7, "digest": "f", "narrow": "OLD"},
             "q04_dep": {"round": 5, "digest": "OLDFULL", "narrow": "n"},
-            # stamp round 7 but last checked round 8 → stale → tier 2
+            # stamp round 7, last checked round 8, digests match → the
+            # r8 green artifact proves the check; tier 4 (r11 structural
+            # fix — stamp round ≤ newest green round is NOT stale)
             "q05_stale_stamp": {"round": 7, "digest": "f", "narrow": "n"},
             # q06 has no stamp at all → tier 2
+            # q07's stamp claims a round NEWER than any artifact —
+            # an artifact vanished → over-re-check → tier 2
+            "q07_future_stamp": {"round": 9, "digest": "f", "narrow": "n"},
         }
+        checked["q07_future_stamp"] = 8
+        Q._EVER_SWEPT = frozenset(checked)
+        Q._LAST_ROUND = dict(checked)
         every = list(checked) + ["q150_new"]
         Q._CUR_FULL = {k: "f" for k in every}
         Q._CUR_NARROW = {k: "n" for k in every}
@@ -111,11 +119,12 @@ def test_sweep_order_change_aware_tiers():
             "q87_red",            # tier 0
             "q150_new",           # tier 1 (never checked)
             "q03_narrow",         # tier 2, r7
-            "q05_stale_stamp",    # tier 2, r8
             "q06_no_stamp",       # tier 2, r8
+            "q07_future_stamp",   # tier 2, r8 (stamp round > artifact round)
             "q04_dep",            # tier 3
             "q01_unchanged_old",  # tier 4, r3
             "q02_unchanged_new",  # tier 4, r8
+            "q05_stale_stamp",    # tier 4, r8 (older stamp, digests live)
         ]
         os.environ["SPARK_GRAFT_SWEEP_ORDER"] = "numeric"
         try:
@@ -134,8 +143,12 @@ def test_sweep_order_change_aware_tiers():
 
 def test_sweep_stamps_file_covers_registry_and_digests_live():
     """The committed stamps file covers every registry entry that has a
-    correctness row, stamp rounds equal each query's newest correctness
-    round, and the live digest machinery produced a digest for every
+    correctness row, no stamp round EXCEEDS that query's newest
+    correctness round (a newer correctness artifact than the stamp is
+    fine — the driver drops CORRECTNESS_r{N}.json after the final
+    commit, so equality is structurally impossible at next-round HEAD;
+    _sweep_order's digest comparison covers code drift since the
+    stamp), and the live digest machinery produced a digest for every
     registry entry (a silent _current_digests failure would quietly
     demote the whole registry to tier 2)."""
     import json
@@ -149,14 +162,43 @@ def test_sweep_stamps_file_covers_registry_and_digests_live():
     )
     for name, rnd in Q._LAST_ROUND.items():
         assert name in stamps, f"{name} missing from sweep_stamps.json"
-        assert stamps[name]["round"] == rnd, (
-            f"{name}: stamp round {stamps[name]['round']} != newest "
-            f"correctness round {rnd} — rerun tools/stamp_digests.py"
+        assert stamps[name]["round"] <= rnd, (
+            f"{name}: stamp round {stamps[name]['round']} > newest "
+            f"correctness round {rnd} — a correctness artifact vanished; "
+            f"rerun tools/stamp_digests.py"
         )
     assert set(Q._CUR_FULL) == set(Q.QUERIES)
     assert set(Q._CUR_NARROW) == set(Q.QUERIES)
     for name, d in Q._CUR_FULL.items():
         assert len(d) == 16, name
+
+
+def test_sweep_order_tolerates_future_correctness_artifact(tmp_path):
+    """Simulate the driver dropping CORRECTNESS_r99.json AFTER the last
+    stamp refresh: every green query whose stamp digests still match
+    the current tree must stay tier 4 (freshly-verified), not demote
+    to tier 2 — the exact recurrence that red-ed r9 and r10."""
+    from etl_marketeye_airflow_spark import queries as Q
+
+    orig = (Q._LAST_RED, Q._EVER_SWEPT, Q._LAST_ROUND)
+    try:
+        # Take three real registry queries with live stamps+digests and
+        # pretend a synthetic round-99 sweep just re-checked them green.
+        names = [n for n in list(Q.QUERIES)[:50]
+                 if isinstance(Q._STAMPS.get(n), dict)
+                 and Q._STAMPS[n].get("narrow") == Q._CUR_NARROW.get(n)
+                 and Q._STAMPS[n].get("digest") == Q._CUR_FULL.get(n)][:3]
+        assert names, "no stamped-and-unchanged query available to simulate"
+        Q._LAST_RED = frozenset()
+        Q._EVER_SWEPT = frozenset(set(Q._EVER_SWEPT) | set(names))
+        Q._LAST_ROUND = {**Q._LAST_ROUND, **{n: 99 for n in names}}
+        for n in names:
+            assert Q._sweep_order(n)[0] == 4, (
+                f"{n} demoted to tier {Q._sweep_order(n)[0]} by a newer "
+                f"green correctness artifact — the r9/r10 staleness bug"
+            )
+    finally:
+        Q._LAST_RED, Q._EVER_SWEPT, Q._LAST_ROUND = orig
 
 
 def test_sweep_digest_sensitivity(tmp_path):
@@ -344,19 +386,26 @@ class TestPandasPathCanon:
         assert canon(pd.NaT) == "␀"
 
 
-def test_fuzz_gate_generator_schema_parity(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("gen_name", ["_gen", "_gen_skew"])
+def test_fuzz_gate_generator_schema_parity(tmp_path, gen_name):
     """tools/fuzz_gate.py perturbs VALUES, never SCHEMA or domains: every
-    generated table must carry exactly the source column names/types,
-    non-empty rows, and the perturbation invariants the queries' filters
-    rely on (positive prices, event_type enum unchanged)."""
+    generated table (from BOTH the value generator and the skew
+    generator — r10 ADVICE: _gen_skew had no parity coverage) must carry
+    exactly the source column names/types, non-empty rows, and the
+    perturbation invariants the queries' filters rely on (positive
+    prices, event_type enum unchanged)."""
     import duckdb
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-    from fuzz_gate import SRC, _gen
+    import fuzz_gate
 
+    SRC = fuzz_gate.SRC
     out = tmp_path / "fz"
-    _gen(999, out)
+    getattr(fuzz_gate, gen_name)(999, out)
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events"
@@ -411,12 +460,37 @@ def test_bench_imports_clean_and_failure_detail_handles_empty_message():
     assert detail == ""
 
 
+def _cte_defs(sql: str) -> dict[str, tuple[bool, str]]:
+    """{cte_name: (is_materialized, body)} for every `name AS
+    [MATERIALIZED] (…)` definition, via balanced-paren scan.  Over-
+    approximates (a derived-table alias could match) — harmless here:
+    a false entry only matters if its name is then referenced inside a
+    recursive body, which real aliases aren't."""
+    import re
+
+    out: dict[str, tuple[bool, str]] = {}
+    for m in re.finditer(r"\b(\w+)\s+AS\s+(MATERIALIZED\s+)?\(", sql, re.IGNORECASE):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        out[m.group(1)] = (bool(m.group(2)), sql[m.end(): i - 1])
+    return out
+
+
 def test_oracles_stage_tokenization_and_materialize_closure_ctes():
     # conv 23 (r10 skew fuzz): (a) no oracle may inline string_split
     # inside a shingle lambda (DuckDB re-evaluates captured trees per
     # element — O(tokens^2) on a mega-document); (b) any CTE referenced
-    # from inside a WITH RECURSIVE member must be MATERIALIZED (plain
-    # CTEs re-evaluate once per recursion iteration).
+    # from inside a self-referencing (recursive) CTE's body must be
+    # MATERIALIZED (plain CTEs re-evaluate once per reference and once
+    # per recursion ITERATION).  r10 ADVICE: the old lint only matched
+    # a CTE literally named `edges` via `FROM edges`; this version
+    # finds every CTE definition and every reference from inside any
+    # recursive member, whatever the name or join syntax.
     import re
 
     from etl_marketeye_airflow_spark import queries as Q
@@ -426,8 +500,17 @@ def test_oracles_stage_tokenization_and_materialize_closure_ctes():
             f"{name}: inline split inside a gram lambda (conv 23a) — "
             "stage tokens via _SQL_DOCS_WS"
         )
-        if "RECURSIVE" in sql and re.search(r"\bFROM edges\b", sql):
-            assert "edges AS MATERIALIZED" in sql, (
-                f"{name}: recursive closure over a non-materialized "
-                "edges CTE (conv 23b)"
-            )
+        if "RECURSIVE" not in sql.upper():
+            continue
+        defs = _cte_defs(sql)
+        for rname, (_rmat, rbody) in defs.items():
+            if not re.search(rf"\b{re.escape(rname)}\b", rbody):
+                continue  # not self-referencing → not the recursive CTE
+            for other, (mat, _obody) in defs.items():
+                if other == rname or mat:
+                    continue
+                assert not re.search(rf"\b{re.escape(other)}\b", rbody), (
+                    f"{name}: recursive CTE `{rname}` references "
+                    f"non-materialized CTE `{other}` (conv 23b) — "
+                    f"declare it AS MATERIALIZED"
+                )

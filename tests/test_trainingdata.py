@@ -125,21 +125,33 @@ def test_embedding_near_dup_rejects_non_integral_id(spark):
 
 
 def test_blas_pin_fn_is_safe_and_idempotent():
-    import os
+    # Run the pin in a SUBPROCESS: calling it in the shared pytest
+    # driver process would actually clamp OpenBLAS to 1 thread and the
+    # env-sentinel restore would not undo the thread count — every
+    # later numpy-heavy test in the session would run single-threaded
+    # BLAS (r10 ADVICE).
+    import subprocess
+    import sys
+    import textwrap
 
-    from etl_marketeye_airflow_spark.operators.similarity import _blas_pin_fn
-
-    pin = _blas_pin_fn()
-    before = os.environ.pop("_MEYE_BLAS_PINNED", None)
-    try:
+    code = textwrap.dedent(
+        """
+        import os, sys
+        sys.path.insert(0, %r)
+        from etl_marketeye_airflow_spark.operators.similarity import _blas_pin_fn
+        pin = _blas_pin_fn()
+        os.environ.pop("_MEYE_BLAS_PINNED", None)
         pin()  # first call pins (or no-ops if the lib is absent)
         assert os.environ.get("_MEYE_BLAS_PINNED") == "1"
         pin()  # second call must be a cheap no-op
-    finally:
-        if before is None:
-            os.environ.pop("_MEYE_BLAS_PINNED", None)
-        else:
-            os.environ["_MEYE_BLAS_PINNED"] = before
+        print("OK")
+        """
+    ) % (str(__import__("pathlib").Path(__file__).resolve().parent.parent),)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout.strip().endswith("OK")
 
 
 def test_text_metrics(spark):

@@ -244,11 +244,26 @@ def _gen_skew(seed: int, out: Path) -> None:
 
     src = lambda t: f"read_parquet('{SRC}/{t}.parquet')"  # noqa: E731
 
-    # hot-key targets: smallest key of each dimension (always present)
-    hot_part = con.execute(f"SELECT min(p_partkey) FROM {src('part')}").fetchone()[0]
-    hot_cust = con.execute(f"SELECT min(c_custkey) FROM {src('customer')}").fetchone()[0]
-    hot_user = con.execute(f"SELECT min(user_id) FROM {src('events')}").fetchone()[0]
-    mega_doc = con.execute(f"SELECT min(doc_id) + 7 FROM {src('documents')}").fetchone()[0]
+    # hot-key targets: the (seed % 17)-th smallest ACTUAL key of each
+    # dimension — existence-safe under non-contiguous ids (r10 ADVICE:
+    # min(doc_id)+7 silently missed when ids have gaps), and
+    # seed-dependent so rotating --first-seed probes a different hot
+    # key / mega-document each time (r10 verdict task 8).
+    def nth_key(table: str, col: str, n: int):
+        row = con.execute(
+            f"SELECT DISTINCT {col} FROM {src(table)} ORDER BY {col}"
+            f" LIMIT 1 OFFSET {n}"
+        ).fetchone()
+        if row is None:  # table smaller than the offset — fall back
+            row = con.execute(f"SELECT min({col}) FROM {src(table)}").fetchone()
+        assert row is not None and row[0] is not None, (table, col, n)
+        return row[0]
+
+    off = seed % 17
+    hot_part = nth_key("part", "p_partkey", off)
+    hot_cust = nth_key("customer", "c_custkey", off)
+    hot_user = nth_key("events", "user_id", off)
+    mega_doc = nth_key("documents", "doc_id", 7 + off)
 
     # dimensions and row-identity tables pass through untouched — skew
     # lives on the FK/bucket side, so every hot key stays in-domain
@@ -343,6 +358,10 @@ def main() -> int:
         runs += [("value", args.first_seed + i) for i in range(args.seeds)]
     if not args.no_skew:
         runs.append(("skew", args.first_seed))
+    if not runs:
+        # --skew-only + --no-skew would otherwise print "FUZZ PASS" over
+        # zero runs — a vacuous green (r10 ADVICE)
+        ap.error("--skew-only and --no-skew together select no runs")
 
     failures = []
     for kind, seed in runs:
