@@ -7677,18 +7677,19 @@ def q139_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential moving average of purchase value per user — the
     ordered per-key RECURRENCE no window function expresses (each state
     depends on the previous state, not on a frame aggregate), run as an
-    event-time-ordered left fold: v' = (7·v + cents·2^20) div 8
+    event-time-ordered fold: v' = (7·v + cents·2^20) div 8
     (α = 1/8, fixed point 2^20).  The all-positive shift form sidesteps
     the negative-division engine divergence, and both engines execute
-    the IDENTICAL fold order (array_sort/list_sort of (ts_us, event_id)
-    structs — a total order), so ema_fx is bit-identical.
+    the IDENTICAL fold order ((ts_us, event_id) is a total order), so
+    ema_fx is bit-identical.
 
-    Scale shape: one groupBy(user) collect + a per-row linear fold —
-    state never shuffles, the fold is ONE pass per user.  Per-user
-    event count bounds the collected array (the same documented
-    known-limit as sessionization/merge: a pathological million-event
-    key should be range-chunked upstream); for bounded keys this is
-    the canonical distributed shape for sequential recurrences."""
+    Scale shape (r11, replacing the collect_list fold): shuffle on
+    user, partition-local sort (spills gracefully), and an
+    Arrow-batched STREAMING fold with O(1) state per key
+    (operators/temporal.py:ema_fixed_point) — no per-key array ever
+    materializes, so per-user event count no longer bounds executor
+    memory (the r10 verdict's last known-limit on this query)."""
+    from .operators.temporal import ema_fixed_point
     from .sources.tables import load_events
 
     ev = load_events(spark, sf_dir).filter(
@@ -7700,26 +7701,15 @@ def q139_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
-    g = c.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("ts_us", "event_id", "cents"))
-        ).alias("lst")
+    folded = ema_fixed_point(
+        c, "user_id", ["ts_us", "event_id"], "cents",
+        mult=7, shift=3, fx_bits=20,
     )
-    vals = F.transform(F.col("lst"), lambda x: x["cents"] * F.lit(1048576))
-    staged = g.withColumn("_vals", vals)
-    ema_fx = F.aggregate(
-        F.slice(
-            F.col("_vals"), 2,
-            F.greatest(F.size("_vals") - 1, F.lit(0)),
-        ),
-        F.element_at(F.col("_vals"), 1).cast("long"),
-        lambda acc, x: F.shiftright(acc * F.lit(7) + x, 3),
-    )
-    return staged.select(
+    return folded.select(
         "user_id",
-        F.size("lst").cast("long").alias("n_events"),
-        ema_fx.cast("long").alias("ema_fx"),
-        (ema_fx.cast("double") / F.lit(104857600.0)).alias("ema"),
+        "n_events",
+        "ema_fx",
+        (F.col("ema_fx").cast("double") / F.lit(104857600.0)).alias("ema"),
     )
 
 

@@ -1623,3 +1623,71 @@ def test_no_unguarded_query_vector_fetch_in_queries():
     ]
     # exactly the one inside the helper itself
     assert len(inline) == 1, inline
+
+
+def test_ema_fixed_point_streaming_fold_matches_reference(spark):
+    """r10 verdict task 4: the scale-safe EMA must (a) be bit-identical
+    to the sequential reference fold — including ts ties broken by the
+    second order col, NULL poisoning, and a single-event key — (b) keep
+    state O(1) per key: a 60k-event hot key must pass through Arrow
+    batches without a per-key array (no collect_list anywhere in the
+    plan), and keys split across batch boundaries must carry."""
+    from etl_marketeye_airflow_spark.operators.temporal import ema_fixed_point
+
+    rows = []
+    # hot key 1: 60k events spanning many Arrow batches (force small
+    # batches below so the carry path is actually exercised)
+    for i in range(60_000):
+        rows.append((1, i // 3, i, (i * 37) % 999 + 1))  # ts ties of 3
+    # key 2: single event
+    rows.append((2, 5, 70_001, 123))
+    # key 3: NULL cents mid-stream poisons from there on
+    rows.append((3, 1, 70_002, 10))
+    rows.append((3, 2, 70_003, None))
+    rows.append((3, 3, 70_004, 20))
+    # key 4: NULL cents FIRST
+    rows.append((4, 1, 70_005, None))
+    rows.append((4, 2, 70_006, 50))
+    import random
+
+    random.Random(7).shuffle(rows)  # input order must not matter
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, cents long"
+    )
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+    try:
+        out = ema_fixed_point(df, "user_id", ["ts_us", "event_id"], "cents")
+        got = {r.user_id: (r.n_events, r.ema_fx) for r in out.collect()}
+    finally:
+        if old_batch is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+
+    def ref(events):  # sequential reference fold
+        events = sorted(events)
+        acc, poisoned = None, False
+        for _, _, c in events:
+            if c is None:
+                poisoned = True
+            if poisoned:
+                continue
+            b = c * (1 << 20)
+            acc = b if acc is None else (7 * acc + b) >> 3
+        return (len(events), None if poisoned else acc)
+
+    by_key: dict = {}
+    for u, ts, eid, c in rows:
+        by_key.setdefault(u, []).append((ts, eid, c))
+    want = {u: ref(evs) for u, evs in by_key.items()}
+    assert got == want
+    assert len(got[1]) == 2 and got[1][0] == 60_000
+
+    # the registry query must carry the same shape: no collect_list
+    from etl_marketeye_airflow_spark import queries as reg
+
+    q = reg.QUERIES["q139_ema_fold"](spark, "/root/testdata/sf0.001")
+    analyzed = q._jdf.queryExecution().analyzed().toString()
+    assert "collect_list" not in analyzed
+    assert "MapInPandas" in q._jdf.queryExecution().executedPlan().toString()
