@@ -374,6 +374,7 @@ def label_propagation(
     iters: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007) over canonical undirected edges (src < dst, distinct),
@@ -388,53 +389,69 @@ def label_propagation(
 
     Returns (node, label) for every node of the graph.
 
-    Scale shape: per round ONE node-keyed hash join (neighbor label
-    lookup) + one map-side-combined groupBy(node, label) + one argmin
-    per node (min over (−count, label) structs — no window, no global
-    sort); frames localCheckpoint'd so the plan never deepens
-    (convention 2).  Σ deg bounds the join, exactly PageRank's cost
-    model.
+    Scale shape (r11, fixing the r10 sf10 superlinearity — 13.3× wall
+    for 10× edges was per-round shuffle volume: the old plan exchanged
+    the 2|E| incidence frame by nbr for the join, then the joined 2|E|
+    rows by (node,label), then by node, EVERY round).  |V| ≤ |E|+1 is
+    the small frame here, so when |V| fits a broadcast
+    (``broadcast_max_nodes``) the incidence frame is hash-partitioned
+    by node ONCE and persist()ed — InMemoryRelation preserves
+    outputPartitioning, unlike localCheckpoint's LogicalRDD — and each
+    round is BroadcastHashJoin(labels) + partial/final counts + the
+    per-node struct-argmin, ALL partition-local: zero per-round
+    exchanges of anything |E|-sized, only a |V|-row broadcast.  Beyond
+    the broadcast bound (web-scale |V|) the shuffle-join path runs:
+    per round one node-keyed hash join + map-side-combined
+    groupBy(node,label) + argmin — Σ deg bounds each round, exactly
+    PageRank's cost model.  Labels localCheckpoint each round so the
+    iterating side's plan never deepens (convention 2); both paths
+    compute the identical exact-integer argmin.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
     e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-    nbrs = (
-        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionByName(
-            e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    incidence = e.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionByName(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+
+    # one persisted copy, partitioned by node so every round's counts
+    # and argmin stay partition-local on the broadcast path
+    nbrs = incidence.repartition(F.col("node")).persist()
     labels = (
         nbrs.select("node")
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    n_nodes = labels.count()  # driver scalar (nbrs' cache filled by the
+    # eager labels checkpoint above, which scans it)
+    small_v = n_nodes <= broadcast_max_nodes
     for _ in range(iters):
-        cnt = (
-            nbrs.join(
-                labels.select(
-                    F.col("node").alias("nbr"), F.col("label")
-                ),
-                "nbr",
-            )
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        )
-        new_labels = cnt.groupBy("node").agg(
-            F.min(
-                F.struct(
-                    (-F.col("cnt")).alias("_negcnt"),
-                    F.col("label").alias("_lbl"),
-                )
-            )["_lbl"].alias("label")
-        )
         old = labels
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = _lpa_round(nbrs, labels, small_v).localCheckpoint(eager=True)
         old.unpersist()
     nbrs.unpersist()
     return labels
+
+
+def _lpa_round(nbrs: DataFrame, labels: DataFrame, small_v: bool) -> DataFrame:
+    """One synchronous LPA round: neighbor-label lookup, (node,label)
+    counts, per-node (−count, label) struct-argmin.  With ``small_v``
+    and ``nbrs`` hash-partitioned by node, the whole round plans with
+    zero non-broadcast exchanges (pinned by tests/test_graph.py)."""
+    lab = labels.select(F.col("node").alias("nbr"), F.col("label"))
+    joined = nbrs.join(F.broadcast(lab) if small_v else lab, "nbr")
+    cnt = joined.groupBy("node", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return cnt.groupBy("node").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("_negcnt"),
+                F.col("label").alias("_lbl"),
+            )
+        )["_lbl"].alias("label")
+    )
 
 
 def bfs_distances(

@@ -434,3 +434,39 @@ def test_sssp_rounds_hand_graph(spark):
         "node": 0,
         "dist": 0,
     }
+
+
+def test_lpa_round_is_exchange_free_on_broadcast_path(spark):
+    """r10 verdict task 2 pin: with the incidence frame persisted
+    hash-partitioned by node and |V| under the broadcast bound, one
+    full LPA round (join + counts + argmin) must plan with ZERO
+    non-broadcast exchanges — the r10 sf10 superlinearity was exactly
+    these per-round |E|-sized shuffles (3 of them per round)."""
+    from etl_marketeye_airflow_spark.operators.graph import _lpa_round
+
+    e = spark.range(5000).select(
+        (F.col("id") % 200).alias("node"), (F.col("id") % 97).alias("nbr")
+    )
+    nbrs = e.repartition(F.col("node")).persist()
+    try:
+        labels = (
+            nbrs.select("node").distinct().withColumn("label", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = _lpa_round(nbrs, labels, small_v=True)
+        out.collect()  # finalize the adaptive plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # the cached incidence frame's ONE-TIME fill exchange renders
+        # inside the InMemoryRelation subtree as REPARTITION_BY_COL;
+        # any PER-ROUND shuffle would be an ENSURE_REQUIREMENTS
+        # exchange inserted above the cache scan
+        shuffles = [
+            ln for ln in final.splitlines()
+            if "Exchange hashpartitioning" in ln
+            and "ENSURE_REQUIREMENTS" in ln
+        ]
+        assert not shuffles, shuffles
+        assert "BroadcastHashJoin" in final
+    finally:
+        nbrs.unpersist()
