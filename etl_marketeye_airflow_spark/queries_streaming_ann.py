@@ -1,0 +1,894 @@
+"""q31-q50: streaming, ANN/IVF, as-of/range joins, profiling, dedup clusters
+
+Registry band module (r11 split of the 12.6k-line queries.py).  Shared
+helpers, the @query decorator, and the oracle-parity conventions live in
+``_registry_base`` (same package level, so function sources — and hence
+sweep digests — are byte-identical to the pre-split file).  Importing
+this module registers its queries into the shared QUERIES/ORACLES dicts.
+"""
+
+from __future__ import annotations
+
+from . import _registry_base as _B
+
+# bind every base helper (incl. underscore names) into this module's
+# globals so the verbatim-moved query sources resolve unchanged
+globals().update({k: v for k, v in vars(_B).items() if not k.startswith("__")})
+
+# ---------------------------------------------------------------------------
+# §2.9 extension — Structured Streaming (AvailableNow drains the batch
+# synchronously so the registry can hash-compare the final state).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q31_streaming_window",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)                          AS n_events,
+           {_SQL_SUM.format(c='value')}      AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q31_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts via Structured Streaming,
+    drained with Trigger.AvailableNow into a memory sink — the final
+    state equals the batch date_trunc aggregation (the oracle)."""
+    import uuid
+
+    from .sources.tables import load_events_stream
+    from .streaming.ingest import windowed_event_counts
+
+    # window_start strings render in the SESSION timezone; pin UTC so a
+    # driver session running under any system TZ matches the oracle
+    # (load_events_stream handles the nanosAsLong save/restore itself)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = (
+            load_events_stream(spark, sf_dir)
+            .withColumn("ts", F.col("_t"))
+            .withColumn("value", F.col("value").cast("decimal(19,4)"))
+        )
+        out = windowed_event_counts(stream, "1 hour", "10 minutes").withColumn(
+            "total_value", F.col("total_value").cast("double")
+        )
+        name = f"q31_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available_now(q)
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+# ---------------------------------------------------------------------------
+# S9 — rate-limited HTTP enrichment (deterministic injected client so the
+# full mapInPandas fetch→join pipeline is oracle-verifiable).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_enrichment_http",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR)              AS part_key,
+           p_brand,
+           concat('payload-for:', CAST(p_partkey AS VARCHAR)) AS enriched_payload,
+           'found'                                  AS enrich_status
+    FROM part
+    """,
+)
+def q32_enrichment_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 pipeline shape end-to-end: distinct keys → rate-limited
+    mapInPandas fetch (deterministic offline client here) → broadcast
+    join back.  The real HTTP client is the injectable default."""
+    from .operators.enrich import enrich_with_http
+
+    def offline_client(url, payload=None, timeout=None):
+        return True, f"payload-for:{url.rsplit('/', 1)[-1]}"
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("part_key"), "p_brand"
+    )
+    return enrich_with_http(
+        p,
+        key_col="part_key",
+        url_template="http://lookup.invalid/api/{key}",
+        client=offline_client,
+        rate_limit_per_sec=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew path — salted two-phase aggregation must equal the plain aggregate
+# (the oracle IS the unsalted SQL; exact partials make them identical).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q33_salted_group_stats",
+    oracle=f"""
+    SELECT l_partkey                                  AS l_partkey,
+           count(*)                                   AS total_count,
+           {_sql_mean('l_extendedprice')}             AS value_mean,
+           {_sql_stddev('l_extendedprice')}           AS value_std,
+           min(l_extendedprice)                       AS value_min,
+           max(l_extendedprice)                       AS value_max
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 3
+    """,
+)
+def q33_salted_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe group stats: groupBy(key, salt) partials then combine
+    — identical results to the one-phase aggregate, but a 995-offer hot
+    group (the reference's real skew) spreads over 16 reducers."""
+    from .operators.skew import salted_group_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_group_stats(
+        li, "l_partkey", "l_extendedprice", n_salts=16, min_group_size=3
+    )
+
+
+@query(
+    "q34_stateful_running_totals",
+    # The stream drains fully (AvailableNow over one file = one batch), so
+    # the final per-user state MUST equal the batch GROUP BY.  Exactness:
+    # the operator accumulates dyadic ticks floor(v·2^20) (conv 14 —
+    # engine-free, unlike decimal rounding whose x.xx5 ties split
+    # HALF_UP vs numpy HALF_EVEN: the r8 fuzz tie probe), the oracle
+    # replays the identical tick rule; one division per key at the end.
+    oracle="""
+    SELECT user_id,
+           count(*) AS total_events,
+           CAST(coalesce(sum(CAST(floor(coalesce(value, 0)
+                  * 1048576.0) AS BIGINT)), 0) AS DOUBLE) / 1048576.0
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q34_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running per-user totals, drained with
+    AvailableNow.  Single-batch catch-up here; state carries across
+    batches when files arrive incrementally (tested with 2-batch run in
+    tests/test_sinks_streaming.py)."""
+    import uuid
+
+    from .streaming.stateful import (
+        compact_running_totals_sink,
+        running_user_totals,
+    )
+
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    name = f"q34_out_{uuid.uuid4().hex[:8]}"
+    # Stateful streams pay a per-partition state-store cost each batch;
+    # at this key cardinality 8 partitions beats the session default
+    # (shuffle-partition conf is fixed at stream START — restore after,
+    # same for the nanos conf once the stream has fully terminated).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            running_user_totals(stream, exact_bits=20)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available_now(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
+    # The append-mode sink holds one CUMULATIVE snapshot per (user,
+    # batch) — correct raw only for a single-batch drain; compact to the
+    # final per-user state so any batch split reads right (q117's fix,
+    # same hazard class).
+    return compact_running_totals_sink(spark.table(name))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 — the canonical OLAP aggregate, exact-decimal throughout.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q35_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_SQL_SUM.format(c='l_quantity')}            AS sum_qty,
+           {_SQL_SUM.format(c='l_extendedprice')}       AS sum_base_price,
+           count(*)                                     AS count_order,
+           {_sql_mean('l_quantity')}                    AS avg_qty,
+           {_sql_mean('l_extendedprice')}               AS avg_price,
+           {_sql_mean('l_discount')}                    AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q35_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (discounted-revenue columns omitted where
+    they'd need decimal×decimal row products — sums/avgs shown are the
+    exact-decimal forms; the pattern matches the guide's canonical shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            n.alias("count_order"),
+            _mean(_dsum("l_quantity"), n).alias("avg_qty"),
+            _mean(_dsum("l_extendedprice"), n).alias("avg_price"),
+            _mean(_dsum("l_discount"), n).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q36_ivf_topk",
+    # The deterministic-sample quantizer (centroids = first 16 vectors
+    # by id, a standard IVF init) makes the whole approximate pipeline
+    # SQL-reproducible: assignment argmin of d2 = ‖c‖² − 2·x·c (the
+    # kernel's exact formula; min per-row argmin margin ≈ 2e-4 on this
+    # corpus), probe = 4 nearest centroids to the query by full squared
+    # distance (4th/5th margin ≈ 2.3e-3), exact cosine within probed
+    # cells.  All margins + rank-10 boundary pinned in
+    # test_trainingdata; ulp noise is ~1e-15.
+    oracle=f"""
+    WITH cents AS (
+      -- NULL embeddings excluded (conv 22, mirrors ivf_assign's entry
+      -- filter): a missing vector can neither seed nor join a cell
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_idx, embedding AS c
+      FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, e.embedding, c.cell_idx,
+             list_reduce(list_transform(c.c,
+                                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                         (x, y) -> x + y)
+             - 2.0 * list_reduce(list_transform(list_zip(e.embedding, c.c),
+                                                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                                 (x, y) -> x + y) AS d2
+      FROM embeddings e CROSS JOIN cents c
+      WHERE e.embedding IS NOT NULL
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_idx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_idx) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings
+           WHERE vec_id = 0 AND {_sql_nonzero('embedding')}),
+    probe AS (
+      SELECT cell_idx FROM cents, qv
+      ORDER BY list_reduce(list_transform(list_zip(c, q),
+                                          z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+                                               * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+                           (x, y) -> x + y), cell_idx
+      LIMIT 4
+    ),
+    scored AS (
+      SELECT a.vec_id, {_SQL_COS.format(a="a.embedding", b="qv.q")} AS c
+      FROM assigned a JOIN probe p ON a.cell_idx = p.cell_idx, qv
+      WHERE {_sql_nonzero('a.embedding')}
+    )
+    SELECT vec_id, round(c, 6) AS cosine FROM scored
+    ORDER BY c DESC, vec_id LIMIT 10
+    """,
+)
+def q36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-10 (nprobe=4 of 16 cells) — the partition-pruned
+    scale path.  The oracled config uses the deterministic-sample
+    quantizer (train_iters=0) so assignment/probe/scoring are fully
+    SQL-replayed; the k-means-trained variant (3 Lloyd iterations in
+    DataFrame algebra, recall@10 vs q24 exact ≥ 0.8) and the
+    materialized partitionBy(_centroid) index stay pinned in
+    test_trainingdata."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(emb)  # NULL/missing-safe shared fetch (guard doc there)
+    out = ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=4, train_iters=0)
+    return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins Spark lacks natively (as-of / range) + pivot family.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q37_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    errors AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           e.ts_us AS asof_ts_us, e.value AS asof_value
+    FROM purchases p
+    ASOF LEFT JOIN errors e
+      ON p.user_id = e.user_id AND p.ts_us >= e.ts_us
+    """,
+)
+def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent error before each purchase, per user) via
+    the tagged-union + running-last window composition — one shuffle,
+    verified against DuckDB's native ASOF JOIN."""
+    from .operators.temporal import asof_join
+
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts_us", "value")
+    return asof_join(purchases, errors, "user_id", "ts_us", ["ts_us", "value"])
+
+
+@query(
+    "q38_range_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    errors AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us, count(e.ts_us) AS n_in_range
+    FROM purchases p
+    LEFT JOIN errors e
+      ON p.user_id = e.user_id AND abs(e.ts_us - p.ts_us) <= 600000000
+    GROUP BY 1, 2, 3
+    """,
+)
+def q38_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (errors within ±10 min of each purchase, same user)
+    via time-bucketed equi-join + exact filter — candidates ≤ 3× matches
+    instead of a per-key cartesian."""
+    from .operators.temporal import range_join_count
+
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts_us")
+    return range_join_count(purchases, errors, "user_id", "ts_us", 600_000_000)
+
+
+@query(
+    "q39_pivot_unpivot",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'O' AS status, status_O AS n FROM p
+    UNION ALL SELECT o_orderpriority, 'F', status_F FROM p
+    UNION ALL SELECT o_orderpriority, 'P', status_P FROM p
+    """,
+)
+def q39_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status columns per priority) then unpivot back via stack —
+    round-trips the wide↔long reshaping pair in one plan."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}") for s in ("O", "F", "P")],
+        )
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'O', status_O, 'F', status_F, 'P', status_P) AS (status, n)",
+    )
+
+
+@query(
+    "q40_column_profile",
+    oracle=" UNION ALL ".join(
+        _PROFILE_ORACLE_ROW.format(
+            c=c,
+            minr=_profile_render(c, "min"),
+            maxr=_profile_render(c, "max"),
+        )
+        for c in _PROFILE_COLS
+    ),
+)
+def q40_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile (rows/nulls/distincts/min-max) — the
+    first question a pipeline asks about a new data drop; a per-column
+    loop of count queries would scan N×."""
+    from .operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "part"), list(_PROFILE_COLS))
+
+
+# ---------------------------------------------------------------------------
+# Grouped Pandas path (applyInPandas) — Arrow-batched per-group compute,
+# oracle-verified: pandas float64 ops are the same IEEE ops as SQL's.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_grouped_pandas_normalize",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN max(value) OVER (PARTITION BY user_id)
+                     = min(value) OVER (PARTITION BY user_id)
+                THEN 0.0
+                ELSE (value - min(value) OVER (PARTITION BY user_id))
+                     / (max(value) OVER (PARTITION BY user_id)
+                        - min(value) OVER (PARTITION BY user_id))
+           END AS value_pos
+    FROM events
+    """,
+)
+def q41_grouped_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max normalization via applyInPandas — the grouped-
+    Arrow path with bit-exact parity (min/max are selections; the one
+    division is the same IEEE op in pandas float64 and SQL doubles).
+    Use this path only for logic SQL can't express — the oracle shows
+    the equivalent (faster) built-in window form."""
+    e = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double, props string"
+    ).parquet(f"{sf_dir}/events.parquet")
+
+    def normalize(pdf):
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        span = hi - lo
+        pos = (pdf["value"] - lo) / span if span != 0 else 0.0
+        return pdf.assign(value_pos=pos)[["event_id", "user_id", "value_pos"]]
+
+    return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        normalize, schema="event_id long, user_id long, value_pos double"
+    )
+
+
+@query(
+    "q42_running_totals_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(19,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                                                    AS running_spend,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                                                    AS order_seq
+    FROM orders
+    """,
+)
+def q42_running_totals_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend (running window frame) — the
+    unbounded-preceding running-aggregate shape, exact-decimal sums."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(running).cast("double").alias(
+            "running_spend"
+        ),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "q43_dedup_clusters",
+    # Connected components ARE SQL-expressible: transitive closure via
+    # WITH RECURSIVE over the (bounded, deterministic) exact-Jaccard pair
+    # set, cluster label = min reachable id — a full value check on the
+    # iterative algorithm, not just a row count.
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS MATERIALIZED ({_Q43_SH_SQL}),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.01
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, x) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON r.x = e.src
+    )
+    SELECT id, least(id, min(x)) AS cluster FROM reach GROUP BY id
+    """,
+)
+def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the q21 exact-Jaccard similarity graph
+    (bounded slice) → cluster = min reachable doc id.  Distributed
+    min-label propagation + pointer jumping, verified value-for-value
+    against DuckDB's recursive transitive closure.  The corpus-scale
+    pipeline (MinHash-LSH candidates → clusters → survivors) is q47."""
+    from .operators.dedup import near_dup_clusters, word_shingles
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = docs.select(F.col("doc_id"), word_shingles(F.col("text"), 3).alias("grams"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
+        / F.size(F.array_union(F.col("a.grams"), F.col("b.grams"))).cast("double")
+    )
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.01)
+    )
+    return near_dup_clusters(pairs).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching — the brand-typo problem (samsng→Samsung) as a
+# scalable similarity join: length-band blocking + edit-distance verify.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q44_fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_partkey < 400)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q44_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical name pairs via edit distance, length-band BLOCKED.
+
+    Edit distance ≤ k forces |len(a)−len(b)| ≤ k, which forces the
+    floor(len/(k+1)) band ids to differ by at most 1 — so the LEFT side
+    explodes to its {band−1, band, band+1} probe set and equi-joins the
+    RIGHT side's exact band (a hash/sort-merge join, shuffling on the
+    band key; NEVER a nested-loop cross join — asserted in
+    tests/test_plans.py).  One-sided explode → each qualifying pair
+    meets exactly once, no dedup needed.  Length + levenshtein run as
+    post-filters on candidates only.
+    """
+    k = 3
+    names = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .select("p_name")
+        .distinct()
+        .withColumn("_b", F.floor(F.length("p_name") / F.lit(k + 1)))
+    )
+    left = names.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)
+        ).alias("_band"),
+    )
+    right = names.select(F.col("p_name").alias("name_b"), F.col("_b").alias("_band"))
+    return (
+        left.join(right, "_band")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= k)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-function family — percent_rank / ntile / dense_rank (W-coverage
+# depth; rank math is integer-derived → engine-exact).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_rank_family",
+    # NULLS LAST pinned on both sides (conv 22): Spark's asc default is
+    # NULLS FIRST, DuckDB's is NULLS LAST — any rank over a nullable
+    # order key silently shifts every non-NULL rank otherwise.
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           dense_rank()   OVER w AS price_dense_rank,
+           percent_rank() OVER w AS price_pct_rank,
+           ntile(4)       OVER w AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey)
+    """,
+)
+def q45_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / percent_rank / ntile per customer by order value —
+    the remaining window-rank family (unique ORDER BY tiebreak keeps
+    every rank deterministic; percent_rank = (rank-1)/(n-1) is one
+    integer-derived division, engine-exact).  NULL order values rank
+    LAST on both sides (conv 22)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join — the "next event at-or-after" direction (backward is
+# q37); verified against DuckDB's native forward ASOF (flipped comparison).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q46_asof_join_forward",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    errors AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           e.ts_us AS asof_ts_us, e.value AS asof_value
+    FROM purchases p
+    ASOF LEFT JOIN errors e
+      ON p.user_id = e.user_id AND p.ts_us <= e.ts_us
+    """,
+)
+def q46_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (earliest error at-or-after each purchase, per
+    user) — the descending-sort variant of the tagged-union window
+    composition, verified against DuckDB's native forward ASOF JOIN."""
+    from .operators.temporal import asof_join
+
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts_us", "value")
+    return asof_join(
+        purchases, errors, "user_id", "ts_us", ["ts_us", "value"], direction="forward"
+    )
+
+
+@query(
+    "q47_dedup_pipeline",
+    # The oracle recomputes the SAME semantics the slow exact way:
+    # all-pairs Jaccard >= 0.35, recursive closure, drop non-representative
+    # members.  Banding (16 bands × 4 rows) captures a pair with prob
+    # 1-(1-J^4)^16; every true pair on this corpus has J >= 0.90 (capture
+    # ~1-4e-8, and there are NO pairs in [0.2, 0.9) — a wide dead zone
+    # around the 0.35 threshold).  Verified pair-set-identical at sf0.01;
+    # pinned by tests/test_trainingdata.py::test_lsh_recall_vs_exact.
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS MATERIALIZED ({_Q47_SH_FULL_SQL}),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+    sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.35
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, x) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON r.x = e.src
+    ),
+    labels AS (
+      SELECT id, least(id, min(x)) AS cluster FROM reach GROUP BY id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)
+    """,
+)
+def q47_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup endgame over the WHOLE corpus: MinHash(64)+LSH(16)
+    candidates, exact-Jaccard verify ≥ 0.35, connected components, keep
+    the min-id representative per cluster.  Returns surviving doc_ids."""
+    from .operators.dedup import dedup_by_clusters, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.35)
+    return dedup_by_clusters(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "q48_repetition_quality",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    cnts AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, max(cnt) AS max_cnt, CAST(sum(cnt) AS BIGINT) AS n_tokens
+      FROM cnts GROUP BY 1
+    ),
+    g AS (
+      SELECT doc_id,
+             {_sql_dup_frac(2)} AS dup_2gram_frac,
+             {_sql_dup_frac(3)} AS dup_3gram_frac
+      FROM w
+    )
+    SELECT g.doc_id, top.n_tokens, g.dup_2gram_frac, g.dup_3gram_frac,
+           CAST(top.max_cnt AS DOUBLE) / CAST(top.n_tokens AS DOUBLE) AS max_word_frac,
+           (g.dup_3gram_frac > 0.18
+            OR CAST(top.max_cnt AS DOUBLE) / CAST(top.n_tokens AS DOUBLE) > 0.2)
+             AS is_repetitive
+    FROM g JOIN top ON g.doc_id = top.doc_id
+    """,
+)
+def q48_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters a pretraining pipeline runs per document:
+    duplicate word-2/3-gram fractions (Column algebra, scan-speed) and
+    top-word concentration (explode → two hash-aggs — the scalable form
+    of an in-array mode), with a Gopher-style repetitive flag.  All
+    metrics are exact-integer ratios → bit-reproducible in SQL."""
+    from .operators import text as tx
+
+    from .operators.dedup import spread
+
+    # Tokenize ONCE (staged attribute) — inlining word_tokens into both
+    # gram expressions and the explode would re-run the regexp split ~5×
+    # per row (measured ~2× query cost).  spread: gram building is the
+    # cost — don't serialize it onto a single-file scan's one core.
+    base = spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", tx.word_tokens(F.col("text")).alias("_w")
+    )
+    toks = base.select("doc_id", F.explode("_w").alias("tok"))
+    top = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_cnt"), F.sum("cnt").alias("n_tokens"))
+    )
+    metrics = (
+        base.withColumn("_g2", tx.ngrams_from_tokens(F.col("_w"), 2))
+        .withColumn("_g3", tx.ngrams_from_tokens(F.col("_w"), 3))
+        .select(
+            "doc_id",
+            tx.dup_fraction_from_grams(F.col("_g2")).alias("dup_2gram_frac"),
+            tx.dup_fraction_from_grams(F.col("_g3")).alias("dup_3gram_frac"),
+        )
+    )
+    mw = F.col("max_cnt").cast("double") / F.col("n_tokens").cast("double")
+    return metrics.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        mw.alias("max_word_frac"),
+        ((F.col("dup_3gram_frac") > 0.18) | (mw > 0.2)).alias("is_repetitive"),
+    )
+
+
+@query(
+    "q49_corpus_stats_by_lang",
+    # Spark percentile()/median() are bit-identical to DuckDB
+    # median/quantile_cont over integer inputs (verified across 2000
+    # groups in round 1) — safe to expose raw.
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens,
+           median(n_tok) AS median_tokens,
+           quantile_cont(n_tok, 0.25) AS p25_tokens,
+           quantile_cont(n_tok, 0.75) AS p75_tokens
+    FROM (SELECT lang, len({_SQL_WORDS}) AS n_tok FROM documents)
+    GROUP BY lang
+    """,
+)
+def q49_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus reporting: token-count distribution per language (count,
+    total, mean, median, quartiles) — the dataset card a training-data
+    pipeline publishes.  One hash-agg; percentiles are per-group sorts
+    of integer token counts, engine-exact."""
+    from .operators import text as tx
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", tx.whitespace_token_count(F.col("text")).alias("n_tok")
+    )
+    n = F.count(F.lit(1))
+    return d.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.sum("n_tok").cast("double") / n.cast("double")).alias("mean_tokens"),
+        F.median("n_tok").alias("median_tokens"),
+        F.percentile("n_tok", F.lit(0.25)).alias("p25_tokens"),
+        F.percentile("n_tok", F.lit(0.75)).alias("p75_tokens"),
+    )
+
+
+@query(
+    "q50_streaming_dedup",
+    # Drained stream state == batch DISTINCT: same normalization, same
+    # md5 hex in both engines.
+    oracle="""
+    SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+             AS content_hash
+    FROM documents
+    """,
+)
+def q50_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup AT INGEST: streaming dropDuplicates over content digests,
+    drained with AvailableNow — each distinct normalized content emits
+    exactly once across all micro-batches (cross-batch suppression
+    tested in tests/test_sinks_streaming.py)."""
+    import uuid
+
+    from .sources.tables import load_documents_stream
+    from .streaming.ingest import streaming_exact_dedup
+
+    stream = load_documents_stream(spark, sf_dir)
+    name = f"q50_out_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available_now(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

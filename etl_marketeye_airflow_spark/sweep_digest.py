@@ -20,7 +20,8 @@ The digest of a query is sha256 over:
     edit to e.g. ``operators/ranking.py`` flags its consumers).
 
 KNOWN GAP (documented, fail-direction noted): a change to a shared
-helper defined inside ``queries.py`` itself (e.g. ``_str_decimals``) or
+helper defined inside the registry itself (``_registry_base.py``, e.g.
+``_str_decimals``) or
 to the universal ``sources/tables.py`` loaders does NOT change its
 consumers' digests — those edits are rare and reviewed; when they
 happen, delete the affected entries from ``tools/sweep_stamps.json`` so
