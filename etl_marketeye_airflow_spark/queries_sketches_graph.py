@@ -1377,10 +1377,10 @@ def q139_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (r11, replacing the collect_list fold): shuffle on
     user, partition-local sort (spills gracefully), and an
     Arrow-batched STREAMING fold with O(1) state per key
-    (operators/temporal.py:ema_fixed_point) — no per-key array ever
+    (operators/recurrence.py:ema_fixed_point) — no per-key array ever
     materializes, so per-user event count no longer bounds executor
     memory (the r10 verdict's last known-limit on this query)."""
-    from .operators.temporal import ema_fixed_point
+    from .operators.recurrence import ema_fixed_point
     from .sources.tables import load_events
 
     ev = load_events(spark, sf_dir).filter(

@@ -1632,7 +1632,7 @@ def test_ema_fixed_point_streaming_fold_matches_reference(spark):
     state O(1) per key: a 60k-event hot key must pass through Arrow
     batches without a per-key array (no collect_list anywhere in the
     plan), and keys split across batch boundaries must carry."""
-    from etl_marketeye_airflow_spark.operators.temporal import ema_fixed_point
+    from etl_marketeye_airflow_spark.operators.recurrence import ema_fixed_point
 
     rows = []
     # hot key 1: 60k events spanning many Arrow batches (force small
