@@ -1616,7 +1616,13 @@ def test_no_unguarded_query_vector_fetch_in_queries():
 
     import etl_marketeye_airflow_spark.queries as qmod
 
-    src = pathlib.Path(qmod.__file__).read_text()
+    # r11 split: the registry spans _registry_base.py (helpers, incl.
+    # _query_vec itself) + the queries_* band modules + the aggregator
+    pkg = pathlib.Path(qmod.__file__).parent
+    src = "\n".join(
+        p.read_text()
+        for p in sorted(pkg.glob("queries*.py")) + [pkg / "_registry_base.py"]
+    )
     inline = [
         ln for ln in src.splitlines()
         if '.select("embedding").first()' in ln and "def _query_vec" not in ln

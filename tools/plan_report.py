@@ -47,6 +47,10 @@ EXECUTES_ON_BUILD = {
     "q133_stream_static_join": "streaming (drained; plan = memory sink)",
     "q136_streaming_quantile_sketch": "streaming stateful sketch (drained; compacted sink read)",
     "q114_pagerank": "iterative (checkpointed per-iteration ranks)",
+    "q149_label_propagation": "iterative (checkpointed rounds; per-round"
+    " plan pinned exchange-free by tests/test_graph.py)",
+    "q151_bfs_distances": "iterative (checkpointed frontier rounds)",
+    "q198_weighted_sssp": "iterative (checkpointed relaxation rounds)",
     "q100_unigram_surprisal": "eager (persisted token stream; checkpointed result)",
     "q103_tfidf_topk": "eager (persisted tf base; checkpointed result)",
     "q106_bm25_topk": "eager (persisted tok/dl bases; checkpointed result)",
