@@ -56,26 +56,37 @@ def pagerank_fixed_point(
     Returns (node, rank_fx, rank) for every node appearing as src OR
     dst; ``rank = rank_fx / 10^6`` is the one final float division.
 
-    Scale shape: each iteration is one hash join (ranks ⋈ edges on src
-    — both sides key-partitioned on the node id, so AQE reuses the
-    partitioning) + one groupBy(dst) with map-side partial sums; the
+    Scale shape (r11, the q149-LPA treatment — q114 measured 11.7×
+    wall for 10× edges at sf10 before, the per-round |E|-shuffle
+    disease): the edge frame is hash-partitioned by dst ONCE into a
+    persist()ed cache and the |V|-sized per-round state (rank/degree
+    contribution map) is BROADCAST while |V| fits
+    ``broadcast_max_nodes`` — each round is then BroadcastHashJoin +
+    partition-local groupBy(dst) partial/final sums + a co-partitioned
+    left join against the node-partitioned nodes cache: ZERO per-round
+    non-broadcast exchanges.  Beyond the bound the shuffle-join path
+    keeps the classic cost model (edge count bounds the shuffle).  The
     dangling term builds its node set (anti-join vs out-degree) and N
-    ONCE before the loop, then adds one semi-join + 1-row aggregate broadcast per
-    iteration (a scalar, never a collect of data rows); per-iteration
-    results are localCheckpoint'd so the plan stays one-iteration deep
-    (convention 2: plans stay bounded) — on a cluster, swap for
-    reliable checkpoint like the CC operator.  Edge count, not node
-    count, bounds the shuffle.
+    ONCE before the loop, then adds one broadcast semi-join + 1-row
+    aggregate per iteration; per-iteration ranks are localCheckpoint'd
+    so the plan stays one-iteration deep (convention 2) — ranks are
+    only ever the broadcast side, so losing their partitioning at the
+    checkpoint costs nothing.  Both paths compute the identical exact
+    integer recurrence.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    e = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).persist()
+    broadcast_max_nodes = 4_000_000
+    e = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .repartition(F.col("_dst"))
+        .persist()
+    )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .repartition(F.col("node"))
         .persist()
     )
     deg = (
@@ -83,22 +94,28 @@ def pagerank_fixed_point(
         .agg(F.count(F.lit(1)).cast("long").alias("_deg"))
         .persist()  # consumed every iteration (contrib join + dangling)
     )
+    n_nodes = nodes.count()  # one scalar, bounded
+    small_v = n_nodes <= broadcast_max_nodes
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_v else df
+
     dangling = None
-    n_nodes = 0
     if dangling_mass:
         # loop-invariant: the dangling node SET (never a src) and N —
         # build once; only the sum over current ranks changes per round.
         dangling = nodes.join(
             deg, nodes["node"] == deg["_src"], "left_anti"
         ).persist()
-        n_nodes = nodes.count()  # one scalar, bounded
     ranks = nodes.withColumn("rank_fx", F.lit(PR_SCALE).cast("long"))
     for _ in range(iters):
-        contrib = (
-            ranks.join(deg, ranks["node"] == deg["_src"])
+        cmap = (
+            ranks.join(_b(deg), ranks["node"] == deg["_src"])
             .withColumn("_c", F.expr("rank_fx div _deg"))
             .select("_src", "_c")
-            .join(e, "_src")
+        )
+        contrib = (
+            e.join(_b(cmap), "_src")
             .groupBy("_dst")
             .agg(F.sum("_c").cast("long").alias("_s"))
         )
@@ -108,7 +125,7 @@ def pagerank_fixed_point(
             # current ranks against the precomputed dangling set, one
             # scalar agg — N is a literal, nothing else recomputes.
             share = (
-                ranks.join(dangling.select("node"), "node", "left_semi")
+                ranks.join(_b(dangling.select("node")), "node", "left_semi")
                 .agg(
                     F.coalesce(F.sum("rank_fx"), F.lit(0))
                     .cast("long")
@@ -546,26 +563,44 @@ def hits_fixed_point(
     Returns (node, hub_fx, auth_fx) for every node, scale 10^6; pure
     sinks have hub_fx = 0, pure sources auth_fx = 0.
 
-    Scale shape: per round two node-keyed join+groupBy passes (the
-    PageRank cost model ×2) + two 1-row max broadcasts; frames
-    localCheckpoint'd (conv 2).
+    Scale shape (r11, the q149-LPA treatment — q153 measured 7.8× wall
+    for 10× edges at sf10 before): TWO persisted copies of the edge
+    frame, hash-partitioned by dst (authority phase) and by src (hub
+    phase), and the |V|-sized hub/authority state BROADCAST while |V|
+    fits ``broadcast_max_nodes`` — each half-round is then
+    BroadcastHashJoin + partition-local groupBy partial/final sums + a
+    co-partitioned left join against the node-partitioned nodes cache:
+    zero per-round non-broadcast exchanges, at the cost of caching 2|E|
+    rows.  Beyond the bound the single-copy shuffle-join path keeps the
+    PageRank-×2 cost model.  Two 1-row max broadcasts per round either
+    way; state frames localCheckpoint'd (conv 2 — they are only ever
+    the broadcast side, so the lost partitioning costs nothing).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = edges.select(
+    broadcast_max_nodes = 4_000_000
+    e0 = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("_src").alias("node"))
-        .unionByName(e.select(F.col("_dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
     )
+    e_dst = e0.repartition(F.col("_dst")).persist()
+    nodes = (
+        e_dst.select(F.col("_src").alias("node"))
+        .unionByName(e_dst.select(F.col("_dst").alias("node")))
+        .distinct()
+        .repartition(F.col("node"))
+        .persist()
+    )
+    small_v = nodes.count() <= broadcast_max_nodes
+    e_src = e0.repartition(F.col("_src")).persist() if small_v else e_dst
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_v else df
+
     hubs = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
     auths = None
     for _ in range(iters):
         a_raw = (
-            e.join(hubs.withColumnRenamed("node", "_src"), "_src")
+            e_dst.join(_b(hubs.withColumnRenamed("node", "_src")), "_src")
             .groupBy("_dst")
             .agg(F.sum("h").cast("long").alias("_s"))
         )
@@ -583,7 +618,7 @@ def hits_fixed_point(
             .localCheckpoint()
         )
         h_raw = (
-            e.join(auths.withColumnRenamed("node", "_dst"), "_dst")
+            e_src.join(_b(auths.withColumnRenamed("node", "_dst")), "_dst")
             .groupBy("_src")
             .agg(F.sum("a").cast("long").alias("_s"))
         )
@@ -609,7 +644,9 @@ def hits_fixed_point(
         )
         .localCheckpoint()
     )
-    e.unpersist()
+    e_dst.unpersist()
+    if small_v:
+        e_src.unpersist()
     nodes.unpersist()
     return out
 
