@@ -47,6 +47,8 @@ EXECUTES_ON_BUILD = {
     "q133_stream_static_join": "streaming (drained; plan = memory sink)",
     "q136_streaming_quantile_sketch": "streaming stateful sketch (drained; compacted sink read)",
     "q114_pagerank": "iterative (checkpointed per-iteration ranks)",
+    "q153_hits": "iterative (checkpointed hub/auth rounds; broadcast-round"
+    " plan, see operators/graph.py:hits_fixed_point)",
     "q149_label_propagation": "iterative (checkpointed rounds; per-round"
     " plan pinned exchange-free by tests/test_graph.py)",
     "q151_bfs_distances": "iterative (checkpointed frontier rounds)",
