@@ -119,7 +119,9 @@ def pagerank_fixed_point(
             .groupBy("_dst")
             .agg(F.sum("_c").cast("long").alias("_s"))
         )
-        base = nodes.join(contrib, nodes["node"] == contrib["_dst"], "left")
+        # contrib is <=|V| rows by construction — broadcasting it makes
+        # the left join build-side and exchange-free on the small path
+        base = nodes.join(_b(contrib), nodes["node"] == contrib["_dst"], "left")
         if dangling_mass:
             # dang_sum div N as a 1-row broadcast: one semi-join of the
             # current ranks against the precomputed dangling set, one
@@ -605,7 +607,7 @@ def hits_fixed_point(
             .agg(F.sum("h").cast("long").alias("_s"))
         )
         a_full = (
-            nodes.join(a_raw, nodes["node"] == a_raw["_dst"], "left")
+            nodes.join(_b(a_raw), nodes["node"] == a_raw["_dst"], "left")
             .select("node", F.coalesce("_s", F.lit(0)).cast("long").alias("a"))
         )
         a_max = a_full.agg(F.max("a").alias("_m"))
@@ -623,7 +625,7 @@ def hits_fixed_point(
             .agg(F.sum("a").cast("long").alias("_s"))
         )
         h_full = (
-            nodes.join(h_raw, nodes["node"] == h_raw["_src"], "left")
+            nodes.join(_b(h_raw), nodes["node"] == h_raw["_src"], "left")
             .select("node", F.coalesce("_s", F.lit(0)).cast("long").alias("h"))
         )
         h_max = h_full.agg(F.max("h").alias("_m"))

@@ -436,6 +436,36 @@ def test_sssp_rounds_hand_graph(spark):
     }
 
 
+def _per_round_shuffles(df) -> list[str]:
+    """ENSURE_REQUIREMENTS shuffle exchanges in the executed plan,
+    EXCLUDING cached-plan internals: walks the JVM plan tree, where an
+    InMemoryTableScanExec is a leaf (the cache's one-time build plan is
+    only inlined by toString, not a tree child), so per-round work is
+    exactly what the walk sees."""
+    found: list[str] = []
+
+    def walk(n):
+        cls = n.getClass().getSimpleName()
+        if cls.startswith("AdaptiveSparkPlan"):
+            walk(n.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(n.plan())
+            return
+        if cls == "InMemoryTableScanExec":
+            return
+        if cls == "ShuffleExchangeExec" and "ENSURE_REQUIREMENTS" in str(
+            n.shuffleOrigin().toString()
+        ):
+            found.append(str(n.nodeName()))
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return found
+
+
 def test_lpa_round_is_exchange_free_on_broadcast_path(spark):
     """r10 verdict task 2 pin: with the incidence frame persisted
     hash-partitioned by node and |V| under the broadcast bound, one
@@ -455,18 +485,56 @@ def test_lpa_round_is_exchange_free_on_broadcast_path(spark):
         )
         out = _lpa_round(nbrs, labels, small_v=True)
         out.collect()  # finalize the adaptive plan
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        final = plan.split("== Initial Plan ==")[0]
-        # the cached incidence frame's ONE-TIME fill exchange renders
-        # inside the InMemoryRelation subtree as REPARTITION_BY_COL;
-        # any PER-ROUND shuffle would be an ENSURE_REQUIREMENTS
-        # exchange inserted above the cache scan
-        shuffles = [
-            ln for ln in final.splitlines()
-            if "Exchange hashpartitioning" in ln
-            and "ENSURE_REQUIREMENTS" in ln
-        ]
+        shuffles = _per_round_shuffles(out)
         assert not shuffles, shuffles
-        assert "BroadcastHashJoin" in final
+        assert "BroadcastHashJoin" in out._jdf.queryExecution() \
+            .executedPlan().toString()
     finally:
         nbrs.unpersist()
+
+
+def test_pagerank_round_is_exchange_free_on_broadcast_path(spark):
+    """r11: one PageRank contribution round (broadcast cmap into the
+    dst-partitioned edge cache + partition-local groupBy(_dst) + the
+    co-partitioned left join vs the node-partitioned nodes cache) must
+    plan with ZERO ENSURE_REQUIREMENTS exchanges — q114 was 11.7x per
+    10x edges at sf10 under the old per-round-shuffle plan."""
+    e = spark.range(5000).select(
+        (F.col("id") % 211).alias("_src"), (F.col("id") % 97).alias("_dst")
+    ).repartition(F.col("_dst")).persist()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .repartition(F.col("node"))
+        .persist()
+    )
+    try:
+        deg = e.groupBy("_src").agg(
+            F.count(F.lit(1)).cast("long").alias("_deg")
+        ).persist()  # one-time, like the operator — else its build
+        deg.count()  # exchange re-renders inside every round's plan
+        ranks = nodes.withColumn("rank_fx", F.lit(10**6).cast("long")) \
+            .localCheckpoint(eager=True)
+        cmap = (
+            ranks.join(F.broadcast(deg), ranks["node"] == deg["_src"])
+            .withColumn("_c", F.expr("rank_fx div _deg"))
+            .select("_src", "_c")
+        )
+        contrib = (
+            e.join(F.broadcast(cmap), "_src")
+            .groupBy("_dst")
+            .agg(F.sum("_c").cast("long").alias("_s"))
+        )
+        base = nodes.join(
+            F.broadcast(contrib), nodes["node"] == contrib["_dst"], "left"
+        ).select("node", F.coalesce("_s", F.lit(0)).alias("_s"))
+        base.collect()
+        shuffles = _per_round_shuffles(base)
+        assert not shuffles, shuffles
+        assert "BroadcastHashJoin" in base._jdf.queryExecution() \
+            .executedPlan().toString()
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        deg.unpersist()
