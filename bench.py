@@ -303,7 +303,10 @@ def main() -> None:
         "norm_model": f"value*({_NOMINAL_MEMSUM_S}/max({_NOMINAL_MEMSUM_S},memsum_med))^{_BETA}",
     }
     print("[bench] full: " + json.dumps(full), file=sys.stderr, flush=True)
-    with open(Path(__file__).resolve().parent / "bench_full.json", "w") as f:
+    # subset probes (SPARK_GRAFT_BENCH_NAMES) must not clobber the
+    # committed full-registry map (r11: an sf1 2-query probe did)
+    out_name = "bench_full.json" if not only else "bench_subset.json"
+    with open(Path(__file__).resolve().parent / out_name, "w") as f:
         json.dump(full, f, indent=1)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
