@@ -35,6 +35,7 @@ def pagerank_fixed_point(
     iters: int = 5,
     eager: bool = True,
     dangling_mass: bool = False,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """PageRank over a directed edge list, ``iters`` fixed iterations,
     exact integer fixed-point throughout.
@@ -76,7 +77,6 @@ def pagerank_fixed_point(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    broadcast_max_nodes = 4_000_000
     e = (
         edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
         .repartition(F.col("_dst"))
@@ -542,6 +542,7 @@ def hits_fixed_point(
     src_col: str = "src",
     dst_col: str = "dst",
     iters: int = 3,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over a directed edge
     list, ``iters`` synchronous rounds, exact integer fixed point —
@@ -580,7 +581,6 @@ def hits_fixed_point(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    broadcast_max_nodes = 4_000_000
     e0 = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )

@@ -538,3 +538,56 @@ def test_pagerank_round_is_exchange_free_on_broadcast_path(spark):
         e.unpersist()
         nodes.unpersist()
         deg.unpersist()
+
+
+def test_iterative_graph_fallback_paths_match_broadcast(spark):
+    """The big-|V| shuffle-join fallbacks (broadcast_max_nodes exceeded)
+    are dead code in every small-scale test unless forced — force them
+    with a 1-node bound and pin bit-identical results against the
+    broadcast path (the recurrences are exact integers, so ANY
+    divergence is a real bug, not noise)."""
+    from etl_marketeye_airflow_spark.operators.graph import (
+        hits_fixed_point,
+        label_propagation,
+        pagerank_fixed_point,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5), (5, 1), (2, 5), (6, 1)],
+        "src long, dst long",
+    )
+    for flag in (False, True):
+        fast = {
+            r.node: r.rank_fx
+            for r in pagerank_fixed_point(e, iters=3, dangling_mass=flag).collect()
+        }
+        slow = {
+            r.node: r.rank_fx
+            for r in pagerank_fixed_point(
+                e, iters=3, dangling_mass=flag, broadcast_max_nodes=1
+            ).collect()
+        }
+        assert fast == slow, flag
+    fast = {
+        r.node: (r.hub_fx, r.auth_fx)
+        for r in hits_fixed_point(e, iters=2).collect()
+    }
+    slow = {
+        r.node: (r.hub_fx, r.auth_fx)
+        for r in hits_fixed_point(e, iters=2, broadcast_max_nodes=1).collect()
+    }
+    assert fast == slow
+    und = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (1, 3)], "u long, v long"
+    )
+    fast = {
+        r.node: r.label
+        for r in label_propagation(und, iters=3, src_col="u", dst_col="v").collect()
+    }
+    slow = {
+        r.node: r.label
+        for r in label_propagation(
+            und, iters=3, src_col="u", dst_col="v", broadcast_max_nodes=1
+        ).collect()
+    }
+    assert fast == slow
