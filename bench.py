@@ -32,6 +32,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from etl_marketeye_airflow_spark import queries as registry
 from etl_marketeye_airflow_spark.session import get_spark
 
+# Host-normalization constants (r10 verdict task 7; see README "Verify /
+# bench").  NOMINAL_MEMSUM_S: a 200 MB alloc+sum at nominal DRAM
+# bandwidth (probes/r10_bench_variance.json: 0.1-0.15 s).  BETA: the
+# suite is only PARTLY bandwidth-bound — the r10 matched-subset bisect
+# moved 1.7x between windows whose memsum moved ~8x (ln 1.7 / ln 8 ~
+# 0.26), so a linear correction would over-correct ~20x.
+NOMINAL_MEMSUM_S = 0.15
+BETA = 0.25
+
+
+def value_norm(value: float, memsum_med: float) -> float:
+    """Suite seconds projected onto a nominal-bandwidth host."""
+    return round(
+        value * (NOMINAL_MEMSUM_S / max(NOMINAL_MEMSUM_S, memsum_med)) ** BETA,
+        3,
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -277,19 +294,11 @@ def main() -> None:
         axis: round(sorted(s[axis] for s in calib_samples)[len(calib_samples) // 2], 3)
         for axis in calib_samples[0]
     }
-    # Host-normalized suite total (r10 verdict task 7).  Model:
-    #   value_norm = value × (NOMINAL_MEMSUM / max(NOMINAL, memsum_med))^BETA
-    # NOMINAL_MEMSUM_S = 0.15 — a 200 MB alloc+sum at nominal DRAM
-    # bandwidth (probes/r10_bench_variance.json note: 0.1–0.15 s).
-    # BETA = 0.25 — the suite is only PARTLY bandwidth-bound: the r10
-    # matched-subset bisect moved 1.7× between windows whose memsum
-    # moved ~8× (ln 1.7 / ln 8 ≈ 0.26), so a full linear correction
-    # (beta=1) would over-correct ~20×.  value stays the headline
+    # Host-normalized suite total (r10 verdict task 7): constants and
+    # model documented at value_norm() above.  value stays the headline
     # metric; value_norm is the cross-round comparison starting point.
-    _NOMINAL_MEMSUM_S, _BETA = 0.15, 0.25
-    _factor = (_NOMINAL_MEMSUM_S / max(_NOMINAL_MEMSUM_S, calib["memsum200mb_s"])) ** _BETA
     value = round(sum(timings.values()), 3)
-    value_norm = round(value * _factor, 3)
+    norm = value_norm(value, calib["memsum200mb_s"])
     full = {
         "metric": "registry_suite_seconds",
         "value": value,
@@ -299,8 +308,8 @@ def main() -> None:
         "runs": runs,
         "calib": calib,
         "calib_samples": calib_samples,
-        "value_norm": value_norm,
-        "norm_model": f"value*({_NOMINAL_MEMSUM_S}/max({_NOMINAL_MEMSUM_S},memsum_med))^{_BETA}",
+        "value_norm": norm,
+        "norm_model": f"value*({NOMINAL_MEMSUM_S}/max({NOMINAL_MEMSUM_S},memsum_med))^{BETA}",
     }
     print("[bench] full: " + json.dumps(full), file=sys.stderr, flush=True)
     # subset probes (SPARK_GRAFT_BENCH_NAMES) must not clobber the
@@ -320,7 +329,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": slowest,
         "calib": calib,
-        "value_norm": value_norm,
+        "value_norm": norm,
         "full_map": "stderr + bench_full.json",
     }
     line = json.dumps(compact)

@@ -539,3 +539,19 @@ def test_plans_md_covers_registry():
         f"PLANS.md missing rows for {missing} — rerun "
         "`python tools/plan_report.py > PLANS.md`"
     )
+
+
+def test_bench_value_norm_model():
+    """Pin the host-normalization formula (r10 verdict task 7): nominal
+    and calmer-than-nominal windows pass value through unchanged; the
+    r10 driver window (memsum 21.7) normalizes 278.8 -> ~80.4; the
+    correction is monotone and never inflates."""
+    import bench
+
+    assert bench.value_norm(100.0, 0.15) == 100.0
+    assert bench.value_norm(100.0, 0.05) == 100.0  # clamped at nominal
+    got = bench.value_norm(278.8, 21.7)
+    assert abs(got - 278.8 * (0.15 / 21.7) ** 0.25) < 1e-3  # 3dp rounding
+    assert 75 < got < 85
+    assert bench.value_norm(100.0, 10.0) > bench.value_norm(100.0, 20.0)
+    assert bench.value_norm(100.0, 20.0) < 100.0
