@@ -330,7 +330,7 @@ def main() -> None:
         "queries": slowest,
         "calib": calib,
         "value_norm": norm,
-        "full_map": "stderr + bench_full.json",
+        "full_map": f"stderr + {out_name}",
     }
     line = json.dumps(compact)
     assert len(line) <= 1024, f"compact bench line {len(line)}B > 1KB"
