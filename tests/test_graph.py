@@ -591,3 +591,37 @@ def test_iterative_graph_fallback_paths_match_broadcast(spark):
         ).collect()
     }
     assert fast == slow
+
+
+def test_hits_half_round_is_exchange_free_on_broadcast_path(spark):
+    """r11: one HITS authority half-round (broadcast hub state into the
+    dst-partitioned edge cache + partition-local groupBy(_dst) + the
+    broadcast left join vs nodes) must plan with zero per-round
+    ENSURE_REQUIREMENTS exchanges, mirroring the PageRank pin."""
+    e = spark.range(5000).select(
+        (F.col("id") % 211).alias("_src"), (F.col("id") % 97).alias("_dst")
+    ).repartition(F.col("_dst")).persist()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .repartition(F.col("node"))
+        .persist()
+    )
+    try:
+        hubs = nodes.withColumn("h", F.lit(10**6).cast("long")) \
+            .localCheckpoint(eager=True)
+        a_raw = (
+            e.join(F.broadcast(hubs.withColumnRenamed("node", "_src")), "_src")
+            .groupBy("_dst")
+            .agg(F.sum("h").cast("long").alias("_s"))
+        )
+        a_full = nodes.join(
+            F.broadcast(a_raw), nodes["node"] == a_raw["_dst"], "left"
+        ).select("node", F.coalesce("_s", F.lit(0)).cast("long").alias("a"))
+        a_full.collect()
+        shuffles = _per_round_shuffles(a_full)
+        assert not shuffles, shuffles
+    finally:
+        e.unpersist()
+        nodes.unpersist()
