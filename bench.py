@@ -213,6 +213,7 @@ def main() -> None:
                 "memsum200mb_s": round(mem, 3)}
 
     calib_samples = [_calib_sample()]
+    calib_positions = [0]  # sweep index each sample was taken at
 
     timings: dict[str, float] = {}
     # fixed numeric order, NOT the rotating driver-sweep order — bench
@@ -231,6 +232,7 @@ def main() -> None:
     for qi, name in enumerate(bench_names):
         if qi == len(bench_names) // 2 and qi > 0:
             calib_samples.append(_calib_sample())
+            calib_positions.append(qi)
         fn = registry.QUERIES[name]
         # r9 verdict task 2: the driver sweep read 30% slower than the
         # like-for-like local probe, concentrated on SHORT queries (q74:
@@ -290,6 +292,7 @@ def main() -> None:
     # is now a compact <=1 KB summary (total + top-5 slowest); the full
     # per-query map goes to stderr and bench_full.json for humans.
     calib_samples.append(_calib_sample())
+    calib_positions.append(len(bench_names))
     calib = {
         axis: round(sorted(s[axis] for s in calib_samples)[len(calib_samples) // 2], 3)
         for axis in calib_samples[0]
@@ -299,6 +302,25 @@ def main() -> None:
     # metric; value_norm is the cross-round comparison starting point.
     value = round(sum(timings.values()), 3)
     norm = value_norm(value, calib["memsum200mb_s"])
+    # Per-query host normalization (r11 verdict task 4): the suite
+    # TOTAL was normalized since r10, but per-query spikes in a
+    # contended driver window still read as regressions (q154: 12.1 s
+    # driver vs 3.2 s same-code calm window).  Normalize each query by
+    # the memsum of the calib sample NEAREST its sweep position — the
+    # closest code-independent read of the host state when that query
+    # actually ran (same 0.25-exponent model as the total).
+    queries_norm = {
+        name: value_norm(
+            t,
+            calib_samples[
+                min(
+                    range(len(calib_positions)),
+                    key=lambda si: abs(calib_positions[si] - qi),
+                )
+            ]["memsum200mb_s"],
+        )
+        for qi, (name, t) in enumerate(timings.items())
+    }
     full = {
         "metric": "registry_suite_seconds",
         "value": value,
@@ -309,6 +331,8 @@ def main() -> None:
         "calib": calib,
         "calib_samples": calib_samples,
         "value_norm": norm,
+        "queries_norm": queries_norm,
+        "calib_positions": calib_positions,
         "norm_model": f"value*({NOMINAL_MEMSUM_S}/max({NOMINAL_MEMSUM_S},memsum_med))^{BETA}",
     }
     print("[bench] full: " + json.dumps(full), file=sys.stderr, flush=True)
@@ -328,6 +352,9 @@ def main() -> None:
         "runs": runs,
         "n_queries": len(timings),
         "queries": slowest,
+        # normalized twins of the top-5 so a contended-window spike is
+        # readable as such straight from the driver-captured line
+        "queries_norm": {n: queries_norm[n] for n in slowest},
         "calib": calib,
         "value_norm": norm,
         "full_map": f"stderr + {out_name}",

@@ -36,9 +36,20 @@ def pagerank_fixed_point(
     eager: bool = True,
     dangling_mass: bool = False,
     broadcast_max_nodes: int = 4_000_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list, ``iters`` fixed iterations,
     exact integer fixed-point throughout.
+
+    ``weight_col`` (r12): integer edge multiplicities.  A multigraph
+    collapsed to distinct ``(src, dst)`` + count is BIT-IDENTICAL to
+    feeding the expanded edge list: out-degree becomes Σw (the
+    multigraph out-degree) and each collapsed edge contributes
+    w · (rank div deg) — w identical copies of the same truncating
+    division, and the exact integer Σ commutes with the grouping.
+    Collapsing shrinks every per-round join/agg frame from edge ROWS to
+    DISTINCT pairs (the q114/q153 sf10 win: ~60M lineitem-pair rows vs
+    their distinct customer→supplier pairs).
 
     ``dangling_mass=False`` (default, q114's form): the classic
     0.15 + 0.85·Σ recurrence with no dangling redistribution — the
@@ -66,7 +77,11 @@ def pagerank_fixed_point(
     partition-local groupBy(dst) partial/final sums + a co-partitioned
     left join against the node-partitioned nodes cache: ZERO per-round
     non-broadcast exchanges.  Beyond the bound the shuffle-join path
-    keeps the classic cost model (edge count bounds the shuffle).  The
+    keeps the classic cost model (edge count bounds the shuffle) — and
+    skips the upfront |E| repartition entirely (r12, ADVICE): the
+    per-round join re-shuffles on _src and the groupBy(_dst)
+    re-exchanges anyway, so a dst-partitioned cache buys nothing on
+    exactly the web-scale path.  The
     dangling term builds its node set (anti-join vs out-degree) and N
     ONCE before the loop, then adds one broadcast semi-join + 1-row
     aggregate per iteration; per-iteration ranks are localCheckpoint'd
@@ -77,25 +92,37 @@ def pagerank_fixed_point(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    e = (
-        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
-        .repartition(F.col("_dst"))
-        .persist()
-    )
+    cols = [F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("_w"))
+    e0 = edges.select(*cols).persist()
     nodes = (
-        e.select(F.col("_src").alias("node"))
-        .union(e.select(F.col("_dst").alias("node")))
+        e0.select(F.col("_src").alias("node"))
+        .union(e0.select(F.col("_dst").alias("node")))
         .distinct()
         .repartition(F.col("node"))
         .persist()
     )
+    n_nodes = nodes.count()  # one scalar, bounded (fills both caches)
+    small_v = n_nodes <= broadcast_max_nodes
+    if small_v:
+        # dst-partitioned cache so every round's groupBy(_dst) is
+        # partition-local; materialize it, then drop the unpartitioned
+        # copy — |E| is cached once, not twice
+        e = e0.repartition(F.col("_dst")).persist()
+        e.count()
+        e0.unpersist()
+    else:
+        e = e0
     deg = (
         e.groupBy("_src")
-        .agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+        .agg(
+            (F.sum("_w") if weight_col is not None else F.count(F.lit(1)))
+            .cast("long")
+            .alias("_deg")
+        )
         .persist()  # consumed every iteration (contrib join + dangling)
     )
-    n_nodes = nodes.count()  # one scalar, bounded
-    small_v = n_nodes <= broadcast_max_nodes
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_v else df
@@ -117,7 +144,15 @@ def pagerank_fixed_point(
         contrib = (
             e.join(_b(cmap), "_src")
             .groupBy("_dst")
-            .agg(F.sum("_c").cast("long").alias("_s"))
+            .agg(
+                F.sum(
+                    F.col("_c") * F.col("_w")
+                    if weight_col is not None
+                    else F.col("_c")
+                )
+                .cast("long")
+                .alias("_s")
+            )
         )
         # contrib is <=|V| rows by construction — broadcasting it makes
         # the left join build-side and exchange-free on the small path
@@ -543,6 +578,7 @@ def hits_fixed_point(
     dst_col: str = "dst",
     iters: int = 3,
     broadcast_max_nodes: int = 4_000_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over a directed edge
     list, ``iters`` synchronous rounds, exact integer fixed point —
@@ -566,6 +602,14 @@ def hits_fixed_point(
     Returns (node, hub_fx, auth_fx) for every node, scale 10^6; pure
     sinks have hub_fx = 0, pure sources auth_fx = 0.
 
+    ``weight_col`` (r12): integer edge multiplicities — a multigraph
+    collapsed to distinct ``(src, dst)`` + count is bit-identical
+    (each half-round sums w · state, exactly w copies of the same
+    term; exact integer Σ commutes with the grouping) and shrinks the
+    six per-round join/agg passes from edge ROWS to distinct pairs.
+    The overflow bound is unchanged: Σw over in-edges IS the
+    multigraph in-degree.
+
     Scale shape (r11, the q149-LPA treatment — q153 measured 7.8× wall
     for 10× edges at sf10 before): TWO persisted copies of the edge
     frame, hash-partitioned by dst (authority phase) and by src (hub
@@ -581,19 +625,31 @@ def hits_fixed_point(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e0 = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    )
-    e_dst = e0.repartition(F.col("_dst")).persist()
+    cols = [F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("_w"))
+    e0 = edges.select(*cols).persist()
     nodes = (
-        e_dst.select(F.col("_src").alias("node"))
-        .unionByName(e_dst.select(F.col("_dst").alias("node")))
+        e0.select(F.col("_src").alias("node"))
+        .unionByName(e0.select(F.col("_dst").alias("node")))
         .distinct()
         .repartition(F.col("node"))
         .persist()
     )
     small_v = nodes.count() <= broadcast_max_nodes
-    e_src = e0.repartition(F.col("_src")).persist() if small_v else e_dst
+    if small_v:
+        # phase-partitioned caches so each half-round's groupBy is
+        # partition-local; materialize, then drop the unpartitioned
+        # copy (2|E| cached, as before — not 3)
+        e_dst = e0.repartition(F.col("_dst")).persist()
+        e_src = e0.repartition(F.col("_src")).persist()
+        e_dst.count()
+        e_src.count()
+        e0.unpersist()
+    else:
+        # fallback (r12, mirrors PageRank): per-round joins re-shuffle
+        # on the join key anyway — an upfront repartition buys nothing
+        e_dst = e_src = e0
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_v else df
@@ -604,7 +660,15 @@ def hits_fixed_point(
         a_raw = (
             e_dst.join(_b(hubs.withColumnRenamed("node", "_src")), "_src")
             .groupBy("_dst")
-            .agg(F.sum("h").cast("long").alias("_s"))
+            .agg(
+                F.sum(
+                    F.col("h") * F.col("_w")
+                    if weight_col is not None
+                    else F.col("h")
+                )
+                .cast("long")
+                .alias("_s")
+            )
         )
         a_full = (
             nodes.join(_b(a_raw), nodes["node"] == a_raw["_dst"], "left")
@@ -622,7 +686,15 @@ def hits_fixed_point(
         h_raw = (
             e_src.join(_b(auths.withColumnRenamed("node", "_dst")), "_dst")
             .groupBy("_src")
-            .agg(F.sum("a").cast("long").alias("_s"))
+            .agg(
+                F.sum(
+                    F.col("a") * F.col("_w")
+                    if weight_col is not None
+                    else F.col("a")
+                )
+                .cast("long")
+                .alias("_s")
+            )
         )
         h_full = (
             nodes.join(_b(h_raw), nodes["node"] == h_raw["_src"], "left")
@@ -646,9 +718,11 @@ def hits_fixed_point(
         )
         .localCheckpoint()
     )
-    e_dst.unpersist()
     if small_v:
+        e_dst.unpersist()
         e_src.unpersist()
+    else:
+        e0.unpersist()
     nodes.unpersist()
     return out
 

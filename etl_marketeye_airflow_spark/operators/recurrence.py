@@ -42,9 +42,36 @@ def ema_fixed_point(
     ascending) matches the oracle's ``list_sort`` struct order whenever
     order_cols' prefix is a total order, so ``ema_fx`` stays
     bit-identical to a DuckDB ``list_reduce`` over the sorted list.
+
+    NON-NULL PRECONDITION (r12, ADVICE): ``key_col`` and every
+    ``order_cols`` entry must be non-null — a NULL key would cross
+    Arrow as NaN and open a fresh group per row (NaN != NaN), silently
+    diverging from an oracle's NULL-pooling GROUP BY, and a NULL order
+    value sorts NULLS FIRST here vs NULLS LAST in DuckDB ``list_sort``
+    (conv-22).  Rather than silently filtering (which WOULD change
+    semantics vs an oracle that pools NULLs), a NULL in any of these
+    columns fails LOUD via a ``raise_error`` projection — the
+    triangle_counts id-range contract discipline.  ``cents_col`` NULLs
+    remain legal (they poison the accumulator, documented above).
     """
-    cols = [key_col, *order_cols, cents_col]
-    base = df.select(*cols).repartition(F.col(key_col)).sortWithinPartitions(
+    def _guarded(c: str):
+        return (
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"ema_fixed_point: NULL in {c} — key/order columns "
+                        "must be non-null (NaN-through-Arrow would split "
+                        "groups / engine sort order diverges)"
+                    )
+                ).cast(df.schema[c].dataType)
+            )
+            .alias(c)
+        )
+
+    base = df.select(
+        *[_guarded(c) for c in [key_col, *order_cols]], cents_col
+    ).repartition(F.col(key_col)).sortWithinPartitions(
         *[F.col(c).asc() for c in [key_col, *order_cols]]
     )
     out_schema = f"{key_col} long, n_events long, ema_fx long"

@@ -25,16 +25,26 @@ def q114_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is not), so ranks are bit-identical on any engine/core
     count; the one float is the final display division.  Each
     iteration: one key-partitioned join + map-side-combined groupBy,
-    localCheckpoint'd so the plan stays one-iteration deep."""
+    localCheckpoint'd so the plan stays one-iteration deep.  r12: the
+    multigraph is collapsed to distinct (src,dst) + count, contributions
+    weighted by the count — bit-identical (exact integer sums commute
+    with the grouping; the oracle keeps the expanded form), and every
+    per-round frame shrinks from lineitem-pair ROWS to distinct
+    customer→supplier pairs."""
     from .operators.graph import pagerank_fixed_point
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    return pagerank_fixed_point(edges, iters=3, eager=True)
+    return pagerank_fixed_point(edges, iters=3, eager=True, weight_col="w")
 
 
 @query(

@@ -1697,3 +1697,36 @@ def test_ema_fixed_point_streaming_fold_matches_reference(spark):
     analyzed = q._jdf.queryExecution().analyzed().toString()
     assert "collect_list" not in analyzed
     assert "MapInPandas" in q._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ema_fixed_point_null_key_or_order_fails_loud(spark):
+    """r12 (ADVICE): a NULL key would cross Arrow as NaN and split its
+    group (NaN != NaN), silently diverging from an oracle's NULL-pooling
+    GROUP BY; a NULL order value sorts NULLS FIRST on Spark vs NULLS
+    LAST in DuckDB list_sort.  Both must fail LOUD at the operator
+    entry, not produce data."""
+    from etl_marketeye_airflow_spark.operators.recurrence import (
+        ema_fixed_point,
+    )
+
+    schema = "user_id long, ts_us long, event_id long, cents long"
+    null_key = spark.createDataFrame(
+        [(1, 1, 1, 10), (None, 2, 2, 20)], schema
+    )
+    with pytest.raises(Exception, match="ema_fixed_point: NULL in user_id"):
+        ema_fixed_point(
+            null_key, "user_id", ["ts_us", "event_id"], "cents"
+        ).collect()
+    null_order = spark.createDataFrame(
+        [(1, 1, 1, 10), (1, None, 2, 20)], schema
+    )
+    with pytest.raises(Exception, match="ema_fixed_point: NULL in ts_us"):
+        ema_fixed_point(
+            null_order, "user_id", ["ts_us", "event_id"], "cents"
+        ).collect()
+    # NULL cents stays LEGAL (documented poison semantics)
+    ok = spark.createDataFrame([(1, 1, 1, 10), (1, 2, 2, None)], schema)
+    got = ema_fixed_point(
+        ok, "user_id", ["ts_us", "event_id"], "cents"
+    ).collect()
+    assert len(got) == 1 and got[0].ema_fx is None

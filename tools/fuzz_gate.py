@@ -359,9 +359,13 @@ def main() -> int:
     if not args.no_skew:
         runs.append(("skew", args.first_seed))
     if not runs:
-        # --skew-only + --no-skew would otherwise print "FUZZ PASS" over
-        # zero runs — a vacuous green (r10 ADVICE)
-        ap.error("--skew-only and --no-skew together select no runs")
+        # e.g. --skew-only with --no-skew, or --seeds 0 with --no-skew —
+        # either would print "FUZZ PASS" over zero runs, a vacuous green
+        # (r10 ADVICE; message generalized r12)
+        ap.error(
+            "selected flags produce no runs "
+            "(check --seeds/--skew-only/--no-skew)"
+        )
 
     failures = []
     for kind, seed in runs:
