@@ -1212,3 +1212,79 @@ def q205_cross_source_contamination(
             .alias("contam_b_ppm"),
         )
     )
+
+
+@query(
+    "q206_phash_near_dup",
+    # the byte-raster WHT pHash is exact integer end-to-end (block
+    # sums div counts, ±1 Hadamard signs, >0 bits packed into bits
+    # 62..0 of a non-negative BIGINT), so DuckDB rebuilds every
+    # signature from the same utf-8 bytes; the pair set is the exact
+    # hamming<=6 definition (Spark's 4-chunk one-flip multi-probe
+    # blocking is recall-COMPLETE to 7 by pigeonhole), so the oracle
+    # may use its own complete pair enumeration — all-pairs over the
+    # tiny signature table (n^2 cheap integer xors), per conv 7.
+    # Multi-referenced CTEs are MATERIALIZED (conv 23b).
+    oracle="""
+    WITH src AS MATERIALIZED (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    bytes AS (
+      SELECT doc_id, n, u.i,
+             CAST(('0x' || substr(hx, CAST(2*u.i+1 AS BIGINT), 2))
+               AS BIGINT) AS b,
+             (u.i * 64) // n AS blk
+      FROM src, unnest(range(0, n)) AS u(i)
+    ),
+    cells0 AS MATERIALIZED (
+      SELECT doc_id, blk, CAST(sum(b) // count(*) AS BIGINT) AS cell
+      FROM bytes GROUP BY doc_id, blk
+    ),
+    grid AS MATERIALIZED (
+      SELECT s.doc_id, g.p, COALESCE(c.cell, 0) AS cell
+      FROM src s CROSS JOIN unnest(range(0, 64)) AS g(p)
+      LEFT JOIN cells0 c ON c.doc_id = s.doc_id AND c.blk = g.p
+    ),
+    coeffs AS (
+      SELECT g.doc_id, f.i,
+             CAST(sum(CASE WHEN bit_count(CAST(f.i & g.p AS BIGINT)) % 2 = 0
+                           THEN g.cell ELSE -g.cell END) AS BIGINT) AS s
+      FROM grid g CROSS JOIN unnest(range(1, 64)) AS f(i)
+      GROUP BY g.doc_id, f.i
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0
+                      THEN (CAST(1 AS BIGINT) << CAST(63 - i AS BIGINT))
+                      ELSE 0 END) AS BIGINT) AS sig
+      FROM coeffs GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 6
+    """,
+)
+def q206_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate pairs by perceptual hash over the media
+    binary column (documents through attach_binary_content — the fake
+    byte-raster decode tier): 64-cell block-average pooling → integer
+    Walsh-Hadamard sign bits → 4-chunk one-flip multi-probe hamming
+    blocking → exact bit_count verify at distance <= 6.  The multimodal
+    block's near-dup member (decode/resize/features/frames existed;
+    re-encoded-copy detection did not) — recompression-style jitter
+    moves this hash 0-6 bits while unrelated rasters sit ~32
+    (tests/test_phash.py pins recall on planted jittered images).
+
+    Scale shape: signatures are a zero-shuffle Arrow map (16 bytes/row,
+    persisted once); blocking is an equi-join on a 2^16 keyspace per
+    chunk with a constant 17x probe fan-out — candidate volume stays
+    ~linear in the corpus, never all-pairs; verify is one integer
+    xor+popcount per candidate."""
+    from .operators.multimodal import attach_binary_content
+    from .operators.phash import phash_pairs
+
+    media = attach_binary_content(_t(spark, sf_dir, "documents"))
+    return phash_pairs(media, max_distance=6)

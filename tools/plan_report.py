@@ -66,6 +66,7 @@ EXECUTES_ON_BUILD = {
     "q106_bm25_topk": "eager (persisted tok/dl bases; checkpointed result)",
     "q107_dsir_importance": "eager (persisted token stream; checkpointed result)",
     "q119_substring_dedup": "eager (persisted token stream; checkpointed result)",
+    "q206_phash_near_dup": "eager (checkpointed pair set)",
 }
 
 
