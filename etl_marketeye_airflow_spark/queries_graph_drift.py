@@ -718,25 +718,24 @@ def q153_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two PageRank-cost join+groupBy passes per round + two
     1-row max broadcasts; localCheckpoint'd per round (conv 2).  r12:
-    the multigraph collapses to distinct (src,dst) + count and each
-    half-round sums count·state — bit-identical (exact integer sums
-    commute with the grouping; the oracle keeps the expanded form), so
-    the six per-round passes run over distinct pairs, not the ~|lineitem|
-    pair rows that dominated the sf10 cost."""
+    the weighted-collapse variant (distinct (src,dst)+count through
+    hits_fixed_point's weight_col — bit-identical algebra) was MEASURED
+    and rejected for THIS graph: multiplicity is 1.02 at sf10, so the
+    collapse pays a full extra |E| shuffle (plus a wider 2-copy cache)
+    for a 2% per-round frame cut — same-window A/B 33.7 s multigraph vs
+    62.7 s collapsed (probes/r12_collapse_ab.json).  weight_col stays
+    the right tool for genuinely multi-edged graphs."""
     from .operators.graph import hits_fixed_point
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    e = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    return hits_fixed_point(e, iters=3, weight_col="w")
+    return hits_fixed_point(e, iters=3)
 
 
 @query(

@@ -26,25 +26,22 @@ def q114_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; the one float is the final display division.  Each
     iteration: one key-partitioned join + map-side-combined groupBy,
     localCheckpoint'd so the plan stays one-iteration deep.  r12: the
-    multigraph is collapsed to distinct (src,dst) + count, contributions
-    weighted by the count — bit-identical (exact integer sums commute
-    with the grouping; the oracle keeps the expanded form), and every
-    per-round frame shrinks from lineitem-pair ROWS to distinct
-    customer→supplier pairs."""
+    weighted-collapse variant (distinct (src,dst)+count through
+    pagerank_fixed_point's weight_col — bit-identical algebra) was
+    MEASURED and rejected for THIS graph: the purchase multigraph's
+    multiplicity is 1.02 at sf10 (58.7M distinct pairs / 60M rows), so
+    collapsing pays a full extra |E| shuffle for a 2% frame cut —
+    same-window A/B parity-to-worse (probes/r12_collapse_ab.json).
+    weight_col stays the right tool for genuinely multi-edged graphs."""
     from .operators.graph import pagerank_fixed_point
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(l, o["o_orderkey"] == l["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    edges = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    return pagerank_fixed_point(edges, iters=3, eager=True, weight_col="w")
+    return pagerank_fixed_point(edges, iters=3, eager=True)
 
 
 @query(
