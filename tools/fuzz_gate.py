@@ -28,6 +28,13 @@ are, so queries' filters still select):
   bucketing and window contents move;
 - DEGENERATE TEXT: a seeded ~2% of document texts become highly
   repetitive — the |distinct grams| <= k·q dedup edge (q194 class);
+- UNICODE TEXT (r12): a seeded ~2% of document texts turn multibyte —
+  accented replacements plus CJK/emoji tokens appended with PLAIN
+  spaces (exotic whitespace is outside the generator's documented
+  single-space token contract) — the char-vs-octet semantics family:
+  length vs octet_length, char-indexed substring, utf-8 byte hashing,
+  binary string sort order, and every tokenizer path must agree
+  cross-engine on non-ASCII input;
 - NULLS (r8 verdict item 6): a seeded ~2% of nullable measure cells
   (c_acctbal, p_retailprice, o_totalprice, l_extendedprice, value),
   document texts (with n_chars recomputed → NULL), and embedding
@@ -208,6 +215,9 @@ def _gen(seed: int, out: Path) -> None:
                 {nullify(
                     f"CASE WHEN {h('doc_id', 50)} = 0 "
                     "THEN repeat(substring(text, 1, 3), 12) "
+                    f"WHEN {h('doc_id', 50)} = 1 "
+                    "THEN 'héllo 日本語 ' || replace(text, 'e', 'é')"
+                    " || ' 🎈emoji çédille' "
                     "ELSE text END", 'doc_id')} AS t
               FROM {src('documents')} WHERE {keep('doc_id')}
             )
