@@ -71,14 +71,16 @@ EXECUTES_ON_BUILD = {
 
 
 def _final_section(desc: str) -> str:
-    """The Final-Plan slice of a status-store physicalPlanDescription —
-    AQE descriptions render '== Final Plan ==' AND '== Initial Plan =='
-    for the same query; counting both would double every exchange."""
-    i = desc.find("== Final Plan ==")
-    if i < 0:
-        return desc
-    j = desc.find("== Initial Plan ==", i)
-    return desc[i:j] if j > 0 else desc[i:]
+    """The Final-Plan (or mid-adaptive Current-Plan) slice of a
+    status-store physicalPlanDescription — AQE descriptions render the
+    live plan AND '== Initial Plan ==' for the same query; counting
+    both would double every exchange."""
+    for marker in ("== Final Plan ==", "== Current Plan =="):
+        i = desc.find(marker)
+        if i >= 0:
+            j = desc.find("== Initial Plan ==", i)
+            return desc[i:j] if j > 0 else desc[i:]
+    return desc
 
 
 def _max_exec_id(spark) -> int:
@@ -91,14 +93,38 @@ def _max_exec_id(spark) -> int:
 
 def _exec_descs_since(spark, after_id: int) -> list[str]:
     """Final-Plan descriptions of every SQL execution with id > after_id
-    (the stages an eager/iterative query ran while being built)."""
-    lst = spark._jsparkSession.sharedState().statusStore().executionsList()
-    out = []
-    for i in range(lst.size()):
-        e = lst.apply(i)
-        if e.executionId() > after_id:
-            out.append(_final_section(e.physicalPlanDescription()))
-    return out
+    (the stages an eager/iterative query ran while being built).
+
+    The SQL status store is fed by an ASYNC listener bus: right after an
+    eager query returns, its execution events (and AQE plan updates) can
+    still be queued — observed in the full-registry run as a staged exec
+    whose description lacked the real plan (q206 read '~0 exchanges' in
+    the big sweep but 4 in a fresh session).  Poll until two consecutive
+    reads agree on the exec set and description sizes (bounded at ~3 s).
+    """
+    import time
+
+    def snap():
+        lst = (
+            spark._jsparkSession.sharedState().statusStore().executionsList()
+        )
+        out = []
+        for i in range(lst.size()):
+            e = lst.apply(i)
+            if e.executionId() > after_id:
+                out.append(_final_section(e.physicalPlanDescription()))
+        return out
+
+    prev = snap()
+    for _ in range(10):
+        time.sleep(0.3)
+        cur = snap()
+        if len(cur) == len(prev) and [len(d) for d in cur] == [
+            len(d) for d in prev
+        ]:
+            return cur
+        prev = cur
+    return prev
 
 
 def main() -> None:
