@@ -711,31 +711,35 @@ def strip_frequent_grams(
         )
         .distinct()
     )
-    kept = tok.join(removed, ["doc_id", "_pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+    # r12 (guide §2.4): one marked pass replaces the r11
+    # anti-join/rebuild/totals trio — the left join's null side IS the
+    # kept marker, so n_tokens, the kept count and the rebuilt text all
+    # come from a single groupBy(doc_id) over one evaluation of ``tok``
+    # (r11 evaluated the scan+posexplode subtree once more for totals
+    # and paid a third shuffle joining totals back to rebuilt).
+    # collect_list skips NULLs, so when() filters the kept structs.
+    marked = tok.join(
+        removed.withColumn("_rm", F.lit(1)), ["doc_id", "_pos"], "left"
+    )
+    kept_struct = F.when(
+        F.col("_rm").isNull(), F.struct("_pos", "_t")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("_rm").isNotNull(), F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_removed"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_t"))),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda x: x["_t"],
             ),
             " ",
         ).alias("cleaned_text"),
-    )
-    totals = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
-    )
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
-                "n_removed"
-            ),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
-        )
-    )
+    ).select("doc_id", "n_tokens", "n_removed", "cleaned_text")
 
 
 def countmin_token_counts(

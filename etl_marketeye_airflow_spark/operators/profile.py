@@ -353,9 +353,14 @@ def ind_profile(
 
     Scale shape per candidate: child collapses to (value, count) with
     map-side combine (shuffle = child's DISTINCT cardinality, not
-    rows); parent side is a DISTINCT projection feeding a left-anti
-    join on the value; summaries are 1-row.  Never a row-level child
-    ⋈ parent join.
+    rows); parent side is a DISTINCT projection feeding a left join on
+    the value whose null-side marks orphans, so the total AND orphan
+    summaries come from ONE 1-row aggregate over one pass (r12: the
+    r11 shape evaluated the child groupBy subtree twice — once for the
+    totals, once under the anti-join — doubling the child scan and its
+    shuffle per candidate).  Both join inputs arrive hash-partitioned
+    on the value by their own aggregates, so the join itself adds no
+    exchange.  Never a row-level child ⋈ parent join.
     """
     if not pairs:
         raise ValueError("need at least one candidate IND")
@@ -371,22 +376,28 @@ def ind_profile(
             parent.select(F.col(pcol).alias("v"))
             .filter(F.col("v").isNotNull())
             .distinct()
+            .withColumn("_hit", F.lit(1))
         )
-        orphans = cvals.join(pvals, "v", "left_anti")
-        tot = cvals.agg(
+        orphan = F.col("_hit").isNull()
+        summary = cvals.join(pvals, "v", "left").agg(
             F.coalesce(F.sum("_rows"), F.lit(0))
             .cast("long")
             .alias("n_child_rows"),
             F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
-        )
-        orp = orphans.agg(
-            F.count(F.lit(1)).cast("long").alias("n_orphan_distinct"),
-            F.coalesce(F.sum("_rows"), F.lit(0))
+            F.coalesce(
+                F.sum(F.when(orphan, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_orphan_distinct"),
+            F.coalesce(
+                F.sum(F.when(orphan, F.col("_rows")).otherwise(F.lit(0))),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_orphan_rows"),
         )
         parts.append(
-            tot.crossJoin(orp).select(
+            summary.select(
                 F.lit(label).alias("ind"),
                 "n_child_rows",
                 "n_child_distinct",

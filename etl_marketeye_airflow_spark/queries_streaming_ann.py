@@ -431,8 +431,8 @@ def q40_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Grouped Pandas path (applyInPandas) — Arrow-batched per-group compute,
-# oracle-verified: pandas float64 ops are the same IEEE ops as SQL's.
+# Per-group normalization — r12: built-in window form (the grouped-pandas
+# body it replaced lives on in similarity.py's applyInPandas kernels).
 # ---------------------------------------------------------------------------
 
 
@@ -451,23 +451,30 @@ def q40_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_grouped_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group min-max normalization via applyInPandas — the grouped-
-    Arrow path with bit-exact parity (min/max are selections; the one
-    division is the same IEEE op in pandas float64 and SQL doubles).
-    Use this path only for logic SQL can't express — the oracle shows
-    the equivalent (faster) built-in window form."""
+    """Per-group min-max normalization — r12: the applyInPandas body
+    was replaced by the equivalent built-in window form its own oracle
+    always used (guide §4: grouped-pandas ships EVERY row through
+    Arrow with no partial aggregation; min/max-over-partition windows
+    stay in the JVM on the same single user_id exchange).  Bit-exact:
+    min/max are selections, the one division is the same IEEE op, the
+    span=0 group emits 0.0 for every member either way, and a NULL
+    value row emits NULL on both paths (pandas NaN crossed back to
+    Spark as Arrow null).  The grouped-Arrow API surface this query
+    used to demo stays exercised by similarity.py's bucket kernels
+    (applyInPandas) and q117's applyInPandasWithState; the registry
+    name is kept so cross-round bench maps stay comparable."""
     e = spark.read.schema(
         "event_id long, user_id long, event_type string, value double, props string"
     ).parquet(f"{sf_dir}/events.parquet")
-
-    def normalize(pdf):
-        lo, hi = pdf["value"].min(), pdf["value"].max()
-        span = hi - lo
-        pos = (pdf["value"] - lo) / span if span != 0 else 0.0
-        return pdf.assign(value_pos=pos)[["event_id", "user_id", "value_pos"]]
-
-    return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
-        normalize, schema="event_id long, user_id long, value_pos double"
+    w = Window.partitionBy("user_id")
+    lo = F.min("value").over(w)
+    hi = F.max("value").over(w)
+    return e.select("event_id", "user_id", "value").select(
+        "event_id",
+        "user_id",
+        F.when(hi == lo, F.lit(0.0))
+        .otherwise((F.col("value") - lo) / (hi - lo))
+        .alias("value_pos"),
     )
 
 
