@@ -693,7 +693,27 @@ def strip_frequent_grams(
         .groupBy("_g")
         .agg(F.count(F.lit(1)).cast("long").alias("_df"))
     )
-    d_tot = tok.agg(F.countDistinct("doc_id").cast("long").alias("_D"))
+    # r12: D = number of docs with >= 1 non-empty token.  Computing it
+    # as a doc-level exists() sum replaces the r11 token-level
+    # countDistinct(doc_id) — which exploded every token and paid a
+    # distinct shuffle over the token stream — with one scan and a
+    # 1-row aggregate (guide §2.3: aggregate before you shuffle).
+    # Equivalence: a doc appears in ``tok`` iff words(text) has a
+    # non-empty element; NULL text gives a NULL array -> exists NULL ->
+    # when() NULL -> skipped by sum, matching posexplode of nothing.
+    d_tot = spread(docs).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.exists(words(F.col(text_col)), lambda t: t != ""),
+                    F.lit(1),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_D")
+    )
     blacklist = (
         df_tbl.crossJoin(F.broadcast(d_tot))
         .filter(

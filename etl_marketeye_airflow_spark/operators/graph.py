@@ -399,9 +399,23 @@ def kcore(
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
             .persist()
         )
-        n_nodes = deg.count()
+        # r12: ONE 1-row aggregate fills the cache and yields both
+        # convergence scalars — the r11 shape paid two driver actions
+        # per round (deg.count() then keep.count()) for the same cached
+        # frame; at peeling depth d that is d extra job round-trips.
+        row = deg.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("deg") >= F.lit(k), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            ).alias("_k"),
+        ).collect()[0]
+        n_nodes, n_keep = row["_n"], row["_k"]
         keep = deg.filter(F.col("deg") >= F.lit(k)).select("node")
-        n_keep = keep.count()
         if n_keep == n_nodes:
             out = deg  # fixed point: every remaining node has deg >= k
             if eager:
