@@ -121,9 +121,12 @@ def q22_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is a bucket-join on band hashes — never all-pairs."""
     from .operators.dedup import minhash_lsh_pairs
 
+    # r12 (guide §2.4): the trailing orderBy was presentation-only — the
+    # driver hash is order-insensitive — and range-partitioned the whole
+    # pair set per action; dropped.
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.3
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @query(
@@ -176,9 +179,10 @@ def q23_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=60,
         token_hash=portable_token_hash,
     )
+    # presentation-only trailing orderBy dropped (r12, guide §2.4)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @query(
@@ -364,9 +368,10 @@ def q26_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_near_dup_pairs(
         corpus, threshold=0.95, n_planes=None, n_tables=8, eager=True
     )
+    # presentation-only trailing orderBy dropped (r12, guide §2.4)
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @query(
@@ -508,4 +513,6 @@ def q30_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_content(_t(spark, sf_dir, "documents"), kind="image")
     decoded = decode_media(media)
     feats = extract_features(media).select("media_id", "feature_dim")
-    return decoded.join(feats, "media_id").orderBy("media_id")
+    # presentation-only trailing orderBy dropped (r12, guide §2.4): it
+    # globally range-partitioned every decoded payload row per action
+    return decoded.join(feats, "media_id")

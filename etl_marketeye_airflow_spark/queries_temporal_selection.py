@@ -204,7 +204,7 @@ def q96_cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last.op").alias("last_op"),
             F.col("last.price").cast("double").alias("price"),
         )
-        .orderBy("key")
+        # presentation-only trailing orderBy dropped (r12, guide §2.4)
     )
 
 

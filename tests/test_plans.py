@@ -36,7 +36,9 @@ def test_dimension_joins_broadcast(spark):
 ROW_PYTHON_ALLOWLIST = {
     "q30_multimodal_decode",
     "q32_enrichment_http",
-    "q41_grouped_pandas_normalize",
+    # q41 left this list in r12: its grouped-pandas body was replaced by
+    # the built-in window form (guide §4) — reintroducing Python there
+    # should fail the sweep like anywhere else.
     "q66_multimodal_features",
     "q68_udtf_token_offsets",
 }
