@@ -67,6 +67,14 @@ EXECUTES_ON_BUILD = {
     "q107_dsir_importance": "eager (persisted token stream; checkpointed result)",
     "q119_substring_dedup": "eager (persisted token stream; checkpointed result)",
     "q206_phash_near_dup": "eager (checkpointed pair set)",
+    # r12: four eager composites the r11 audit fix missed — their rows
+    # showed only the (near-vacuous) lazy tail after the checkpointed
+    # stages ran at build.
+    "q142_kcore": "iterative (checkpointed peeling rounds)",
+    "q195_incremental_near_dup": "eager (persisted shingle base; checkpointed pair set)",
+    "q200_leakage_safe_split": "eager (PPJoin pair engine + checkpointed CC labels)",
+    "q202_cluster_representatives": "eager (PPJoin pair engine + checkpointed CC labels)",
+    "q157_entity_resolution": "eager CC stage (checkpointed rounds) + lazy rollup tail",
 }
 
 
