@@ -341,25 +341,43 @@ def main() -> None:
     out_name = "bench_full.json" if not only else "bench_subset.json"
     with open(Path(__file__).resolve().parent / out_name, "w") as f:
         json.dump(full, f, indent=1)
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-    )
-    compact = {
-        "metric": "registry_suite_seconds",
-        "value": value,
-        "unit": "sec",
-        "sf": sf_val,
-        "runs": runs,
-        "n_queries": len(timings),
-        "queries": slowest,
-        # normalized twins of the top-5 so a contended-window spike is
-        # readable as such straight from the driver-captured line
-        "queries_norm": {n: queries_norm[n] for n in slowest},
-        "calib": calib,
-        "value_norm": norm,
-        "full_map": f"stderr + {out_name}",
-    }
-    line = json.dumps(compact)
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+
+    def compact_line(k: int) -> str:
+        # r13 (verdict item 2): the round-over-round per-query
+        # comparison covered only the top-5 slowest (n_common=3 in
+        # PERF_r12 — structurally uninformative).  Widen `queries` to
+        # as many of the slowest as fit the driver's <=1KB stdout
+        # budget (additions-only: the old top-5 are always a prefix of
+        # the new list).  queries_norm stays the top-5 twins — its r12
+        # role (making a contended-window spike readable) only needs
+        # the head, and widening BOTH maps would halve the new
+        # coverage.  Tail entries (rank 6+) carry 2 decimals — the
+        # head keeps the r12 precision, and ~10 ms resolution is far
+        # below window noise on sub-3 s queries.
+        slowest = {
+            n: (t if i < 5 else round(t, 2)) for i, (n, t) in enumerate(ranked[:k])
+        }
+        return json.dumps(
+            {
+                "metric": "registry_suite_seconds",
+                "value": value,
+                "unit": "sec",
+                "sf": sf_val,
+                "runs": runs,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "queries_norm": {n: queries_norm[n] for n, _ in ranked[:5]},
+                "calib": calib,
+                "value_norm": norm,
+                "full_map": f"stderr + {out_name}",
+            }
+        )
+
+    k = 5
+    while k < len(ranked) and len(compact_line(k + 1)) <= 1024:
+        k += 1
+    line = compact_line(k)
     assert len(line) <= 1024, f"compact bench line {len(line)}B > 1KB"
     print(line)
 

@@ -458,8 +458,9 @@ def q41_grouped_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay in the JVM on the same single user_id exchange).  Bit-exact:
     min/max are selections, the one division is the same IEEE op, the
     span=0 group emits 0.0 for every member either way, and a NULL
-    value row emits NULL on both paths (pandas NaN crossed back to
-    Spark as Arrow null).  The grouped-Arrow API surface this query
+    value row emits NULL in non-degenerate groups and 0.0 in span-0
+    (hi==lo) groups, identically on both paths (pandas NaN crossed
+    back to Spark as Arrow null).  The grouped-Arrow API surface this query
     used to demo stays exercised by similarity.py's bucket kernels
     (applyInPandas) and q117's applyInPandasWithState; the registry
     name is kept so cross-round bench maps stay comparable."""
