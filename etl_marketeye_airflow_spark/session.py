@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce floor 1m → 64k (r13): with parallelismFirst (the
+        # default) the coalesce target is max(bytes/parallelism, THIS
+        # FLOOR), so the 1 MiB default serializes expression-heavy
+        # small-byte stages — q99's distinct+verify stage (16 s of CPU
+        # over a 6 MB exchange) ran 5-way on 32 cores.  64k lets
+        # bytes/parallelism win whenever the stage has less than
+        # 64k×cores of input, i.e. exactly the stages where per-row CPU
+        # dominates byte handling; at real scale bytes/parallelism ≫ 1m
+        # and the floor never binds (scale-safe by construction).
+        # Same-session A/B (probes/r13_ppjoin_iso2.json): q99 engine
+        # 5.61 → 2.57 s min-of-3 from this alone.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
