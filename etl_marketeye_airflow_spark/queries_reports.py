@@ -362,56 +362,67 @@ def q188_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile() boundary rules differ, so neither side uses it) — then the
     4×4×4 segment census marketing actually consumes.
 
-    Scale shape: one per-customer agg, then THREE two-pass
-    range-partitioned global ranks over the customer frame
-    (operators/ranking.py — never an unpartitioned Window.orderBy,
-    which moves every customer to one partition; the global count
-    comes free from the rank pass's bounded per-partition collect,
-    so no Window.partitionBy() global count either), one ≤64-group
-    census."""
-    from .operators.ranking import global_rank_cumsum
+    Scale shape (r13, VERDICT item 4): one per-customer agg (persisted
+    across its four consumers), then per metric THREE exact quartile
+    BOUNDARY rows — found by range-partitioning just (value, key),
+    counting per partition, and sorting only the ≤3 partitions that
+    hold a boundary (operators/rankstats.py) — and one comparison pass
+    that assigns quartiles against the collected boundary literals
+    with ZERO shuffle of the customer frame.  Replaces three chained
+    two-pass global ranks that each range-shuffled, checkpointed and
+    locally sorted the FULL frame; the bucket rule is bit-identical by
+    construction (q(rn) = 1 + #{k: rn ≥ ceil(k·n/4)+1} under the same
+    unique (value, key) asc order — tests/test_rankstats.py pins it
+    against a plain-window reference incl. n<4 and tie cases).  One
+    ≤64-group census ends it."""
+    from .operators.rankstats import (
+        rank_quantile_boundaries,
+        rank_quantile_col,
+    )
 
     o = _t(spark, sf_dir, "orders")
-    c = o.groupBy("o_custkey").agg(
-        F.max(
-            F.datediff(
-                F.col("o_orderdate").cast("date"),
-                F.lit("1970-01-01").cast("date"),
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                )
             )
+            .cast("long")
+            .alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.floor(
+                F.lit(100)
+                * F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            )
+            .cast("long")
+            .alias("monet"),
         )
-        .cast("long")
-        .alias("last_day"),
-        F.count(F.lit(1)).cast("long").alias("freq"),
-        F.floor(
-            F.lit(100)
-            * F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .persist()
+    )
+    try:
+        quartiles = []
+        for value_col, out in (
+            ("last_day", "r_q"),
+            ("freq", "f_q"),
+            ("monet", "m_q"),
+        ):
+            _, bnds = rank_quantile_boundaries(c, value_col, "o_custkey")
+            quartiles.append(
+                rank_quantile_col(value_col, "o_custkey", bnds).alias(out)
+            )
+        r = c.select("o_custkey", *quartiles)
+        return (
+            r.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+            # materialize before releasing the customer base this plan
+            # reads from (same eager-result lifecycle as the pair engine)
+            .localCheckpoint()
         )
-        .cast("long")
-        .alias("monet"),
-    )
-    staged, n, _ = global_rank_cumsum(
-        c,
-        [F.col("last_day").asc(), F.col("o_custkey").asc()],
-        rank_col="_r_q_rn",
-    )
-    staged, _, _ = global_rank_cumsum(
-        staged,
-        [F.col("freq").asc(), F.col("o_custkey").asc()],
-        rank_col="_f_q_rn",
-    )
-    staged, _, _ = global_rank_cumsum(
-        staged,
-        [F.col("monet").asc(), F.col("o_custkey").asc()],
-        rank_col="_m_q_rn",
-    )
-    for q in ("r_q", "f_q", "m_q"):
-        staged = staged.withColumn(
-            q, (F.expr(f"((_{q}_rn - 1) * 4) div {n}") + 1).cast("int")
-        )
-    r = staged.select("o_custkey", "r_q", "f_q", "m_q")
-    return r.groupBy("r_q", "f_q", "m_q").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers")
-    )
+    finally:
+        c.unpersist()
 
 
 @query(

@@ -75,6 +75,10 @@ EXECUTES_ON_BUILD = {
     "q200_leakage_safe_split": "eager (PPJoin pair engine + checkpointed CC labels)",
     "q202_cluster_representatives": "eager (PPJoin pair engine + checkpointed CC labels)",
     "q157_entity_resolution": "eager CC stage (checkpointed rounds) + lazy rollup tail",
+    # r13: q188 moved from chained global ranks to collected quartile
+    # boundaries (operators/rankstats.py) — boundary finding executes
+    # at build, the census result is checkpointed.
+    "q188_rfm_segments": "eager (boundary lookups at call; checkpointed census)",
 }
 
 
