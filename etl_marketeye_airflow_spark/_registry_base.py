@@ -412,6 +412,44 @@ def _vol() -> F.Column:
     )
 
 
+def _spread_heavy_scan(
+    df: DataFrame, sf_dir: str, table: str
+) -> DataFrame:
+    """Repartition a scan feeding HEAVY per-row expression work, but
+    only when it is genuinely under-split for its size: fewer scan
+    partitions than cores AND more than SPARK_GRAFT_SPREAD_MIN_MB
+    (default 32) of file bytes per partition.
+
+    A single-row-group parquet file scans as ONE task no matter how
+    many byte-range splits Spark plans (only the split holding the row
+    group's midpoint gets rows), serializing e.g. the whole shingle
+    construction (guide §2.5 "input skew: one huge unsplittable file
+    … repartition immediately after the read").  The byte floor keeps
+    this a measured no-op where the shuffle costs more than the
+    serialized work (r13 A/B at sf0.1, 7 MB file: unconditional
+    repartition LOST ~0.5 s — probes/r13_ppjoin_iso2.json — while the
+    sf1 70 MB single-row-group file pays ~10× the shingle fill on one
+    core); at real scale inputs split into ≥ cores partitions and the
+    condition never fires."""
+    import os as _os
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts >= par:
+        return df
+    try:
+        sz = _os.path.getsize(_os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        sz = 0
+    min_bytes = int(
+        _os.environ.get("SPARK_GRAFT_SPREAD_MIN_MB", "32")
+    ) << 20
+    if sz // max(1, n_parts) > min_bytes:
+        return df.repartition(par)
+    return df
+
+
 def _ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q99's pair engine as a reusable EAGER frame (id_a, id_b,
     jaccard) — also the pair stage of the dedup-aware split /
@@ -423,7 +461,7 @@ def _ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle construction runs once, not per branch; eager result +
     # unpersist on return (same lifecycle as q72/q104).
     sh = (
-        _t(spark, sf_dir, "documents")
+        _spread_heavy_scan(_t(spark, sf_dir, "documents"), sf_dir, "documents")
         .select("doc_id", word_shingles(F.col("text"), 3).alias("grams"))
         .persist()
     )

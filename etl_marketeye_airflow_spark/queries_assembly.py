@@ -404,8 +404,11 @@ def q195_incremental_near_dup(
     exact verify per candidate."""
     from .operators.dedup import word_shingles
 
+    # r13: same under-split-scan guard as the q99 engine — a single-
+    # row-group documents file serializes the shingle fill on one core
+    # (no-op below 32 MB/partition and at any real scale)
     sh = (
-        _t(spark, sf_dir, "documents")
+        _spread_heavy_scan(_t(spark, sf_dir, "documents"), sf_dir, "documents")
         .select("doc_id", word_shingles(F.col("text"), 3).alias("grams"))
         .persist()
     )

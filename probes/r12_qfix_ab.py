@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from etl_marketeye_airflow_spark import queries as registry
 from etl_marketeye_airflow_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.1"
+# r13: env-overridable so the same harness serves the VERDICT item-5
+# sf1 confirmation probe; the output file is suffixed per sf so the r12
+# record is never clobbered.
+import os
+
+SF_DIR = os.environ.get("QFIX_SF_DIR", "/root/testdata/sf0.1")
 
 
 # --------------------------- r11 variants ---------------------------
@@ -238,10 +243,14 @@ def main() -> None:
         "purpose": "r12 rewrites (q41 window form, q152 single-pass ind_profile, "
         "q113 marked-pass strip) vs embedded r11 bodies — same session, "
         "A B B A, min-of-2 (conv 24)",
-        "sf": 0.1,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "sf_dir": SF_DIR,
         "results": out,
     }
-    (Path(__file__).parent / "r12_qfix_ab.json").write_text(
+    suffix = "" if SF_DIR.endswith("sf0.1") else (
+        "_sf" + SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    )
+    (Path(__file__).parent / f"r12_qfix_ab{suffix}.json").write_text(
         json.dumps(payload, indent=1)
     )
     print(json.dumps(payload))
