@@ -764,18 +764,37 @@ def q154_streaming_session_windows(
     from .sources.tables import load_events_stream
     from .streaming.ingest import session_event_totals
 
-    stream = load_events_stream(spark, sf_dir)
-    out = session_event_totals(stream, "30 minutes", "10 minutes", "_t")
-    name = f"q154_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    # State-partition count = session-state stores + delta files per
+    # micro-batch; size-adaptive like q117 (r13 A/B, two windows:
+    # 8 parts 3.42/3.65 s vs ambient-32 4.90/5.61 s —
+    # probes/r13_stream_parts_ab.json).  Partition count never affects
+    # results (session state is key-partitioned either way).
+    import os as _os
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        _sz = _os.path.getsize(_os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        _sz = 0
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        "8" if _sz < (64 << 20) else str(spark.sparkContext.defaultParallelism),
     )
-    drain_available_now(q)
-    return spark.table(name)
+    try:
+        stream = load_events_stream(spark, sf_dir)
+        out = session_event_totals(stream, "30 minutes", "10 minutes", "_t")
+        name = f"q154_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available_now(q)
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 @query(

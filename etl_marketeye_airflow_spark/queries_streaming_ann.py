@@ -46,6 +46,22 @@ def q31_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (load_events_stream handles the nanosAsLong save/restore itself)
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # State-partition count = state-store instances + delta files per
+    # micro-batch; size-adaptive like q117 (r13 A/B, two windows:
+    # 8 parts 1.59 s vs ambient-32 2.39 s — probes/r13_stream_parts_ab
+    # .json).  Partition count never affects results (state is
+    # key-partitioned either way).
+    import os as _os
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        _sz = _os.path.getsize(_os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        _sz = 0
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        "8" if _sz < (64 << 20) else str(spark.sparkContext.defaultParallelism),
+    )
     try:
         stream = (
             load_events_stream(spark, sf_dir)
@@ -66,6 +82,7 @@ def q31_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain_available_now(q)
         return spark.table(name)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
